@@ -1,0 +1,105 @@
+package graft.core
+
+import java.sql.Timestamp
+
+/** Data model for the streaming core, mirroring the wire shapes the
+  * reference exchanges (all citations into `/root/reference/`):
+  *
+  *  - [[Event]]        — `EventNotificationMessage` (src/stream_handler/natsio.rs:67-71)
+  *  - [[RelationCtx]]  — `Relation` fan-out context (natsio.rs:78-129,
+  *                       iterated at src/server/internal_event_server.rs:51-63)
+  *  - [[StreamGroup]]  — stream-group metadata record
+  *                       (src/storage_test_server/storage_endpoint_mock.rs:32-38)
+  *  - [[Hierarchy]]    — resolved ancestors (storage_endpoint_mock.rs:129-149)
+  *
+  * Enums travel as Strings (not ints) so Spark plans stay readable and
+  * the columns compress well at scale; the numeric protobuf ids of the
+  * reference carry no extra information.
+  */
+
+/** ResourceType — the six variants matched at natsio.rs:78-129. */
+sealed abstract class ResourceType(val name: String) extends Serializable
+object ResourceType {
+  case object Unspecified extends ResourceType("UNSPECIFIED")
+  case object Project extends ResourceType("PROJECT")
+  case object Collection extends ResourceType("COLLECTION")
+  case object Object extends ResourceType("OBJECT")
+  case object ObjectGroup extends ResourceType("OBJECTGROUP")
+  case object All extends ResourceType("ALL")
+  val values: Seq[ResourceType] = Seq(Unspecified, Project, Collection, Object, ObjectGroup, All)
+  def fromName(s: String): ResourceType =
+    values.find(_.name == s.toUpperCase).getOrElse(
+      throw new IllegalArgumentException(s"unknown ResourceType: $s"))
+}
+
+/** EventType — the reference only ever exercises ALL
+  * (public_event_server.rs:127, e2e/tests.rs:157); we keep the full set. */
+object EventType {
+  val All = "ALL"
+  val Created = "CREATED"
+  val Updated = "UPDATED"
+  val Deleted = "DELETED"
+}
+
+/** The event row (natsio.rs:67-71) plus the fan-out context it was
+  * emitted with and an ingest timestamp (the reference declares
+  * sequence/timestamp but never populates them —
+  * public_event_server.rs:426-430; we do populate them). */
+final case class Event(
+    resource: String,   // ResourceType name
+    eventType: String,  // EventType name
+    resourceId: String,
+    project: String,            // RelationCtx inlined for Dataset ergonomics
+    collection: String,
+    sharedObject: String,
+    objectGroups: Seq[String],  // shared_object_group_ids (natsio.rs:92,107)
+    ts: Timestamp)
+
+object Event {
+  def apply(resource: ResourceType, eventType: String, resourceId: String,
+            ctx: RelationCtx, ts: Timestamp): Event =
+    Event(resource.name, eventType, resourceId,
+      ctx.project, ctx.collection, ctx.sharedObject, ctx.objectGroups, ts)
+}
+
+/** Fan-out context — `Relation` (natsio.rs:78-129). */
+final case class RelationCtx(
+    project: String = "",
+    collection: String = "",
+    sharedObject: String = "",
+    objectGroups: Seq[String] = Seq.empty)
+
+/** Subscription record — the reference's stream-group metadata
+  * (storage_endpoint_mock.rs:32-38) plus the compiled filter subject
+  * (natsio.rs:176-182 registers it as the JetStream consumer's
+  * `filter_subject`; we store it and filter with [[Subjects.matchesLit]]). */
+final case class StreamGroup(
+    id: String,
+    resourceType: String,
+    resourceId: String,
+    eventType: String,
+    notifyOnSubResource: Boolean,
+    filterSubject: String)
+
+/** Resolved ancestor chain (storage_endpoint_mock.rs:129-149). The mock
+  * returns project/collection/object ids; object queries additionally
+  * need the shared ids (utils.rs:91-126), so we carry them too. */
+final case class Hierarchy(
+    projectId: String = "",
+    collectionId: String = "",
+    sharedObjectId: String = "",
+    objectId: String = "",
+    sharedObjectGroupId: String = "",
+    objectGroupId: String = "")
+
+/** One delivered chunk awaiting ack — the reference's
+  * `ack_chunks: HashMap<chunk_id, Vec<Message>>`
+  * (public_event_server.rs:318-319,416-420) re-expressed as a ledger row. */
+final case class DeliveryChunk(
+    groupId: String,
+    chunkId: String,
+    batchId: Long,
+    subjects: Seq[String],
+    resourceIds: Seq[String],
+    deliveredAt: Timestamp,
+    acked: Boolean)

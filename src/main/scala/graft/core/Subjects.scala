@@ -1,0 +1,157 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hierarchical subject algebra — the reference's "query language".
+  *
+  * Reproduces the semantics of `/root/reference/src/utils/utils.rs:16-147`
+  * (subject/query construction) and the NATS token-matching rules the
+  * reference delegates to its broker: subjects are `.`-separated token
+  * paths; a query ending `._` matches exactly one subject (the publish
+  * subject itself, which always ends `._` — utils.rs:45,57,81,113); a
+  * query ending `.>` matches every subject that extends the base path by
+  * one or more tokens, which includes the resource's own publish subject
+  * (its terminal `._` sorts under `>`).
+  *
+  * Everything here is a pure string function plus an equivalent Catalyst
+  * `Column` form, so the same algebra runs on the driver (tests, golden
+  * strings) and inside codegen'd distributed plans (no UDFs).
+  */
+object Subjects {
+  /** utils.rs:1 `STREAM_SUBJECT_COMMMON_PREFIX` */
+  val Root = "UPDATES.STORAGE"
+  /** utils.rs:2-3 discriminator tokens inserted before level-3 ids */
+  val ObjectName = "OBJECT"
+  val ObjectGroupName = "OBJECTGROUP"
+  /** Level separator (utils.rs "splited by ._.") */
+  val Sep = "._."
+
+  /** utils.rs:16-32 `base_subject`: join ids with `._.`, inserting the
+    * OBJECT/OBJECTGROUP discriminator before the third id (stage==2). */
+  def baseSubject(ids: Seq[String], isObjectGroup: Boolean): String = {
+    val sb = new StringBuilder(Root)
+    ids.zipWithIndex.foreach { case (id, stage) =>
+      if (stage == 2) sb.append(Sep).append(if (isObjectGroup) ObjectGroupName else ObjectName)
+      sb.append(Sep).append(id)
+    }
+    sb.toString
+  }
+
+  /** utils.rs:35-42 `query`: `.>` = include subtree, `._` = exact. */
+  def query(base: String, includeSubresources: Boolean): String =
+    if (includeSubresources) s"$base.>" else s"$base._"
+
+  // ---- publish subjects (always exact-terminated `._`; utils.rs:44-126) ----
+  def projectSubject(projectId: String): String =
+    query(baseSubject(Seq(projectId), isObjectGroup = false), includeSubresources = false)
+
+  def collectionSubject(projectId: String, collectionId: String): String =
+    query(baseSubject(Seq(projectId, collectionId), isObjectGroup = false), includeSubresources = false)
+
+  def objectSubject(projectId: String, collectionId: String,
+                    sharedObjectId: String, objectId: String): String =
+    query(baseSubject(Seq(projectId, collectionId, sharedObjectId, objectId),
+      isObjectGroup = false), includeSubresources = false)
+
+  def objectGroupSubject(projectId: String, collectionId: String,
+                         sharedObjectGroupId: String, objectGroupId: String): String =
+    query(baseSubject(Seq(projectId, collectionId, sharedObjectGroupId, objectGroupId),
+      isObjectGroup = true), includeSubresources = false)
+
+  // ---- query subjects (utils.rs:56-147) ----
+  def projectQuery(projectId: String, includeSub: Boolean): String =
+    query(baseSubject(Seq(projectId), isObjectGroup = false), includeSub)
+
+  def collectionQuery(projectId: String, collectionId: String, includeSub: Boolean): String =
+    query(baseSubject(Seq(projectId, collectionId), isObjectGroup = false), includeSub)
+
+  def objectQuery(projectId: String, collectionId: String, sharedObjectId: String,
+                  objectId: String, includeSub: Boolean): String =
+    query(baseSubject(Seq(projectId, collectionId, sharedObjectId, objectId),
+      isObjectGroup = false), includeSub)
+
+  def objectGroupQuery(projectId: String, collectionId: String, sharedObjectGroupId: String,
+                       objectGroupId: String, includeSub: Boolean): String =
+    query(baseSubject(Seq(projectId, collectionId, sharedObjectGroupId, objectGroupId),
+      isObjectGroup = true), includeSub)
+
+  /** Build the query string for any resource type + hierarchy, completing
+    * the arms the reference left `todo!()` (natsio.rs:171-173): the
+    * grammar for Object/ObjectGroup queries already exists at
+    * utils.rs:91-147 and is golden-tested at utils.rs:212-263. */
+  def queryFor(resourceType: ResourceType, resourceId: String, h: Hierarchy,
+               includeSub: Boolean): String = resourceType match {
+    case ResourceType.Project    => projectQuery(resourceId, includeSub)
+    case ResourceType.Collection => collectionQuery(h.projectId, resourceId, includeSub)
+    case ResourceType.Object     => objectQuery(h.projectId, h.collectionId, h.sharedObjectId, resourceId, includeSub)
+    case ResourceType.ObjectGroup=> objectGroupQuery(h.projectId, h.collectionId, h.sharedObjectGroupId, resourceId, includeSub)
+    case other => throw new IllegalArgumentException(s"no query form for $other")
+  }
+
+  // ---------------------------------------------------------------------
+  // Matching (the broker-side semantics of NATS subject filters).
+  // ---------------------------------------------------------------------
+
+  /** Token-wise NATS subject match: `*` matches exactly one token, a
+    * terminal `>` matches one-or-more remaining tokens, anything else is
+    * an exact token match. */
+  def matches(subject: String, query: String): Boolean = {
+    val s = subject.split('.')
+    val q = query.split('.')
+    var i = 0
+    while (i < q.length) {
+      if (q(i) == ">") return i < s.length // >= one remaining token
+      if (i >= s.length) return false
+      if (q(i) != "*" && q(i) != s(i)) return false
+      i += 1
+    }
+    s.length == q.length
+  }
+
+  // ---------------------------------------------------------------------
+  // Column forms — codegen-friendly, no UDFs.
+  // ---------------------------------------------------------------------
+
+  /** base_subject as a Column: ids are Columns; same stage-2 discriminator. */
+  def baseSubjectCol(ids: Seq[Column], isObjectGroup: Boolean): Column = {
+    val disc = if (isObjectGroup) ObjectGroupName else ObjectName
+    val parts: Seq[Column] = ids.zipWithIndex.flatMap { case (c, stage) =>
+      if (stage == 2) Seq(lit(disc), c) else Seq(c)
+    }
+    concat_ws(Sep, (lit(Root) +: parts): _*)
+  }
+
+  def exactCol(base: Column): Column = concat(base, lit("._"))
+  def subtreeCol(base: Column): Column = concat(base, lit(".>"))
+
+  def projectSubjectCol(projectId: Column): Column =
+    exactCol(baseSubjectCol(Seq(projectId), isObjectGroup = false))
+
+  def collectionSubjectCol(projectId: Column, collectionId: Column): Column =
+    exactCol(baseSubjectCol(Seq(projectId, collectionId), isObjectGroup = false))
+
+  def objectSubjectCol(p: Column, c: Column, shared: Column, o: Column): Column =
+    exactCol(baseSubjectCol(Seq(p, c, shared, o), isObjectGroup = false))
+
+  def objectGroupSubjectCol(p: Column, c: Column, sharedGroup: Column, og: Column): Column =
+    exactCol(baseSubjectCol(Seq(p, c, sharedGroup, og), isObjectGroup = true))
+
+  /** Predicate: does `subject` match the (already-built) query string in
+    * `queryCol`? Exact queries (`…._`) ⇒ string equality; subtree
+    * queries (`….>`) ⇒ prefix match on `base + "."`. Pure Column logic ⇒
+    * Catalyst can push it into the scan / use it for partition pruning. */
+  def matchesCol(subject: Column, queryCol: Column): Column = {
+    val isSubtree = queryCol.endsWith(".>")
+    when(isSubtree,
+      // strip trailing ">" leaving "base." as the required prefix
+      subject.startsWith(substring_index(queryCol, ">", 1)))
+      .otherwise(subject === queryCol)
+  }
+
+  /** Predicate for a constant query string (the common per-subscription
+    * case) — resolves to a plain `startsWith`/`===` Catalyst filter. */
+  def matchesLit(subject: Column, q: String): Column =
+    if (q.endsWith(".>")) subject.startsWith(q.dropRight(1)) // keep "base."
+    else subject === lit(q)
+}

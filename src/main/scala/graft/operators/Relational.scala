@@ -1,0 +1,506 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** The batch relational operator surface (SURVEY.md §2.2): scan,
+  * projection, filter, all join shapes, aggregation (hash/distinct/
+  * rollup/cube/collect), windows (ranking/analytic/frames), sort/limit/
+  * top-k, set ops, dedup. Every query is pure built-in Catalyst — the
+  * optimizer does pushdown/pruning/join-selection; nothing here is
+  * hand-scheduled.
+  *
+  * Scale notes (100 TB):
+  *  - `nation`/`region` (and filtered dimension sides) are broadcast
+  *    explicitly; fact-fact joins stay shuffle joins keyed on the join
+  *    column so AQE can re-plan skew.
+  *  - Aggregates run partial→final (map-side combine) automatically;
+  *    DECIMAL sums keep results order-independent so the same query
+  *    hash-matches on any cluster size.
+  */
+object Relational extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Order-independent sum of a fixed-point-valued double column: cast to
+    * DECIMAL (exact grid recovery), sum exactly, emit double. */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val q01_scan_project = QueryDef(
+    "q01_scan_project",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+            l_extendedprice * (1.0 - l_discount) AS rev
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  val q02_filter_pred = QueryDef(
+    "q02_filter_pred",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+        lit("1997-06-30").cast("timestamp"))
+        && col("l_quantity") < 25
+        && col("l_returnflag").isin("A", "R")
+        && !col("l_linestatus").like("O%"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_linestatus"),
+        (col("l_returnflag") <=> col("l_linestatus")).as("nsafe_eq"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus,
+            l_returnflag IS NOT DISTINCT FROM l_linestatus AS nsafe_eq
+            FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-06-30'
+              AND l_quantity < 25 AND l_returnflag IN ('A','R')
+              AND l_linestatus NOT LIKE 'O%'
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  val q03_join_star = QueryDef(
+    "q03_join_star",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_li"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("rev"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name, count(*) AS n_li,
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS rev
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  val q04_join_left = QueryDef(
+    "q04_join_left",
+    (s, dir) => {
+      val hi = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      t(s, dir, "orders")
+        .join(hi, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(count(col("l_orderkey")).as("n_hi"),
+          coalesce(sum("l_quantity"), lit(0.0)).as("qty_hi"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, count(l_orderkey) AS n_hi,
+            coalesce(sum(l_quantity), 0.0) AS qty_hi
+            FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 45) li
+              ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey ORDER BY o_orderkey"""))
+
+  val q05_join_full = QueryDef(
+    "q05_join_full",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select("c_custkey", "c_name")
+      val o = t(s, dir, "orders").filter(col("o_custkey") % 5 === 0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          coalesce(col("c_name"), lit("<none>")).as("cname"),
+          coalesce(col("n_orders"), lit(-1L)).as("n_orders"))
+        .orderBy("k")
+    },
+    Some("""SELECT coalesce(c_custkey, o_custkey) AS k,
+            coalesce(c_name, '<none>') AS cname,
+            CAST(coalesce(n_orders, -1) AS BIGINT) AS n_orders
+            FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) c
+            FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+                       WHERE o_custkey % 5 = 0 GROUP BY o_custkey) o
+              ON c_custkey = o_custkey
+            ORDER BY k"""))
+
+  val q06_join_semi = QueryDef(
+    "q06_join_semi",
+    (s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+            ORDER BY c_custkey"""))
+
+  val q07_join_anti = QueryDef(
+    "q07_join_anti",
+    (s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+            ORDER BY c_custkey"""))
+
+  val q08_join_theta = QueryDef(
+    "q08_join_theta",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("k1"),
+        col("n_name").as("name1"), col("n_regionkey").as("rk1"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("k2"),
+        col("n_name").as("name2"), col("n_regionkey").as("rk2"))
+      n1.join(n2, col("rk1") === col("rk2") && col("k1") < col("k2"))
+        .select("name1", "name2", "rk1")
+        .orderBy("name1", "name2")
+    },
+    Some("""SELECT n1.n_name AS name1, n2.n_name AS name2, n1.n_regionkey AS rk1
+            FROM nation n1 JOIN nation n2
+              ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+            ORDER BY name1, name2"""))
+
+  /** As-of join (latest order at or before each event's time, per user)
+    * — DuckDB's ASOF JOIN semantics, expressed as range-join +
+    * row_number()=1 with a total tie-break so both engines agree.
+    * The reference domain analog: latest resource state ≤ a given ts. */
+  val q09_join_asof = QueryDef(
+    "q09_join_asof",
+    (s, dir) => {
+      val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val joined = e.join(o,
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ranked AS (
+              SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+            SELECT event_id, user_id, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+                   o_totalprice
+            FROM ranked WHERE rn = 1 ORDER BY event_id"""))
+
+  val q10_agg_tpch_q1 = QueryDef(
+    "q10_agg_tpch_q1",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+            sum(l_quantity) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+            sum(l_quantity) / count(*) AS avg_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+            count(*) AS n
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  val q11_agg_distinct = QueryDef(
+    "q11_agg_distinct",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_ps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+            count(DISTINCT l_partkey) AS nd_part,
+            count(DISTINCT l_suppkey) AS nd_supp,
+            count(DISTINCT (l_partkey, l_suppkey)) AS nd_ps,
+            count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** HLL sketch — engines' sketches differ by construction, so this is a
+    * rows-only check; the exact counterpart is q11. */
+  val q12_agg_approx = QueryDef(
+    "q12_agg_approx",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag"),
+    None)
+
+  val q13_agg_rollup = QueryDef(
+    "q13_agg_rollup",
+    (s, dir) => {
+      // Via the spark.sql surface: referencing rollup grouping columns
+      // after .agg() trips Spark 4.1's ambiguous-self-join detector in
+      // the DataFrame API (the Expand under rollup duplicates its input
+      // attributes); SQL-path resolution handles it correctly, and
+      // exercising spark.sql over registered views is part of the
+      // declared API surface anyway.
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT CAST(grouping_id() AS BIGINT) AS gid,
+                      coalesce(n_name, '<all>') AS nname,
+                      coalesce(o_orderpriority, '<all>') AS prio,
+                      count(*) AS n,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY ROLLUP(n_name, o_orderpriority)
+               ORDER BY gid, nname, prio""")
+    },
+    Some("""SELECT CAST(GROUPING(n_name, o_orderpriority) AS BIGINT) AS gid,
+            coalesce(n_name, '<all>') AS nname,
+            coalesce(o_orderpriority, '<all>') AS prio,
+            count(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP(n_name, o_orderpriority)
+            ORDER BY gid, nname, prio"""))
+
+  val q14_agg_cube = QueryDef(
+    "q14_agg_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"),
+        grouping_id().cast("long").as("gid"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy("gid", "rf", "ls"),
+    Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+            coalesce(l_returnflag, '<all>') AS rf,
+            coalesce(l_linestatus, '<all>') AS ls,
+            count(*) AS n, sum(l_quantity) AS qty
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY gid, rf, ls"""))
+
+  val q15_agg_collect = QueryDef(
+    "q15_agg_collect",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+          max_by(col("c_name"), col("c_custkey")).as("latest_cust"),
+          min_by(col("c_name"), col("c_custkey")).as("first_cust"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+            array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+            max_by(c_name, c_custkey) AS latest_cust,
+            min_by(c_name, c_custkey) AS first_cust,
+            count(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  val q16_window_rank = QueryDef(
+    "q16_window_rank",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val wTies = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+      val wTotal = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        rank().over(wTies).cast("long").as("rnk"),
+        dense_rank().over(wTies).cast("long").as("drnk"),
+        row_number().over(wTotal).cast("long").as("rn"),
+        ntile(4).over(wTotal).cast("long").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+            CAST(rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS rnk,
+            CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS drnk,
+            CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+            CAST(ntile(4)     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS quartile
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  val q17_window_analytic = QueryDef(
+    "q17_window_analytic",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          lag(col("value"), 1).over(w).as("prev_v"),
+          lead(col("value"), 1).over(w).as("next_v"),
+          first(col("event_type")).over(wf).as("first_type"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type,
+            lag(value)  OVER w AS prev_v,
+            lead(value) OVER w AS next_v,
+            first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id"""))
+
+  val q18_window_frames = QueryDef(
+    "q18_window_frames",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-2, Window.currentRow)
+      val dec = col("o_totalprice").cast(DecimalType(18, 2))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec).over(run).cast("double").as("running_total"),
+          (sum(dec).over(mov).cast("double") / count(lit(1)).over(mov)).as("moving_avg"),
+          count(lit(1)).over(run).as("n_so_far"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER run AS DOUBLE) AS running_total,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER mov AS DOUBLE)
+              / count(*) OVER mov AS moving_avg,
+            count(*) OVER run AS n_so_far
+            FROM orders
+            WINDOW run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** RANGE frame over an integral time axis: per-user 1-hour trailing
+    * event-value sum — the batch analog of a sliding stream window. */
+  val q19_window_range = QueryDef(
+    "q19_window_range",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("sec", unix_timestamp(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy(col("sec"))
+        .rangeBetween(-3600L, 0L)
+      e.select(col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_sum,
+            count(*) OVER w AS hour_n
+            FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""))
+
+  val q20_sort_topk = QueryDef(
+    "q20_sort_topk",
+    (s, dir) => t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_date"))
+      .limit(15),
+    Some("""SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"""))
+
+  /** Top-k per group — the distributed form (window + filter) rather
+    * than a global sort: at scale this is one shuffle on the group key. */
+  val q21_topk_per_group = QueryDef(
+    "q21_topk_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  val q22_setops = QueryDef(
+    "q22_setops",
+    (s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      val onlyC = cn.except(sn).withColumn("side", lit("cust_only"))
+      val onlyS = sn.except(cn).withColumn("side", lit("supp_only"))
+      val both = cn.intersect(sn).withColumn("side", lit("both"))
+      onlyC.unionByName(onlyS).unionByName(both)
+        .select(col("side"), col("nk"))
+        .orderBy("side", "nk")
+    },
+    Some("""WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+                 sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+            SELECT 'cust_only' AS side, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+            UNION ALL
+            SELECT 'supp_only' AS side, nk FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+            UNION ALL
+            SELECT 'both' AS side, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+            ORDER BY side, nk"""))
+
+  /** Exact dedup with a deterministic survivor (keep lowest linenumber)
+    * — `dropDuplicates` picks an arbitrary row, which can't hash-match
+    * an oracle, so the engine's canonical dedup is window-based. */
+  val q23_dedup_exact = QueryDef(
+    "q23_dedup_exact",
+    (s, dir) => {
+      // Tie-break over every emitted column: the synthetic lineitem has
+      // duplicate (l_orderkey, l_linenumber) pairs, and a survivor chosen
+      // on an incomplete key would be nondeterministic.
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey
+            FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn FROM lineitem)
+            WHERE rn = 1 ORDER BY l_orderkey"""))
+
+  val q24_distinct = QueryDef(
+    "q24_distinct",
+    (s, dir) => t(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  override val defs: Seq[QueryDef] = Seq(
+    q01_scan_project, q02_filter_pred, q03_join_star, q04_join_left,
+    q05_join_full, q06_join_semi, q07_join_anti, q08_join_theta,
+    q09_join_asof, q10_agg_tpch_q1, q11_agg_distinct, q12_agg_approx,
+    q13_agg_rollup, q14_agg_cube, q15_agg_collect, q16_window_rank,
+    q17_window_analytic, q18_window_frames, q19_window_range,
+    q20_sort_topk, q21_topk_per_group, q22_setops, q23_dedup_exact,
+    q24_distinct)
+}
