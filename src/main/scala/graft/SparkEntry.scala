@@ -12,7 +12,7 @@ import graft.operators._
   */
 object SparkEntry {
   /** All registered operator modules. Order is presentation-only. */
-  def modules: Seq[QueryModule] = Seq(Relational)
+  def modules: Seq[QueryModule] = Seq(Relational, Scalars, StreamingBatch)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Subjects
+import graft.sources.Tables
+
+/** Batch-verifiable forms of the streaming operator surface
+  * (SURVEY.md §2.2 "Streaming" rows). The exact same expressions run
+  * under `readStream` in graft.streaming; here they run over the
+  * `events` table so the DuckDB oracle can pin their semantics
+  * (window assignment, session merging, keep-first dedup, fan-out).
+  *
+  * Window-start columns are emitted as epoch seconds (BIGINT): the
+  * source timestamps are nanosecond-precision parquet, and an integral
+  * output dodges engine-dependent sub-microsecond representation.
+  */
+object StreamingBatch extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val q32_window_tumbling = QueryDef(
+    "q32_window_tumbling",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("wstart", "event_type"),
+    Some("""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart,
+            event_type, count(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"""))
+
+  /** Sliding window (2h size, 1h slide): every event lands in two
+    * windows; the oracle materializes the same assignment by unnesting
+    * the two candidate starts. */
+  val q33_window_sliding = QueryDef(
+    "q33_window_sliding",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(unix_timestamp(col("window.start")).as("wstart"), col("n"), col("total"))
+      .orderBy("wstart"),
+    Some("""WITH assigned AS (
+              SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+                     value
+              FROM events)
+            SELECT CAST(floor(epoch(ws)) AS BIGINT) AS wstart, count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM assigned GROUP BY ws ORDER BY wstart"""))
+
+  /** Session window, 30-minute gap, keyed by user. Spark's
+    * `session_window` merges an event into the open session while
+    * ts < session_end (= last_ts + gap); the oracle reproduces that
+    * with the classic gaps-and-islands cumulative-sum. */
+  val q34_window_session = QueryDef(
+    "q34_window_session",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sstart"),
+        col("n"), col("total"))
+      .orderBy("user_id", "sstart"),
+    Some("""WITH marked AS (
+              SELECT user_id, ts, value,
+                CASE WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE OR
+                          lag(ts) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sessions AS (
+              SELECT user_id, ts, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked)
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS sstart,
+                   count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM sessions GROUP BY user_id, sid ORDER BY user_id, sstart"""))
+
+  /** Streaming dedup semantics (`withWatermark + dropDuplicates`):
+    * keep the first event per key in event-time order. Deterministic
+    * batch form = row_number over (ts, event_id). */
+  val q35_dedup_keepfirst = QueryDef(
+    "q35_dedup_keepfirst",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("first_sec"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS first_sec
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rn FROM events)
+            WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  /** The reference's R2+R4 fan-out (subject construction + 1→N
+    * multicast) over real data: events are mapped onto a synthetic
+    * resource hierarchy, each produces its publish-subject set per
+    * natsio.rs:78-129 (collection events → 1 subject; object events →
+    * object-group subjects plus own subject), then explode + count per
+    * subject — exactly the engine's ingest path, batch-verified. */
+  val q36_subject_fanout = QueryDef(
+    "q36_subject_fanout",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("project", concat(lit("p"), (col("user_id") % 5).cast("string")))
+        .withColumn("collection", concat(lit("c"), col("user_id").cast("string")))
+      val objectSubj = Subjects.objectSubjectCol(col("project"), col("collection"),
+        concat(lit("s"), col("event_id").cast("string")),
+        concat(lit("o"), col("event_id").cast("string")))
+      val groupSubj = Subjects.objectGroupSubjectCol(col("project"), col("collection"),
+        concat(lit("g"), (col("user_id") % 3).cast("string")),
+        concat(lit("o"), col("event_id").cast("string")))
+      val subjects = when(col("event_type") === "signup",
+          array(Subjects.projectSubjectCol(col("project"))))
+        .when(col("event_type") === "purchase",
+          array(Subjects.collectionSubjectCol(col("project"), col("collection"))))
+        .otherwise(array(groupSubj, objectSubj)) // object event: group subjects + own
+      e.select(col("event_id"), explode(subjects).as("subject"))
+        .withColumn("level2", substring_index(col("subject"), "._.", 3))
+        .groupBy("level2").agg(count(lit(1)).as("n"),
+          countDistinct(col("subject")).as("n_subjects"))
+        .orderBy("level2")
+    },
+    Some("""WITH base AS (
+              SELECT event_id, event_type,
+                     'p' || CAST(user_id % 5 AS VARCHAR) AS project,
+                     'c' || CAST(user_id AS VARCHAR) AS collection,
+                     'g' || CAST(user_id % 3 AS VARCHAR) AS grp,
+                     's' || CAST(event_id AS VARCHAR) AS shared,
+                     'o' || CAST(event_id AS VARCHAR) AS obj
+              FROM events),
+            subj AS (
+              SELECT event_id, unnest(
+                CASE WHEN event_type = 'signup'
+                     THEN ['UPDATES.STORAGE._.' || project || '._']
+                     WHEN event_type = 'purchase'
+                     THEN ['UPDATES.STORAGE._.' || project || '._.' || collection || '._']
+                     ELSE ['UPDATES.STORAGE._.' || project || '._.' || collection ||
+                           '._.OBJECTGROUP._.' || grp || '._.' || obj || '._',
+                           'UPDATES.STORAGE._.' || project || '._.' || collection ||
+                           '._.OBJECT._.' || shared || '._.' || obj || '._']
+                END) AS subject
+              FROM base)
+            SELECT CASE WHEN len(string_split(subject, '._.')) >= 3
+                        THEN string_split(subject, '._.')[1] || '._.' ||
+                             string_split(subject, '._.')[2] || '._.' ||
+                             string_split(subject, '._.')[3]
+                        ELSE subject END AS level2,
+                   count(*) AS n,
+                   count(DISTINCT subject) AS n_subjects
+            FROM subj GROUP BY 1 ORDER BY level2"""))
+
+  override val defs: Seq[QueryDef] = Seq(
+    q32_window_tumbling, q33_window_sliding, q34_window_session,
+    q35_dedup_keepfirst, q36_subject_fanout)
+}
