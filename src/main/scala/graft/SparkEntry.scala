@@ -12,7 +12,8 @@ import graft.operators._
   */
 object SparkEntry {
   /** All registered operator modules. Order is presentation-only. */
-  def modules: Seq[QueryModule] = Seq(Relational, Scalars, StreamingBatch)
+  def modules: Seq[QueryModule] =
+    Seq(Relational, Scalars, StreamingBatch, TextOps, DedupOps, VectorOps)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

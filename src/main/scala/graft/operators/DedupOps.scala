@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication family over `documents` (SURVEY.md §2.2 LLM-pipeline +
+  * the builder mandate): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design, since dedup is THE quadratic trap at 100 TB:
+  *  - exact: one hash-groupBy — linear, one shuffle on the digest.
+  *  - n-gram Jaccard: pairs are generated ONLY for docs sharing a
+  *    shingle (inverted-index join), never all-pairs.
+  *  - MinHash+LSH: linear signature pass, then candidate pairs only
+  *    within LSH band buckets — the standard sub-quadratic path; the
+  *    Jaccard verify runs on candidates only.
+  *  - SimHash: linear signature pass; the pairwise hamming check here
+  *    is all-pairs for oracle verifiability, but the signature is the
+  *    60-bit banding key you'd bucket on at scale.
+  *
+  * Everything hashes via md5 (same algorithm in Spark and DuckDB), so
+  * signatures — and therefore candidate sets — are engine-identical.
+  */
+object DedupOps extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** distinct 3-word shingles per doc: the shared CTE of the family. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(words) - 3)," +
+          " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("sh"))
+
+  private val shinglesSql =
+    """sh AS (
+         SELECT DISTINCT doc_id,
+                string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                  || ' ' || string_split(text, ' ')[i+3] AS sh
+         FROM documents, unnest(range(len(string_split(text, ' ')) - 2)) AS t(i)
+         WHERE len(string_split(text, ' ')) >= 3)"""
+
+  val q42_dedup_exact_stats = QueryDef(
+    "q42_dedup_exact_stats",
+    (s, dir) => t(s, dir, "documents")
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(md5(lower(trim(col("text"))))).as("n_unique"),
+        countDistinct(col("lang")).as("n_langs")),
+    Some("""SELECT count(*) AS n_total,
+            count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+            count(DISTINCT lang) AS n_langs
+            FROM documents"""))
+
+  /** Near-dup detection via n-gram (3-shingle) Jaccard ≥ 0.8, candidate
+    * pairs from an inverted-index self-join on shingles. */
+  val q43_dedup_ngram_jaccard = QueryDef(
+    "q43_dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = shingles(s, dir).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("a"), col("sh"))
+      val b = sh.select(col("doc_id").as("b"), col("sh"))
+      val common = a.join(b, Seq("sh")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= 0.8)
+        .select(col("a"), col("b"), col("jac"))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $shinglesSql,
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id)
+            SELECT a, b, c / (sa.n + sb.n - c) AS jac
+            FROM common
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE c / (sa.n + sb.n - c) >= 0.8
+            ORDER BY a, b"""))
+
+  /** MinHash (8 hashes, string-min over md5(seed:shingle)) + LSH
+    * banding (4 bands × 2 rows): emits candidate pairs that share any
+    * band. Sub-quadratic: only bucket-mates ever meet. */
+  val q44_dedup_minhash_lsh = QueryDef(
+    "q44_dedup_minhash_lsh",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val seeded = sh.select(col("doc_id"), col("sh"),
+        explode(expr("sequence(0, 7)")).as("seed"))
+        .withColumn("h", md5(concat(col("seed").cast("string"), lit(":"), col("sh"))))
+      val mh = seeded.groupBy("doc_id", "seed").agg(min("h").as("mh"))
+      val sigCols = (0 to 7).map(i => min(when(col("seed") === i, col("mh"))).as(s"m$i"))
+      val sig = mh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = sig.select(col("doc_id"), posexplode(array(
+        concat(col("m0"), col("m1")), concat(col("m2"), col("m3")),
+        concat(col("m4"), col("m5")), concat(col("m6"), col("m7")))))
+        .toDF("doc_id", "band", "key")
+      val l = bands.select(col("band"), col("key"), col("doc_id").as("a"))
+      val r = bands.select(col("band"), col("key"), col("doc_id").as("b"))
+      l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $shinglesSql,
+            mh AS (
+              SELECT doc_id, seed,
+                     min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+              FROM sh, unnest(range(8)) AS s(seed)
+              GROUP BY doc_id, seed),
+            sig AS (
+              SELECT doc_id,
+                min(CASE WHEN seed = 0 THEN mh END) AS m0,
+                min(CASE WHEN seed = 1 THEN mh END) AS m1,
+                min(CASE WHEN seed = 2 THEN mh END) AS m2,
+                min(CASE WHEN seed = 3 THEN mh END) AS m3,
+                min(CASE WHEN seed = 4 THEN mh END) AS m4,
+                min(CASE WHEN seed = 5 THEN mh END) AS m5,
+                min(CASE WHEN seed = 6 THEN mh END) AS m6,
+                min(CASE WHEN seed = 7 THEN mh END) AS m7
+              FROM mh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, m0 || m1 AS key FROM sig UNION ALL
+              SELECT doc_id, 1 AS band, m2 || m3 AS key FROM sig UNION ALL
+              SELECT doc_id, 2 AS band, m4 || m5 AS key FROM sig UNION ALL
+              SELECT doc_id, 3 AS band, m6 || m7 AS key FROM sig)
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            ORDER BY a, b"""))
+
+  /** SimHash: 60-bit signature (15 md5 nibbles × 4 bits), majority vote
+    * over word hashes, packed into a BIGINT; near-dups = pairs with
+    * hamming distance ≤ 4 (true near-dups sit at mean 3.4 on this corpus;
+  * random pairs only appear from distance 5 up). */
+  val q45_dedup_simhash = QueryDef(
+    "q45_dedup_simhash",
+    (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("wh", md5(col("w")))
+      val bits = words
+        .select(col("doc_id"), col("wh"), explode(expr("sequence(0, 59)")).as("bitidx"))
+        .withColumn("nib",
+          expr("instr('0123456789abcdef', substring(wh, CAST(bitidx div 4 AS INT) + 1, 1)) - 1"))
+        .withColumn("vote", expr("CAST(shiftright(nib, CAST(bitidx % 4 AS INT)) & 1 AS INT) * 2 - 1"))
+      val simhash = bits.groupBy("doc_id", "bitidx")
+        .agg(sum("vote").as("v"))
+        .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(bitidx AS INT))")).as("simhash"))
+      val l = simhash.select(col("doc_id").as("a"), col("simhash").as("ha"))
+      val r = simhash.select(col("doc_id").as("b"), col("simhash").as("hb"))
+      l.join(r, col("a") < col("b"))
+        .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+        .filter(col("hamming") <= 4)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, md5(w) AS wh
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+            bits AS (
+              SELECT doc_id, bitidx,
+                     CASE WHEN sum((((instr('0123456789abcdef',
+                            substr(wh, CAST(bitidx // 4 AS INT) + 1, 1)) - 1)
+                            >> CAST(bitidx % 4 AS INT)) & 1) * 2 - 1) > 0
+                          THEN 1 ELSE 0 END AS bit
+              FROM words, unnest(range(60)) AS t(bitidx)
+              GROUP BY doc_id, bitidx),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(bitidx AS INT))) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id)
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+            FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
+            ORDER BY a, b"""))
+
+  override val defs: Seq[QueryDef] = Seq(
+    q42_dedup_exact_stats, q43_dedup_ngram_jaccard, q44_dedup_minhash_lsh,
+    q45_dedup_simhash)
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Vector similarity search over the `embeddings` table
+  * (`ArrayType(FloatType)`, 64-dim, unit-normalized).
+  *
+  * The dot product is a strict left fold in BOTH engines
+  * (`aggregate(zip_with(...))` in Spark, `list_reduce` in DuckDB):
+  * float→double per element is exact, and a fixed accumulation order
+  * makes the cosine bit-identical across engines — no tolerance needed.
+  *
+  * Scale path: brute-force top-k is the correctness baseline (O(Q·N)
+  * after broadcasting Q); the LSH variant assigns every vector a
+  * random-hyperplane bucket in one linear pass, so the search
+  * join is bucket-equi — shuffle on bucket, no cross product.
+  */
+object VectorOps extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Exact sequential-fold dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, " +
+      "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def norm2(a: Column): Column = dot(a, a)
+
+  val q46_vector_topk = QueryDef(
+    "q46_vector_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val pairs = broadcast(q).join(c, col("qid") =!= col("cid"))
+        .withColumn("cos", dot(col("qv"), col("cv"))
+          / (sqrt(norm2(col("qv"))) * sqrt(norm2(col("cv")))))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn").cast("long").as("rn"), col("cid"), col("cos"))
+        .orderBy("qid", "rn")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 32),
+            c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+            pairs AS (
+              SELECT qid, cid,
+                     ${dotSql("qv", "cv")}
+                       / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS cos
+              FROM q JOIN c ON qid <> cid),
+            ranked AS (
+              SELECT qid, cid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+              FROM pairs)
+            SELECT qid, CAST(rn AS BIGINT) AS rn, cid, cos
+            FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""))
+
+  /** Similarity self-join: all pairs with cosine ≥ 0.4 (embedding-based
+    * near-dup detection; at this threshold the planted neighbors
+    * surface without an all-pairs output). */
+  val q47_vector_threshold = QueryDef(
+    "q47_vector_threshold",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("av"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("bv"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cos", dot(col("av"), col("bv"))
+          / (sqrt(norm2(col("av"))) * sqrt(norm2(col("bv")))))
+        .filter(col("cos") >= 0.4)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    },
+    Some(s"""SELECT x.vec_id AS a, y.vec_id AS b,
+                   ${dotSql("x.embedding", "y.embedding")}
+                     / (sqrt(${dotSql("x.embedding", "x.embedding")})
+                        * sqrt(${dotSql("y.embedding", "y.embedding")})) AS cos
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE ${dotSql("x.embedding", "y.embedding")}
+                    / (sqrt(${dotSql("x.embedding", "x.embedding")})
+                       * sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.4
+            ORDER BY a, b"""))
+
+  /** Approximate NN via random-hyperplane LSH: 6 deterministic
+    * md5-derived hyperplanes → 6-bit bucket per vector (64 buckets — sized
+    * so buckets hold a handful of candidates at test scale; at corpus
+    * scale you raise the bit width to keep bucket occupancy bounded) (linear pass);
+    * queries search only their bucket. Output: bucket occupancy + best
+    * bucket-mate per query — the recall/cost trade observable in data. */
+  val q48_vector_ann_lsh = QueryDef(
+    "q48_vector_ann_lsh",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // hyperplane component h,j = first md5 nibble of "h_j", centered.
+      val sigBit = (h: Int) => {
+        val comps = (0 until 64).map(j =>
+          s"(instr('0123456789abcdef', substring(md5('${h}_$j'), 1, 1)) - 8.5) * CAST(embedding[$j] AS DOUBLE)")
+        s"(CASE WHEN (${comps.mkString(" + ")}) > 0 THEN ${1L << h} ELSE 0 END)"
+      }
+      val bucketExpr = (0 until 6).map(sigBit).mkString(" + ")
+      val withBucket = e.withColumn("bucket", expr(s"CAST($bucketExpr AS BIGINT)"))
+      val q = withBucket.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+      val c = withBucket.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bucket"))
+      val cands = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+        .withColumn("cos", dot(col("qv"), col("cv"))
+          / (sqrt(norm2(col("qv"))) * sqrt(norm2(col("cv")))))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      cands.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("bucket"), col("cid").as("best_id"), col("cos").as("best_cos"))
+        .orderBy("qid")
+    },
+    {
+      val sigBitSql = (h: Int) => {
+        val comps = (0 until 64).map(j =>
+          s"(instr('0123456789abcdef', substr(md5('${h}_$j'), 1, 1)) - 8.5) * CAST(embedding[${j + 1}] AS DOUBLE)")
+        s"(CASE WHEN (${comps.mkString(" + ")}) > 0 THEN ${1L << h} ELSE 0 END)"
+      }
+      val bucketSql = (0 until 6).map(sigBitSql).mkString(" + ")
+      Some(s"""WITH wb AS (
+              SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
+              FROM embeddings),
+            q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM wb WHERE vec_id < 32),
+            c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM wb),
+            cands AS (
+              SELECT qid, q.bucket AS bucket, cid,
+                     ${dotSql("qv", "cv")}
+                       / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS cos
+              FROM q JOIN c ON q.bucket = c.bucket AND qid <> cid),
+            ranked AS (
+              SELECT qid, bucket, cid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+              FROM cands)
+            SELECT qid, bucket, cid AS best_id, cos AS best_cos
+            FROM ranked WHERE rn = 1 ORDER BY qid""")
+    })
+
+  override val defs: Seq[QueryDef] = Seq(
+    q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh)
+}
