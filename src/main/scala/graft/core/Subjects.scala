@@ -76,16 +76,34 @@ object Subjects {
     query(baseSubject(Seq(projectId, collectionId, sharedObjectGroupId, objectGroupId),
       isObjectGroup = true), includeSub)
 
-  /** Build the query string for any resource type + hierarchy, completing
-    * the arms the reference left `todo!()` (natsio.rs:171-173): the
-    * grammar for Object/ObjectGroup queries already exists at
-    * utils.rs:91-147 and is golden-tested at utils.rs:212-263. */
+  /** Build the subscription filter for any resource type + hierarchy,
+    * completing the arms the reference left `todo!()` (natsio.rs:171-173).
+    *
+    * Project/Collection reproduce the reference exactly. For Object and
+    * ObjectGroup the reference never defined subscription semantics, and
+    * the publish grammar puts the *changed resource's* id at the leaf of
+    * the shared-id subject (natsio.rs:104-117: an object event publishes
+    * to `…OBJECTGROUP._.<shared_group>._.<object_id>._`) — so a
+    * revision-leaf query could never see member events. Therefore with
+    * `includeSub=true` we subscribe at the SHARED-id subtree
+    * (`…OBJECTGROUP._.<shared_group>.>`), which is the only filter that
+    * delivers "everything about this (shared) object/object-group";
+    * `includeSub=false` remains the exact leaf subject from the golden
+    * grammar (utils.rs:91-147). */
   def queryFor(resourceType: ResourceType, resourceId: String, h: Hierarchy,
                includeSub: Boolean): String = resourceType match {
     case ResourceType.Project    => projectQuery(resourceId, includeSub)
     case ResourceType.Collection => collectionQuery(h.projectId, resourceId, includeSub)
-    case ResourceType.Object     => objectQuery(h.projectId, h.collectionId, h.sharedObjectId, resourceId, includeSub)
-    case ResourceType.ObjectGroup=> objectGroupQuery(h.projectId, h.collectionId, h.sharedObjectGroupId, resourceId, includeSub)
+    case ResourceType.Object =>
+      if (includeSub)
+        query(baseSubject(Seq(h.projectId, h.collectionId, h.sharedObjectId),
+          isObjectGroup = false), includeSubresources = true)
+      else objectQuery(h.projectId, h.collectionId, h.sharedObjectId, resourceId, includeSub = false)
+    case ResourceType.ObjectGroup =>
+      if (includeSub)
+        query(baseSubject(Seq(h.projectId, h.collectionId, h.sharedObjectGroupId),
+          isObjectGroup = true), includeSubresources = true)
+      else objectGroupQuery(h.projectId, h.collectionId, h.sharedObjectGroupId, resourceId, includeSub = false)
     case other => throw new IllegalArgumentException(s"no query form for $other")
   }
 

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Subjects
+
+/** R4 — per-event 1→N subject fan-out
+  * (`/root/reference/src/stream_handler/natsio.rs:78-129`), as a pure
+  * Column expression so it runs inside whole-stage codegen on both the
+  * batch and the streaming path (no UDF, no collect):
+  *
+  *  - PROJECT      → [ project_subject(resource_id) ]
+  *  - COLLECTION   → [ collection_subject(relation.project, resource_id) ]
+  *  - OBJECTGROUP  → one object-group subject per relation.object_groups
+  *  - OBJECT       → its object-groups' subjects PLUS its own object
+  *                   subject (natsio.rs:104-127 — the arm that makes
+  *                   object events visible to group subscribers)
+  *
+  * The reference leaves Unspecified/All as `todo!()` (natsio.rs:79,128);
+  * here they produce an empty set (no publish), the only semantics
+  * consistent with the subject grammar.
+  */
+object FanOut {
+  def subjectsCol(resource: Column, resourceId: Column, project: Column,
+                  collection: Column, sharedObject: Column, objectGroups: Column): Column = {
+    val groupSubjects = transform(objectGroups,
+      g => Subjects.objectGroupSubjectCol(project, collection, g, resourceId))
+    when(resource === "PROJECT",
+        array(Subjects.projectSubjectCol(resourceId)))
+      .when(resource === "COLLECTION",
+        array(Subjects.collectionSubjectCol(project, resourceId)))
+      .when(resource === "OBJECTGROUP", groupSubjects)
+      .when(resource === "OBJECT",
+        concat(groupSubjects,
+          array(Subjects.objectSubjectCol(project, collection, sharedObject, resourceId))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fan a Dataset[Event]-shaped frame out into one row per (event,
+    * subject), the engine's event-log row format. Wire payload mirrors
+    * `EventNotificationMessage` (natsio.rs:67-71) as JSON — same
+    * information content as the reference's protobuf bytes. */
+  def explodeSubjects(events: DataFrame): DataFrame =
+    events
+      .withColumn("subjects", subjectsCol(col("resource"), col("resourceId"),
+        col("project"), col("collection"), col("sharedObject"), col("objectGroups")))
+      .withColumn("subject", explode(col("subjects")))
+      .withColumn("payload", to_json(struct(
+        col("resource"), col("eventType").as("updated_type"), col("resourceId"))))
+      .select("subject", "payload", "resource", "eventType", "resourceId", "ts")
+}

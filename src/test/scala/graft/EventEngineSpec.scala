@@ -1,0 +1,164 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.core._
+import graft.streaming.EventEngine
+
+/** End-to-end streaming flow, mirroring the reference's own integration
+  * test (`/root/reference/src/e2e/tests.rs:108-277`): emit → subscribe →
+  * deliver → ack, plus the arms the reference never tested (object
+  * fan-out to groups, delete, at-least-once redelivery). MemoryStream +
+  * processAllAvailable stand in for the live NATS broker. */
+class EventEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-engine-spec")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def newEngine() =
+    new EventEngine(spark, trigger = Trigger.ProcessingTime("250 milliseconds"))
+
+  test("e2e: project emit -> subtree subscription -> delivery -> ack (tests.rs:108-277)") {
+    val engine = newEngine()
+    try {
+      // tests.rs:179-184 — group at project scope, include_subresource=true
+      val g = engine.createStreamGroup("group-1", ResourceType.Project, "project_id",
+        Hierarchy(projectId = "project_id"), includeSubresources = true)
+      assert(g.filterSubject == "UPDATES.STORAGE._.project_id.>")
+
+      // tests.rs:154-161 — emit a Project event with empty relation
+      engine.emit(ResourceType.Project, EventType.All, "project_id", RelationCtx())
+      engine.processAllAvailable()
+
+      val pending = engine.pendingChunks("group-1")
+      assert(pending.nonEmpty, "at least one message must round-trip (tests.rs:274-276)")
+      assert(pending.head.subjects == Seq("UPDATES.STORAGE._.project_id._"))
+      assert(pending.head.resourceIds == Seq("project_id"))
+
+      // ack clears the chunk (tests.rs:250-272)
+      assert(engine.ack("group-1", pending.head.chunkId))
+      assert(engine.pendingChunks("group-1").isEmpty)
+    } finally engine.stop()
+  }
+
+  test("subject filtering isolates projects; exact groups ignore descendants") {
+    val engine = newEngine()
+    try {
+      engine.createStreamGroup("sub-p1", ResourceType.Project, "p1",
+        Hierarchy(projectId = "p1"), includeSubresources = true)
+      engine.createStreamGroup("exact-p1", ResourceType.Project, "p1",
+        Hierarchy(projectId = "p1"), includeSubresources = false)
+      engine.createStreamGroup("sub-p2", ResourceType.Project, "p2",
+        Hierarchy(projectId = "p2"), includeSubresources = true)
+
+      engine.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+      engine.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p1"))
+      engine.emit(ResourceType.Project, EventType.All, "p2", RelationCtx())
+      engine.processAllAvailable()
+
+      def delivered(g: String): Seq[String] =
+        engine.pendingChunks(g).flatMap(_.resourceIds)
+      assert(delivered("sub-p1").toSet == Set("p1", "c1")) // subtree: project + its collection
+      assert(delivered("exact-p1").toSet == Set("p1"))     // exact: project only
+      assert(delivered("sub-p2").toSet == Set("p2"))       // isolation across projects
+    } finally engine.stop()
+  }
+
+  test("object events fan out to object-group subscribers plus own subject (natsio.rs:104-127)") {
+    val engine = newEngine()
+    try {
+      // group-scope subscription over object-group og1
+      engine.createStreamGroup("og-watchers", ResourceType.ObjectGroup, "og1",
+        Hierarchy(projectId = "p", collectionId = "c", sharedObjectGroupId = "sg1"),
+        includeSubresources = true)
+      // object-scope subscription over the object itself
+      engine.createStreamGroup("obj-watcher", ResourceType.Object, "o1",
+        Hierarchy(projectId = "p", collectionId = "c", sharedObjectId = "so1"),
+        includeSubresources = false)
+
+      engine.emit(ResourceType.Object, EventType.All, "o1",
+        RelationCtx(project = "p", collection = "c", sharedObject = "so1",
+          objectGroups = Seq("sg1")))
+      engine.processAllAvailable()
+
+      val ogSeen = engine.pendingChunks("og-watchers").flatMap(_.subjects)
+      val objSeen = engine.pendingChunks("obj-watcher").flatMap(_.subjects)
+      assert(ogSeen == Seq("UPDATES.STORAGE._.p._.c._.OBJECTGROUP._.sg1._.o1._"),
+        "object event must reach its object-group's subscribers")
+      assert(objSeen == Seq("UPDATES.STORAGE._.p._.c._.OBJECT._.so1._.o1._"),
+        "object event must also reach its own subject")
+    } finally engine.stop()
+  }
+
+  test("at-least-once: unacked chunks stay pending; unknown acks are graceful") {
+    val engine = newEngine()
+    try {
+      engine.createStreamGroup("g", ResourceType.Project, "p",
+        Hierarchy(projectId = "p"), includeSubresources = true)
+      engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      engine.processAllAvailable()
+
+      val before = engine.pendingChunks("g")
+      assert(before.size == 1)
+      // unknown ack id: reference panics (public_event_server.rs:368); we return false
+      assert(!engine.ack("g", "no-such-chunk"))
+      assert(engine.pendingChunks("g").size == 1, "unacked chunk must remain pending")
+      // double-ack is idempotent
+      assert(engine.ack("g", before.head.chunkId))
+      assert(!engine.ack("g", before.head.chunkId))
+    } finally engine.stop()
+  }
+
+  test("close stops delivery; attach resumes from the shared stream") {
+    val engine = newEngine()
+    try {
+      engine.createStreamGroup("g", ResourceType.Project, "p",
+        Hierarchy(projectId = "p"), includeSubresources = true)
+      engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      engine.processAllAvailable()
+      assert(engine.deliveredChunks("g").size == 1)
+
+      engine.close("g") // R13 close flag
+      engine.attach("g") // R9 re-attach restarts the query
+      engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      engine.processAllAvailable()
+      assert(engine.deliveredChunks("g").flatMap(_.resourceIds).size >= 2,
+        "delivery resumes after re-attach")
+    } finally engine.stop()
+  }
+
+  test("delete removes group, query and ledger (R14 — reference left it todo!())") {
+    val engine = newEngine()
+    try {
+      engine.createStreamGroup("g", ResourceType.Project, "p",
+        Hierarchy(projectId = "p"), includeSubresources = false)
+      engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      engine.processAllAvailable()
+      engine.deleteStreamGroup("g")
+      assert(engine.listGroups.isEmpty)
+      assert(engine.deliveredChunks("g").isEmpty)
+      intercept[NoSuchElementException](engine.attach("g"))
+    } finally engine.stop()
+  }
+
+  test("emit validation: empty ids and unpublishable resource types are rejected") {
+    val engine = newEngine()
+    try {
+      intercept[IllegalArgumentException](
+        engine.emit(ResourceType.Project, EventType.All, "", RelationCtx()))
+      intercept[IllegalArgumentException](
+        engine.emit(ResourceType.All, EventType.All, "x", RelationCtx()))
+      intercept[IllegalArgumentException](
+        engine.emit(ResourceType.Unspecified, EventType.All, "x", RelationCtx()))
+    } finally engine.stop()
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+case class E(ts: Timestamp, key: String, v: Double)
+case class LedgerState(delivered: Long, acked: Long)
+case class LedgerEvent(groupId: String, kind: String) // deliver | ack
+case class LedgerRow(groupId: String, delivered: Long, acked: Long, pending: Long)
+
+/** Streaming-mode semantics that the batch oracle can't exercise:
+  * watermark late-data drop, streaming dedup, append-mode windowed
+  * aggregation, and mapGroupsWithState (the in-stream form of the
+  * delivery ledger, SURVEY.md §2.2 "stateful per-key processing"). */
+class StreamingWindowsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-spec")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("watermark drops late rows beyond the delay (append window agg)") {
+    val in = MemoryStream[E](spark, numPartitions = 1)
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"key")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("wstart"), $"key", $"n")
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(E(ts(1), "a", 1.0), E(ts(5), "a", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark → closes it
+      in.addData(E(ts(40), "a", 1.0))
+      q.processAllAvailable()
+      // this row is 39 minutes late — beyond the 10-minute watermark → dropped
+      in.addData(E(ts(1), "a", 99.0))
+      q.processAllAvailable()
+      in.addData(E(ts(60), "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out")
+        .select("wstart", "n").as[(Long, Long)].collect().toMap
+      assert(rows(0L) == 2, s"window[0,10) must have exactly 2 rows (late row dropped): $rows")
+    } finally q.stop()
+  }
+
+  test("streaming dedup: withWatermark + dropDuplicates keeps first occurrence") {
+    val in = MemoryStream[E](spark, numPartitions = 1)
+    val dedup = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("key")
+      .select($"key", $"v")
+    val q = dedup.writeStream.format("memory").queryName("dd_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(E(ts(1), "k1", 1.0), E(ts(2), "k1", 2.0), E(ts(3), "k2", 3.0))
+      q.processAllAvailable()
+      in.addData(E(ts(4), "k1", 4.0), E(ts(5), "k3", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("dd_out").as[(String, Double)].collect().toMap
+      assert(rows == Map("k1" -> 1.0, "k2" -> 3.0, "k3" -> 5.0))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: per-group delivery/ack ledger as streaming state (R12 in-stream form)") {
+    val in = MemoryStream[LedgerEvent](spark, numPartitions = 1)
+    val counted = in.toDS()
+      .groupByKey(_.groupId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (gid: String, evs: Iterator[LedgerEvent], state: GroupState[LedgerState]) =>
+          val s0 = state.getOption.getOrElse(LedgerState(0, 0))
+          val s1 = evs.foldLeft(s0) { (s, e) =>
+            if (e.kind == "deliver") s.copy(delivered = s.delivered + 1)
+            else s.copy(acked = s.acked + 1)
+          }
+          state.update(s1)
+          LedgerRow(gid, s1.delivered, s1.acked, s1.delivered - s1.acked)
+      }
+    val q = counted.writeStream.format("memory").queryName("ledger_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(LedgerEvent("g1", "deliver"), LedgerEvent("g1", "deliver"),
+        LedgerEvent("g2", "deliver"))
+      q.processAllAvailable()
+      in.addData(LedgerEvent("g1", "ack"))
+      q.processAllAvailable()
+      val last = spark.table("ledger_out").as[LedgerRow].collect()
+        .groupBy(_.groupId).map { case (g, rows) => g -> rows.last }
+      assert(last("g1") == LedgerRow("g1", 2, 1, 1))
+      assert(last("g2") == LedgerRow("g2", 1, 0, 1))
+    } finally q.stop()
+  }
+
+  test("stream-static join: streaming events enrich against a broadcast dimension") {
+    val in = MemoryStream[E](spark, numPartitions = 1)
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("key", "name")
+    val joined = in.toDF().join(broadcast(dim), Seq("key"))
+      .select($"key", $"name", $"v")
+    val q = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(E(ts(1), "a", 1.0), E(ts(2), "c", 9.0), E(ts(3), "b", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("sj_out").as[(String, String, Double)].collect().sorted
+      assert(rows.toSeq == Seq(("a", "alpha", 1.0), ("b", "beta", 2.0)),
+        "unmatched streaming rows drop out of the inner join")
+    } finally q.stop()
+  }
+}
