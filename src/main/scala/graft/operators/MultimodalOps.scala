@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Query-surface entries for the multimodal plumbing (binary media
+  * columns + stubbed codec — see graft.multimodal.Multimodal). */
+object MultimodalOps extends QueryModule {
+
+  /** Metadata path: binary payloads with typed metadata, predicates on
+    * metadata prune before any decode. Oracle recomputes the synthesized
+    * metadata directly from the source table. */
+  val q49_multimodal_meta = QueryDef(
+    "q49_multimodal_meta",
+    (s, dir) => Multimodal.synthesizeAssets(s, dir)
+      .toDF()
+      .select(col("asset_id"), col("kind"), col("format"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
+        col("media").cast("string").substr(1, 4).as("header"),
+        col("duration_ms"))
+      .orderBy("asset_id"),
+    Some("""SELECT doc_id AS asset_id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS kind,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                 ELSE 'mp4' END AS format,
+            CAST(4 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0'
+                 ELSE 'VID0' END AS header,
+            CAST(n_chars * 10 AS BIGINT) AS duration_ms
+            FROM documents ORDER BY asset_id"""))
+
+  /** Feature-extraction path through the stubbed codec (mapPartitions
+    * batch contract). Not SQL-expressible — the codec is engine code —
+    * so this is a rows-only check; determinism is pinned by
+    * MultimodalSpec instead. */
+  val q50_multimodal_features = QueryDef(
+    "q50_multimodal_features",
+    (s, dir) => Multimodal.featureTable(s, dir)
+      .select(col("asset_id"), col("kind"), col("n_bytes"), col("header"),
+        col("features"))
+      .orderBy("asset_id"),
+    None)
+
+  override val defs: Seq[QueryDef] = Seq(q49_multimodal_meta, q50_multimodal_features)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import graft.multimodal.{MediaCodec, Multimodal}
+
+/** Pins the multimodal plumbing: schema, header/metadata synthesis,
+  * stub-codec determinism, batch transforms, and that the binary column
+  * is dropped before shuffling. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-multimodal-spec")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("assets carry kind-specific magic headers and metadata") {
+    val assets = Multimodal.synthesizeAssets(spark, dir).collect()
+    assert(assets.length == 500)
+    assets.foreach { a =>
+      val header = new String(a.media.take(4), "UTF-8")
+      val expected = a.kind match {
+        case "image" => "IMG0"; case "audio" => "AUD0"; case "video" => "VID0"
+      }
+      assert(header == expected, s"asset ${a.asset_id}")
+      if (a.kind == "image") assert(a.width > 0 && a.height > 0 && a.sample_rate == 0)
+      if (a.kind == "audio") assert(a.sample_rate == 16000 && a.width == 0)
+    }
+  }
+
+  test("feature extraction is deterministic, fixed-width, and histogram-normalized") {
+    val f1 = Multimodal.extractFeatures(Multimodal.synthesizeAssets(spark, dir))
+      .collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(Multimodal.synthesizeAssets(spark, dir))
+      .collect().sortBy(_.asset_id)
+    assert(f1.length == 500)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.features.toSeq == b.features.toSeq, s"asset ${a.asset_id} not deterministic")
+    }
+    f1.foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3, "histogram must be normalized")
+    }
+  }
+
+  test("stub codec boundary: known bytes produce the expected histogram") {
+    val features = MediaCodec.decodeStub(Array[Byte](0x00, 0x10, 0x20, 0x30))
+    assert(features(0) == 0.25f && features(1) == 0.25f
+      && features(2) == 0.25f && features(3) == 0.25f)
+    assert(features.drop(4).forall(_ == 0f))
+    assert(MediaCodec.decodeStub(Array.emptyByteArray).forall(_ == 0f))
+  }
+
+  test("resize truncates payloads; frame-sample touches only video") {
+    val assets = Multimodal.synthesizeAssets(spark, dir)
+    val resized = Multimodal.resize(assets, maxBytes = 64).collect()
+    assert(resized.forall(_.media.length <= 64))
+    val sampled = Multimodal.frameSample(assets, everyNth = 4).collect()
+    sampled.foreach { a =>
+      val orig = a.kind == "video"
+      if (orig) assert(a.media.length <= (a.duration_ms / 10 + 4) / 4 + 1)
+    }
+    val nonVideoUnchanged = Multimodal.frameSample(assets, 4).filter(_.kind != "video")
+      .collect().map(_.media.length).sum
+    val origNonVideo = assets.collect().filter(_.kind != "video")
+      .map(_.media.length).sum
+    assert(nonVideoUnchanged == origNonVideo)
+  }
+
+  test("feature table drops the binary column before the shuffle") {
+    val ft = Multimodal.featureTable(spark, dir)
+    assert(!ft.columns.contains("media"), "binary payload must not travel through shuffles")
+    assert(ft.columns.toSet == Set("asset_id", "kind", "n_bytes", "header", "features"))
+  }
+}
