@@ -84,19 +84,23 @@ object DedupOps extends QueryModule {
             WHERE c / (sa.n + sb.n - c) >= 0.8
             ORDER BY a, b"""))
 
-  /** MinHash (8 hashes, string-min over md5(seed:shingle)) + LSH
-    * banding (4 bands × 2 rows): emits candidate pairs that share any
-    * band. Sub-quadratic: only bucket-mates ever meet. */
+  /** MinHash (8 signatures) + LSH banding (4 bands × 2 rows): emits
+    * candidate pairs that share any band. Sub-quadratic: only
+    * bucket-mates ever meet.
+    *
+    * The 8 hash functions are derived from ONE md5 per shingle —
+    * 16-hex-char windows at stride 4 over the doubled digest — instead
+    * of 8 independent md5 calls: same uniformity for min-hashing, 8×
+    * less hashing, which is the dominant cost of a signature pass over
+    * a 100 TB corpus. */
   val q44_dedup_minhash_lsh = QueryDef(
     "q44_dedup_minhash_lsh",
     (s, dir) => {
-      val sh = shingles(s, dir)
-      val seeded = sh.select(col("doc_id"), col("sh"),
-        explode(expr("sequence(0, 7)")).as("seed"))
-        .withColumn("h", md5(concat(col("seed").cast("string"), lit(":"), col("sh"))))
-      val mh = seeded.groupBy("doc_id", "seed").agg(min("h").as("mh"))
-      val sigCols = (0 to 7).map(i => min(when(col("seed") === i, col("mh"))).as(s"m$i"))
-      val sig = mh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val hashed = shingles(s, dir)
+        .withColumn("h2", concat(md5(col("sh")), md5(col("sh"))))
+      val sigCols = (0 to 7).map(i =>
+        min(substring(col("h2"), i * 4 + 1, 16)).as(s"m$i"))
+      val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       val bands = sig.select(col("doc_id"), posexplode(array(
         concat(col("m0"), col("m1")), concat(col("m2"), col("m3")),
         concat(col("m4"), col("m5")), concat(col("m6"), col("m7")))))
@@ -108,22 +112,19 @@ object DedupOps extends QueryModule {
         .orderBy("a", "b")
     },
     Some(s"""WITH $shinglesSql,
-            mh AS (
-              SELECT doc_id, seed,
-                     min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
-              FROM sh, unnest(range(8)) AS s(seed)
-              GROUP BY doc_id, seed),
+            hashed AS (
+              SELECT doc_id, md5(sh) || md5(sh) AS h2 FROM sh),
             sig AS (
               SELECT doc_id,
-                min(CASE WHEN seed = 0 THEN mh END) AS m0,
-                min(CASE WHEN seed = 1 THEN mh END) AS m1,
-                min(CASE WHEN seed = 2 THEN mh END) AS m2,
-                min(CASE WHEN seed = 3 THEN mh END) AS m3,
-                min(CASE WHEN seed = 4 THEN mh END) AS m4,
-                min(CASE WHEN seed = 5 THEN mh END) AS m5,
-                min(CASE WHEN seed = 6 THEN mh END) AS m6,
-                min(CASE WHEN seed = 7 THEN mh END) AS m7
-              FROM mh GROUP BY doc_id),
+                min(substr(h2,  1, 16)) AS m0,
+                min(substr(h2,  5, 16)) AS m1,
+                min(substr(h2,  9, 16)) AS m2,
+                min(substr(h2, 13, 16)) AS m3,
+                min(substr(h2, 17, 16)) AS m4,
+                min(substr(h2, 21, 16)) AS m5,
+                min(substr(h2, 25, 16)) AS m6,
+                min(substr(h2, 29, 16)) AS m7
+              FROM hashed GROUP BY doc_id),
             bands AS (
               SELECT doc_id, 0 AS band, m0 || m1 AS key FROM sig UNION ALL
               SELECT doc_id, 1 AS band, m2 || m3 AS key FROM sig UNION ALL
@@ -141,19 +142,24 @@ object DedupOps extends QueryModule {
   val q45_dedup_simhash = QueryDef(
     "q45_dedup_simhash",
     (s, dir) => {
+      // One md5 per word; 15 nibbles extracted once per word row; the 60
+      // bit-votes are conditional aggregates over those nibble columns —
+      // no 60-way row explosion, one aggregation, identical values.
+      val nibCols = (0 until 15).map(p =>
+        expr(s"instr('0123456789abcdef', substring(wh, ${p + 1}, 1)) - 1").as(s"nib$p"))
       val words = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .withColumn("wh", md5(col("w")))
-      val bits = words
-        .select(col("doc_id"), col("wh"), explode(expr("sequence(0, 59)")).as("bitidx"))
-        .withColumn("nib",
-          expr("instr('0123456789abcdef', substring(wh, CAST(bitidx div 4 AS INT) + 1, 1)) - 1"))
-        .withColumn("vote", expr("CAST(shiftright(nib, CAST(bitidx % 4 AS INT)) & 1 AS INT) * 2 - 1"))
-      val simhash = bits.groupBy("doc_id", "bitidx")
-        .agg(sum("vote").as("v"))
-        .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
-        .groupBy("doc_id")
-        .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(bitidx AS INT))")).as("simhash"))
+        .select(col("doc_id") +: nibCols: _*)
+      val voteCols = (0 until 60).map { bit =>
+        val (p, j) = (bit / 4, bit % 4)
+        sum(expr(s"CAST(shiftright(nib$p, $j) & 1 AS INT) * 2 - 1")).as(s"v$bit")
+      }
+      val votes = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      val packed = (0 until 60).map(bit =>
+        expr(s"CASE WHEN v$bit > 0 THEN CAST(${1L << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        .reduce(_ + _)
+      val simhash = votes.select(col("doc_id"), packed.as("simhash"))
       val l = simhash.select(col("doc_id").as("a"), col("simhash").as("ha"))
       val r = simhash.select(col("doc_id").as("b"), col("simhash").as("hb"))
       l.join(r, col("a") < col("b"))
