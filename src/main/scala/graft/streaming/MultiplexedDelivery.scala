@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.concurrent
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core._
+
+/** The many-groups scale path (SURVEY.md §7.4 risk 2): ONE streaming
+  * query serves every stream group, instead of one query per group.
+  *
+  * Per-group queries (EventEngine) mirror the reference's JetStream
+  * consumer model and are right for O(100) groups; at thousands of
+  * groups they re-scan the stream N times and hold N checkpoints. Here
+  * each micro-batch is joined once against the current subscription
+  * snapshot:
+  *
+  *  - join key = the PROJECT token of the subject (token #3 — every
+  *    publish subject and every filter subject carry it), so the match
+  *    is a hash equi-join that partitions by project at cluster scale —
+  *    never an all-pairs nested loop;
+  *  - the full subject algebra ([[Subjects.matchesCol]]) runs as the
+  *    residual predicate on the (tiny) per-project candidate set;
+  *  - subscriptions added/removed between micro-batches take effect on
+  *    the next batch — dynamic groups without restarting the query.
+  */
+final class MultiplexedDelivery(val spark: SparkSession,
+                                trigger: Trigger = Trigger.ProcessingTime("250 milliseconds")) {
+  import spark.implicits._
+
+  private val source =
+    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark, numPartitions = 1)
+
+  private val groups: concurrent.Map[String, StreamGroup] =
+    new ConcurrentHashMap[String, StreamGroup]().asScala
+  private val ledger: concurrent.Map[(String, String), DeliveryChunk] =
+    new ConcurrentHashMap[(String, String), DeliveryChunk]().asScala
+  @volatile private var query: Option[StreamingQuery] = None
+
+  def emit(resource: ResourceType, eventType: String, resourceId: String,
+           relation: RelationCtx, ts: Timestamp = new Timestamp(0L)): Unit = {
+    require(resourceId.nonEmpty, "resourceId must be non-empty")
+    source.addData(Event(resource, eventType, resourceId, relation, ts))
+  }
+
+  /** Register a group — no new streaming query is started; the shared
+    * query picks the group up at its next micro-batch. */
+  def addGroup(groupId: String, resourceType: ResourceType, resourceId: String,
+               hierarchy: Hierarchy, includeSubresources: Boolean): StreamGroup = {
+    require(!groups.contains(groupId), s"stream group $groupId already exists")
+    val g = StreamGroup(groupId, resourceType.name, resourceId, EventType.All,
+      includeSubresources,
+      Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources))
+    groups.put(groupId, g)
+    g
+  }
+
+  def removeGroup(groupId: String): Unit = {
+    groups.remove(groupId)
+    ledger.keys.filter(_._1 == groupId).foreach(ledger.remove)
+  }
+
+  /** The project token (#3) of a subject or filter-subject — both
+    * grammars place it identically (`UPDATES.STORAGE._.<project>...`). */
+  private def projectToken(c: org.apache.spark.sql.Column) =
+    split(c, "\\.").getItem(3)
+
+  /** Start the ONE delivery query. */
+  def start(): Unit = synchronized {
+    require(query.isEmpty, "already started")
+    val q = FanOut.explodeSubjects(source.toDF())
+      .writeStream
+      .queryName("multiplexed-delivery")
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val snapshot = groups.values.toSeq
+        if (snapshot.nonEmpty && !batch.isEmpty) {
+          // keep only the join-relevant columns: StreamGroup.resourceId
+          // would otherwise collide with the event batch's resourceId
+          val subs = snapshot.toDF().select(col("id"), col("filterSubject"))
+          val matched = batch
+            .join(broadcast(subs),
+              projectToken(col("subject")) === projectToken(col("filterSubject"))
+                && Subjects.matchesCol(col("subject"), col("filterSubject")))
+            .select(col("id").as("groupId"), col("subject"), col("resourceId"))
+            .collect()
+          matched.groupBy(_.getString(0)).foreach { case (gid, rows) =>
+            val chunkId = s"$gid-$batchId"
+            ledger.put((gid, chunkId), DeliveryChunk(gid, chunkId, batchId,
+              rows.map(_.getString(1)).toSeq, rows.map(_.getString(2)).toSeq,
+              new Timestamp(System.currentTimeMillis()), acked = false))
+          }
+        }
+        ()
+      }
+      .start()
+    query = Some(q)
+  }
+
+  def pendingChunks(groupId: String): Seq[DeliveryChunk] =
+    ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c }
+      .toSeq.sortBy(_.batchId)
+
+  def ack(groupId: String, chunkId: String): Boolean =
+    ledger.get((groupId, chunkId)) match {
+      case Some(c) if !c.acked =>
+        ledger.put((groupId, chunkId), c.copy(acked = true)); true
+      case _ => false
+    }
+
+  def processAllAvailable(): Unit = query.foreach(_.processAllAvailable())
+
+  def stop(): Unit = synchronized {
+    query.foreach(_.stop())
+    query = None
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import graft.operators._
+
+/** Physical-plan contracts: the properties that make these queries
+  * survive a 100× scale-up. Asserted on the optimized plans at sf0.001
+  * (plan shape is scale-invariant for these checks; AQE-dependent
+  * choices are asserted via hints that pin them).
+  *
+  * Each assertion names the failure mode it guards against. */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-spec")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(q: QueryDef): String =
+    q.run(spark, dir).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filters are pushed into the parquet scan (q02)") {
+    val p = plan(Relational.q02_filter_pred)
+    assert(p.contains("PushedFilters:"), "no pushdown section at all")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate.*"),
+      s"shipdate range must reach the scan, got:\n${p.take(2000)}")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(l_returnflag.*"),
+      "IN-list must reach the scan")
+  }
+
+  test("column pruning: a 4-column projection reads a 4-column schema (q01)") {
+    val p = plan(Relational.q01_scan_project)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_shipdate"),
+      s"scan must not read columns the query never uses: $readSchema")
+  }
+
+  test("dimension joins broadcast; no cartesian products (q03 star join)") {
+    val p = plan(Relational.q03_join_star)
+    assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast, not shuffle")
+    assert(!p.contains("CartesianProduct"), "star join must never go cartesian")
+  }
+
+  test("aggregation is partial -> final (map-side combine) (q10 TPC-H Q1)") {
+    val p = plan(Relational.q10_agg_tpch_q1)
+    assert(p.contains("HashAggregate"), "hash aggregation expected")
+    assert(p.contains("partial_"),
+      "partial aggregation must run before the shuffle — an agg that ships raw rows " +
+        "to the reducer breaks at 100 TB")
+  }
+
+  test("top-k per group shuffles once on the group key, no global sort (q21)") {
+    val p = plan(Relational.q21_topk_per_group)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one hash exchange for the window + one range exchange for the
+    // presentation orderBy — anything more means redundant shuffles
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n${p.take(1500)}")
+  }
+
+  test("similarity search scores pairs with the native dot product, not a lambda (q47)") {
+    val p = plan(VectorOps.q47_vector_threshold)
+    assert(p.toLowerCase.contains("dotproductff"), "native expression must be in the plan")
+    assert(!p.contains("lambdafunction") && !p.contains("aggregate("),
+      "no interpreted higher-order lambda may remain in the scoring path")
+  }
+
+  test("LSH ANN search joins on bucket equality, never all-pairs (q48)") {
+    val p = plan(VectorOps.q48_vector_ann_lsh)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ANN path must be a bucket-equi join; all-pairs defeats the index")
+  }
+
+  test("exact dedup of documents is a single linear aggregation (q42)") {
+    val p = plan(DedupOps.q42_dedup_exact_stats)
+    assert(!p.contains("Join"), "exact dedup must not involve any join")
+  }
+
+  test("event-time windows aggregate partially before the shuffle (q32)") {
+    val p = plan(StreamingBatch.q32_window_tumbling)
+    assert(p.contains("partial_"), "window agg must combine map-side")
+  }
+}
