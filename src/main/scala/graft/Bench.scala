@@ -31,10 +31,57 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val replay = streamReplaySeconds(spark, sfDir)
+    val all = results :+ ("stream_replay" -> replay)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Streaming replay throughput (BASELINE.md "streaming replay" row):
+    * every event in the sf `events` table is mapped onto the resource
+    * hierarchy, pushed through ingest → fan-out → multiplexed filtered
+    * delivery with one subtree subscription per project, and drained.
+    * Returns elapsed seconds (events/s = rows ÷ this). */
+  private def streamReplaySeconds(spark: org.apache.spark.sql.SparkSession,
+                                  sfDir: String): Double = {
+    import graft.core._
+    import graft.streaming.MultiplexedDelivery
+    val rows = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type").collect()
+    val mux = new MultiplexedDelivery(spark,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+    (0 until 5).foreach(p => mux.addGroup(s"bench-p$p", ResourceType.Project, s"p$p",
+      Hierarchy(projectId = s"p$p"), includeSubresources = true))
+    mux.start()
+    val t0 = System.nanoTime()
+    rows.grouped(10000).foreach { chunk =>
+      mux.emitAll(chunk.map { r =>
+        val (uid, et) = (r.getLong(1), r.getString(2))
+        val project = s"p${uid % 5}"
+        val ts = new java.sql.Timestamp(0L)
+        et match {
+          case "signup" =>
+            Event(ResourceType.Project, EventType.All, project, RelationCtx(), ts)
+          case "purchase" =>
+            Event(ResourceType.Collection, EventType.All, s"c$uid",
+              RelationCtx(project = project), ts)
+          case _ =>
+            Event(ResourceType.Object, EventType.All, s"o${r.getLong(0)}",
+              RelationCtx(project = project, collection = s"c$uid",
+                sharedObject = s"s${r.getLong(0)}", objectGroups = Seq(s"g${uid % 3}")), ts)
+        }
+      }.toSeq)
+      mux.processAllAvailable()
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val delivered = (0 until 5).map(p => mux.pendingChunks(s"bench-p$p")
+      .map(_.resourceIds.size).sum).sum
+    mux.stop()
+    require(delivered >= rows.length,
+      s"replay must deliver every event at least once ($delivered < ${rows.length})")
+    elapsed
   }
 }

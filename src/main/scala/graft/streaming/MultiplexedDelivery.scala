@@ -48,6 +48,11 @@ final class MultiplexedDelivery(val spark: SparkSession,
     source.addData(Event(resource, eventType, resourceId, relation, ts))
   }
 
+  /** Bulk ingest — one offset per batch instead of per event (the
+    * replay/backfill path; per-event addData serializes on the stream
+    * lock and caps throughput on the driver). */
+  def emitAll(events: Iterable[Event]): Unit = source.addData(events)
+
   /** Register a group — no new streaming query is started; the shared
     * query picks the group up at its next micro-batch. */
   def addGroup(groupId: String, resourceType: ResourceType, resourceId: String,
