@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** The durable form of the event stream — what the reference's single
+  * JetStream stream (`STORAGE_UPDATES`, natsio.rs:24) becomes at 100 TB:
+  * a parquet event log PARTITIONED BY PROJECT, written by one ingest
+  * query and read by per-group delivery queries that each own a
+  * checkpoint (≙ a JetStream consumer's position).
+  *
+  * Why partition by project: the subject grammar scopes every query to
+  * one project subtree (SURVEY.md §4 "hierarchical key space =
+  * partition pruning"), so a delivery query's scan prunes to exactly
+  * one partition directory — subtree subscriptions never touch other
+  * projects' data, no matter how large the log grows.
+  *
+  * Restart semantics (SURVEY.md §7.4 risk 1): the file source +
+  * checkpoint give exactly-once BATCH REPROCESSING (a restarted
+  * delivery query resumes after the last committed batch, never
+  * re-reading delivered files), while the ack ledger layered on top
+  * gives at-least-once DELIVERY (unacked chunks stay pending across
+  * restarts and are re-served to reconnecting clients).
+  */
+final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: String,
+                            trigger: Trigger = Trigger.ProcessingTime("250 milliseconds")) {
+  import spark.implicits._
+
+  private val source =
+    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark, numPartitions = 1)
+  private val sequence = new AtomicLong(0L)
+  @volatile private var ingestQuery: Option[StreamingQuery] = None
+  private val deliveries: concurrent.Map[String, StreamingQuery] =
+    new ConcurrentHashMap[String, StreamingQuery]().asScala
+  private val ledger: concurrent.Map[(String, String), DeliveryChunk] =
+    new ConcurrentHashMap[(String, String), DeliveryChunk]().asScala
+
+  /** Log row schema; `project` is the physical partition column. */
+  val logSchema: StructType = StructType(Seq(
+    StructField("subject", StringType), StructField("payload", StringType),
+    StructField("resource", StringType), StructField("eventType", StringType),
+    StructField("resourceId", StringType), StructField("ts", TimestampType),
+    StructField("project", StringType)))
+
+  def emit(resource: ResourceType, eventType: String, resourceId: String,
+           relation: RelationCtx): Unit = {
+    require(resourceId.nonEmpty, "resourceId must be non-empty")
+    source.addData(Event(resource, eventType, resourceId, relation,
+      new Timestamp(sequence.incrementAndGet() * 1000L)))
+  }
+
+  /** Ingest: fan out and append to the partitioned log. The project
+    * token (#3) exists in every publish subject, so it is derivable in
+    * the plan — no extra state. */
+  def startIngest(): Unit = synchronized {
+    require(ingestQuery.isEmpty, "ingest already running")
+    val q = FanOut.explodeSubjects(source.toDF())
+      .withColumn("project", split(col("subject"), "\\.").getItem(3))
+      .writeStream
+      .queryName("event-log-ingest")
+      .format("parquet")
+      .option("path", logDir)
+      .option("checkpointLocation", s"$ckptRoot/ingest")
+      .partitionBy("project")
+      .trigger(trigger)
+      .start()
+    ingestQuery = Some(q)
+  }
+
+  /** The delivery scan for one group: reads the log from the group's
+    * own checkpointed position, pruned to the group's project partition
+    * (PartitionFilters in the plan) plus the exact subject predicate. */
+  def deliveryStream(filterSubject: String): DataFrame = {
+    val project = filterSubject.split('.')(3)
+    spark.readStream
+      .schema(logSchema)
+      .parquet(logDir)
+      .filter(col("project") === project
+        && Subjects.matchesLit(col("subject"), filterSubject))
+  }
+
+  /** Start (or restart — same checkpoint) a group's delivery query. */
+  def startDelivery(groupId: String, filterSubject: String): Unit = {
+    require(!deliveries.contains(groupId), s"delivery for $groupId already running")
+    val q = deliveryStream(filterSubject).writeStream
+      .queryName(s"durable-delivery-$groupId")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckptRoot/delivery-$groupId")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val rows = batch.select("subject", "resourceId").collect()
+        if (rows.nonEmpty) {
+          val chunkId = s"$groupId-$batchId"
+          ledger.put((groupId, chunkId), DeliveryChunk(groupId, chunkId, batchId,
+            rows.map(_.getString(0)).toSeq, rows.map(_.getString(1)).toSeq,
+            new Timestamp(System.currentTimeMillis()), acked = false))
+        }
+        ()
+      }
+      .start()
+    deliveries.put(groupId, q)
+  }
+
+  def stopDelivery(groupId: String): Unit =
+    deliveries.remove(groupId).foreach(_.stop())
+
+  def pendingChunks(groupId: String): Seq[DeliveryChunk] =
+    ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c }
+      .toSeq.sortBy(_.batchId)
+
+  def ack(groupId: String, chunkId: String): Boolean =
+    ledger.get((groupId, chunkId)) match {
+      case Some(c) if !c.acked =>
+        ledger.put((groupId, chunkId), c.copy(acked = true)); true
+      case _ => false
+    }
+
+  def processAllAvailable(): Unit = {
+    ingestQuery.foreach(_.processAllAvailable())
+    deliveries.values.foreach(_.processAllAvailable())
+  }
+
+  def stop(): Unit = synchronized {
+    deliveries.values.foreach(_.stop()); deliveries.clear()
+    ingestQuery.foreach(_.stop()); ingestQuery = None
+  }
+}
