@@ -181,12 +181,20 @@ object Relational extends QueryModule {
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       val joined = e.join(o,
         col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      joined.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("o_orderkey"),
-          col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"))
+      // arg-max by (o_orderdate, o_orderkey) via max_by on a struct:
+      // lexicographic struct comparison = the window's DESC/DESC order,
+      // but as a partial+final aggregation — each partition ships one
+      // candidate per event instead of sorting all matches (the window
+      // form re-sorts the whole join output at 100 TB).
+      joined.groupBy("event_id")
+        .agg(
+          first(col("user_id")).as("user_id"),
+          max_by(
+            struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+            struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+        .select(col("event_id"), col("user_id"), col("best.o_orderkey").as("o_orderkey"),
+          col("best.o_orderdate").cast("date").as("o_date"),
+          col("best.o_totalprice").as("o_totalprice"))
         .orderBy("event_id")
     },
     Some("""WITH ranked AS (

@@ -103,14 +103,23 @@ object VectorOps extends QueryModule {
     "q48_vector_ann_lsh",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      // hyperplane component h,j = first md5 nibble of "h_j", centered.
-      val sigBit = (h: Int) => {
-        val comps = (0 until 64).map(j =>
-          s"(instr('0123456789abcdef', substring(md5('${h}_$j'), 1, 1)) - 8.5) * CAST(embedding[$j] AS DOUBLE)")
-        s"(CASE WHEN (${comps.mkString(" + ")}) > 0 THEN ${1L << h} ELSE 0 END)"
+      // Hyperplane component h,j = first md5 nibble of "h_j", centered —
+      // computed at PLAN TIME into a constant float vector, so each
+      // signature bit is one native dot product against a literal array
+      // (codegen loop) instead of a 64-term interpreted expression.
+      // ±x.5 values are exact in float; products/accumulation match the
+      // oracle's (instr(md5(...))-8.5)*v left-associated sum bit-for-bit.
+      def hyperplane(h: Int): Seq[Float] = (0 until 64).map { j =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${h}_$j".getBytes("UTF-8"))
+        val nibble = (hex(0) >> 4) & 0xf
+        (nibble - 7.5).toFloat
       }
-      val bucketExpr = (0 until 6).map(sigBit).mkString(" + ")
-      val withBucket = e.withColumn("bucket", expr(s"CAST($bucketExpr AS BIGINT)"))
+      val bucketCol = (0 until 6).map { h =>
+        when(dot_ff(typedLit(hyperplane(h)), col("embedding")) > 0, lit(1L << h))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val withBucket = e.withColumn("bucket", bucketCol.cast("long"))
       val q = withBucket.filter(col("vec_id") < 32)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"),
           sqrt(norm2(col("embedding"))).as("qn"))

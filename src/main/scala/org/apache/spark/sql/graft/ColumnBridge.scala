@@ -12,3 +12,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Runtime function registration against an existing session (the
+  * builder-time path is graft.GraftExtensions via
+  * spark.sql.extensions). */
+object FunctionBridge {
+  def registerTemp(spark: org.apache.spark.sql.SparkSession, name: String,
+                   builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+}

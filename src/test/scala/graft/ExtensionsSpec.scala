@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+
+/** The SQL-surface registration of native expressions. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext-spec")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("graft_dot is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(4.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(r == 7.0, "1.5*4 + 2*0.5")
+    val nullCase = spark.sql("SELECT graft_dot(NULL, array(CAST(1.0 AS FLOAT))) AS d")
+      .head().isNullAt(0)
+    assert(nullCase, "null propagates")
+  }
+}
