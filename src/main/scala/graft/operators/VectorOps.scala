@@ -158,6 +158,63 @@ object VectorOps extends QueryModule {
             FROM ranked WHERE rn = 1 ORDER BY qid""")
     })
 
+  /** IVF-style ANN: the first 16 vectors act as (deterministic)
+    * coarse centroids; every vector is assigned to its nearest centroid
+    * by exact dot (argmax via max_by over a struct key — partial
+    * aggregation, one candidate per partition), and each query searches
+    * only its own cell. At corpus scale the assignment is the linear
+    * pass and the search join is cell-equi — the same shuffle shape as
+    * a trained IVF index, with k-means training swapped in for the
+    * centroid choice. */
+  val q54_vector_ivf = QueryDef(
+    "q54_vector_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centid"), col("embedding").as("centv"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"),
+          col("centid"), dot(col("embedding"), col("centv")).as("affinity"))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("centid"), struct(col("affinity"), col("centid"))).as("cell"))
+      val q = assigned.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"),
+          sqrt(norm2(col("embedding"))).as("qn"))
+      val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("cell"), sqrt(norm2(col("embedding"))).as("cn"))
+      val cands = q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      cands.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cell").cast("long").as("cell"),
+          col("cid").as("best_id"), col("cos").as("best_cos"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH cents AS (
+              SELECT vec_id AS centid, embedding AS centv FROM embeddings
+              WHERE vec_id < 16),
+            assigned AS (
+              SELECT vec_id, embedding, centid AS cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY ${dotSql("embedding", "centv")} DESC, centid DESC) AS rn
+              FROM embeddings, cents),
+            cells AS (SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM cells WHERE vec_id < 32),
+            c AS (SELECT vec_id AS cid, embedding AS cv, cell FROM cells),
+            cands AS (
+              SELECT qid, q.cell AS cell, cid,
+                     ${dotSql("qv", "cv")}
+                       / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS cos
+              FROM q JOIN c ON q.cell = c.cell AND qid <> cid),
+            ranked AS (
+              SELECT qid, cell, cid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+              FROM cands)
+            SELECT qid, CAST(cell AS BIGINT) AS cell, cid AS best_id, cos AS best_cos
+            FROM ranked WHERE rn = 1 ORDER BY qid"""))
+
   override val defs: Seq[QueryDef] = Seq(
-    q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh)
+    q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf)
 }

@@ -27,4 +27,15 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().isNullAt(0)
     assert(nullCase, "null propagates")
   }
+
+  test("Graft facade: session + registered analytics views + SQL native function") {
+    spark // force this suite's session so the facade adopts it
+    val s = graft.Graft.session()
+    val tables = graft.Graft.analytics(s, "/root/testdata/sf0.001")
+    assert(tables.keySet.contains("embeddings") && tables("lineitem").count() == 6000)
+    val selfDot = s.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS n2 FROM embeddings ORDER BY vec_id LIMIT 1")
+      .head().getDouble(1)
+    assert(math.abs(selfDot - 1.0) < 0.01, "unit-normalized embeddings: ||v||^2 ~ 1")
+  }
 }
