@@ -106,6 +106,52 @@ class StreamingWindowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("session windows merge events within the gap in streaming mode (append)") {
+    val in = MemoryStream[E](spark, numPartitions = 1)
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"key")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"session_window.start").as("sstart"), $"key", $"n")
+    val q = agg.writeStream.format("memory").queryName("sw_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two bursts 90 minutes apart -> two sessions once watermark passes
+      in.addData(E(ts(0), "u", 1.0), E(ts(10), "u", 1.0), E(ts(20), "u", 1.0))
+      q.processAllAvailable()
+      in.addData(E(ts(110), "u", 1.0), E(ts(115), "u", 1.0))
+      q.processAllAvailable()
+      in.addData(E(ts(300), "u", 1.0)) // advance watermark, close session 2
+      q.processAllAvailable()
+      val rows = spark.table("sw_out").select("sstart", "n").as[(Long, Long)]
+        .collect().toMap
+      assert(rows == Map(0L -> 3L, 6600L -> 2L),
+        s"sessions [0,20+30min) with 3 events and [110,115+30min) with 2: $rows")
+    } finally q.stop()
+  }
+
+  test("StreamingQueryListener surfaces per-query progress and rows (err-channel analog)") {
+    val listener = graft.streaming.EngineListener.attach(spark)
+    val in = MemoryStream[E](spark, numPartitions = 1)
+    val q = in.toDF().writeStream.format("memory").queryName("listener_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(E(ts(1), "a", 1.0), E(ts(2), "b", 2.0))
+      q.processAllAvailable()
+      // progress events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      var h = listener.snapshot.find(_.name == "listener_out")
+      while ((h.isEmpty || h.get.rowsIn < 2) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); h = listener.snapshot.find(_.name == "listener_out")
+      }
+      assert(h.exists(_.rowsIn >= 2), s"listener must observe input rows: ${listener.snapshot}")
+      assert(listener.errors.isEmpty)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("stream-static join: streaming events enrich against a broadcast dimension") {
     val in = MemoryStream[E](spark, numPartitions = 1)
     val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("key", "name")
