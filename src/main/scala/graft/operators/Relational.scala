@@ -503,6 +503,63 @@ object Relational extends QueryModule {
     Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
             ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize). */
+  val q55_agg_grouping_sets = QueryDef(
+    "q55_agg_grouping_sets",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT CAST(grouping_id() AS BIGINT) AS gid,
+                      coalesce(l_returnflag, '<any>') AS rf,
+                      coalesce(l_linestatus, '<any>') AS ls,
+                      count(*) AS n, sum(l_quantity) AS qty
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY gid, rf, ls""")
+    },
+    Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+            coalesce(l_returnflag, '<any>') AS rf,
+            coalesce(l_linestatus, '<any>') AS ls,
+            count(*) AS n, sum(l_quantity) AS qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY gid, rf, ls"""))
+
+  /** Exact percentiles/median (linear interpolation in both engines);
+    * the approximate-sketch form is q12 (rows-only by design). */
+  val q56_agg_percentile = QueryDef(
+    "q56_agg_percentile",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("median(l_quantity)").as("med_qty"),
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_quantity, 0.95)").as("p95_qty"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+            median(l_quantity) AS med_qty,
+            quantile_cont(l_quantity, 0.25) AS p25_qty,
+            quantile_cont(l_quantity, 0.95) AS p95_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Statistical aggregates. Engines use different accumulation
+    * algorithms (Welford vs naive), so results agree only to ~1e-12
+    * relative — rounded to 6 decimals, which both engines land on
+    * identically for these magnitudes. */
+  val q57_agg_stats = QueryDef(
+    "q57_agg_stats",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+            round(stddev_samp(l_quantity), 6) AS sd_qty,
+            round(var_samp(l_quantity), 6) AS var_qty,
+            round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+            round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q01_scan_project, q02_filter_pred, q03_join_star, q04_join_left,
     q05_join_full, q06_join_semi, q07_join_anti, q08_join_theta,
@@ -510,5 +567,5 @@ object Relational extends QueryModule {
     q13_agg_rollup, q14_agg_cube, q15_agg_collect, q16_window_rank,
     q17_window_analytic, q18_window_frames, q19_window_range,
     q20_sort_topk, q21_topk_per_group, q22_setops, q23_dedup_exact,
-    q24_distinct)
+    q24_distinct, q55_agg_grouping_sets, q56_agg_percentile, q57_agg_stats)
 }
