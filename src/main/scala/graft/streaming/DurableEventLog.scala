@@ -114,6 +114,67 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   def stopDelivery(groupId: String): Unit =
     deliveries.remove(groupId).foreach(_.stop())
 
+  // ---- multiplexed mode: ONE checkpointed query for all groups ------
+
+  private val groups: concurrent.Map[String, StreamGroup] =
+    new ConcurrentHashMap[String, StreamGroup]().asScala
+
+  def addGroup(groupId: String, resourceType: ResourceType, resourceId: String,
+               hierarchy: Hierarchy, includeSubresources: Boolean): StreamGroup = {
+    require(!groups.contains(groupId), s"stream group $groupId already exists")
+    val g = StreamGroup(groupId, resourceType.name, resourceId, EventType.All,
+      includeSubresources,
+      Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources))
+    groups.put(groupId, g)
+    g
+  }
+
+  def removeGroup(groupId: String): Unit = groups.remove(groupId)
+
+  /** One delivery query for ALL registered groups, reading the log from
+    * a single shared checkpoint. Join = project-token equi (hash join)
+    * with the subject algebra as residual, as in MultiplexedDelivery.
+    *
+    * Semantics difference vs per-group mode, by design:
+    *  - per-group [[startDelivery]] owns a fresh checkpoint → a new
+    *    group BACKFILLS the whole log from the beginning;
+    *  - multiplexed groups share the mux checkpoint → a group added
+    *    later sees only batches committed AFTER it registered
+    *    (from-now-on semantics). Pick per need; both are exposed.
+    */
+  def startMultiplexed(): Unit = synchronized {
+    val q = spark.readStream
+      .schema(logSchema)
+      .parquet(logDir)
+      .writeStream
+      .queryName("durable-mux-delivery")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckptRoot/mux")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val snapshot = groups.values.toSeq
+        if (snapshot.nonEmpty && !batch.isEmpty) {
+          val subs = snapshot.toDF().select(col("id"), col("filterSubject"),
+            split(col("filterSubject"), "\\.").getItem(3).as("sub_project"))
+          val matched = batch
+            .join(broadcast(subs),
+              col("project") === col("sub_project")
+                && Subjects.matchesCol(col("subject"), col("filterSubject")))
+            .select(col("id").as("groupId"), col("subject"), col("resourceId"))
+            .collect()
+          matched.groupBy(_.getString(0)).foreach { case (gid, rows) =>
+            val chunkId = s"$gid-$batchId"
+            ledger.put((gid, chunkId), DeliveryChunk(gid, chunkId, batchId,
+              rows.map(_.getString(1)).toSeq, rows.map(_.getString(2)).toSeq,
+              new Timestamp(System.currentTimeMillis()), acked = false))
+          }
+        }
+        ()
+      }
+      .start()
+    deliveries.put("__mux__", q)
+  }
+
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
     ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c }
       .toSeq.sortBy(_.batchId)

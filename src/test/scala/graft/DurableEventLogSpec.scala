@@ -57,6 +57,37 @@ class DurableEventLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally log.stop()
   }
 
+  test("multiplexed durable delivery: one checkpointed query, restart resumes, from-now-on groups") {
+    val (logDir, ckpt) = (tmp(), tmp())
+    val log = new DurableEventLog(spark, logDir, ckpt)
+    try {
+      log.startIngest()
+      log.addGroup("g1", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      log.startMultiplexed()
+      log.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+      log.emit(ResourceType.Project, EventType.All, "p2", RelationCtx())
+      log.processAllAvailable()
+      assert(log.pendingChunks("g1").flatMap(_.resourceIds) == Seq("p1"))
+      assert(log.pendingChunks("g2").isEmpty)
+
+      // group added later shares the mux checkpoint: from-now-on semantics
+      log.addGroup("g2", ResourceType.Project, "p2", Hierarchy(projectId = "p2"), true)
+      log.emit(ResourceType.Collection, EventType.All, "c2", RelationCtx(project = "p2"))
+      log.processAllAvailable()
+      assert(log.pendingChunks("g2").flatMap(_.resourceIds) == Seq("c2"),
+        "late mux group must not see pre-registration batches")
+
+      // restart the mux query from its checkpoint: nothing re-delivered
+      log.stopDelivery("__mux__")
+      log.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+      log.processAllAvailable()
+      log.startMultiplexed()
+      log.processAllAvailable()
+      val g1 = log.pendingChunks("g1").flatMap(_.resourceIds)
+      assert(g1.sorted == Seq("p1", "p1"), s"one original + one post-restart, no dups: $g1")
+    } finally log.stop()
+  }
+
   test("subtree delivery scan prunes to the project partition") {
     val (logDir, ckpt) = (tmp(), tmp())
     val log = new DurableEventLog(spark, logDir, ckpt)
