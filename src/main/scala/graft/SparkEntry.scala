@@ -13,7 +13,8 @@ import graft.operators._
 object SparkEntry {
   /** All registered operator modules. Order is presentation-only. */
   def modules: Seq[QueryModule] =
-    Seq(Relational, Scalars, StreamingBatch, TextOps, DedupOps, VectorOps, MultimodalOps, ExtensionOps)
+    Seq(Relational, Scalars, StreamingBatch, TextOps, DedupOps, VectorOps,
+      MultimodalOps, ExtensionOps, PipelineOps)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

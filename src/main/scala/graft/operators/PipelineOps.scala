@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The composed training-data cleaning pipeline — the operators of
+  * TextOps/DedupOps chained the way a 100 TB corpus run would chain
+  * them, as ONE verifiable query:
+  *
+  *   1. exact dedup (content md5, keep lowest doc_id),
+  *   2. near-dup removal (3-shingle Jaccard ≥ 0.8 candidate pairs from
+  *      the inverted-index join; the higher doc_id of each pair drops),
+  *   3. quality gate (length/TTR/stopword score ≥ 0.55),
+  *   4. per-language accounting of surviving docs and token counts.
+  *
+  * Every stage is deterministic (md5 + exact integer/double arithmetic)
+  * so the whole pipeline hash-matches the oracle. At scale stages 1–2
+  * are the shuffle-bearing passes (digest groupBy; shingle join); the
+  * gate and accounting ride the same scan.
+  */
+object PipelineOps extends QueryModule {
+
+  val q58_pipeline_clean = QueryDef(
+    "q58_pipeline_clean",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")))
+        .withColumn("fp", md5(lower(trim(col("text")))))
+      // 1. exact dedup: keep the lowest doc_id per content fingerprint
+      val keeper = docs.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val exactKept = docs.join(keeper, Seq("fp", "doc_id"))
+      // 2. near-dup candidates (same shape as q43), drop the higher id
+      val sh = exactKept
+        .filter(col("n_words") >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(words) - 3)," +
+            " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = sh.select(col("doc_id").as("a"), col("sh"))
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val dupIds = common
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.8)
+        .select(col("b").as("doc_id")).distinct()
+      val nearKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti")
+      // 3. quality gate
+      val scored = nearKept
+        .withColumn("n_stop",
+          expr("size(filter(words, w -> w in ('the', 'a', 'of', 'and', 'to', 'in')))"))
+        .withColumn("ttr",
+          expr("CAST(size(array_distinct(words)) AS DOUBLE)") / col("n_words"))
+        .withColumn("quality",
+          (least(lit(1.0), col("n_words") / 100.0) * 0.5)
+            + (col("ttr") * 0.3)
+            + ((expr("CAST(n_stop AS DOUBLE)") / col("n_words")) * 0.2))
+        .filter(col("quality") >= 0.55)
+      // 4. per-language accounting
+      scored.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, lang, text, string_split(text, ' ') AS words,
+                     len(string_split(text, ' ')) AS n_words,
+                     md5(lower(trim(text))) AS fp
+              FROM documents),
+            keeper AS (SELECT fp, min(doc_id) AS doc_id FROM docs GROUP BY fp),
+            exact_kept AS (SELECT d.* FROM docs d JOIN keeper k
+                           ON d.fp = k.fp AND d.doc_id = k.doc_id),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS sh
+              FROM exact_kept, unnest(range(n_words - 2)) AS t(i)
+              WHERE n_words >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            dup_ids AS (
+              SELECT DISTINCT b AS doc_id
+              FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE c / (sa.n + sb.n - c) >= 0.8),
+            near_kept AS (
+              SELECT * FROM exact_kept
+              WHERE doc_id NOT IN (SELECT doc_id FROM dup_ids)),
+            scored AS (
+              SELECT *,
+                (least(1.0, n_words / 100.0) * 0.5)
+                  + ((CAST(len(list_distinct(words)) AS DOUBLE) / n_words) * 0.3)
+                  + ((CAST(len(list_filter(words,
+                        w -> w in ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                      / n_words) * 0.2) AS quality
+              FROM near_kept)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS n_tokens,
+                   min(doc_id) AS first_doc
+            FROM scored WHERE quality >= 0.55
+            GROUP BY lang ORDER BY lang"""))
+
+  override val defs: Seq[QueryDef] = Seq(q58_pipeline_clean)
+}

@@ -133,7 +133,11 @@ object TextOps extends QueryModule {
         expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"))
       .select(col("doc_id"),
         md5(lower(trim(col("text")))).as("content_md5"),
-        expr("array_min(transform(shingles, sh -> md5(sh)))").as("winnow_sig"))
+        expr("array_min(transform(shingles, sh -> md5(sh)))").as("winnow_sig"),
+        // polynomial rolling hash (Rabin-Karp base 31 mod 1e9+7) folded
+        // left-to-right over the character codes — same fold both engines
+        expr("aggregate(transform(split(text, ''), c -> ascii(c)), " +
+          "CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007)").as("roll_hash"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
             md5(lower(trim(text))) AS content_md5,
@@ -141,7 +145,10 @@ object TextOps extends QueryModule {
               list_transform(range(len(string_split(text, ' ')) - 2),
                 i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
                      || ' ' || string_split(text, ' ')[i+3]),
-              sh -> md5(sh))) AS winnow_sig
+              sh -> md5(sh))) AS winnow_sig,
+            list_reduce(list_transform(string_split(text, ''),
+              c -> CAST(ascii(c) AS BIGINT)),
+              (h, c) -> (h * 31 + c) % 1000000007) AS roll_hash
             FROM documents ORDER BY doc_id"""))
 
   override val defs: Seq[QueryDef] = Seq(
