@@ -152,6 +152,29 @@ class StreamingWindowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("listener captures a failed query's exception (error propagation, not swallowing)") {
+    val listener = graft.streaming.EngineListener.attach(spark)
+    val in = MemoryStream[E](spark, numPartitions = 1)
+    val q = in.toDF().writeStream.queryName("failing_out")
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (batch.count() > 0) throw new RuntimeException("boom: simulated sink failure")
+        ()
+      }
+      .start()
+    try {
+      in.addData(E(ts(1), "a", 1.0))
+      intercept[Exception](q.processAllAvailable())
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.errors.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(listener.errors.exists(_.lastError.exists(_.contains("boom"))),
+        s"listener must surface the failure: ${listener.errors}")
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("stream-static join: streaming events enrich against a broadcast dimension") {
     val in = MemoryStream[E](spark, numPartitions = 1)
     val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("key", "name")
