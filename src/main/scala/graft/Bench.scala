@@ -57,7 +57,7 @@ object Bench {
       Hierarchy(projectId = s"p$p"), includeSubresources = true))
     mux.start()
     val t0 = System.nanoTime()
-    rows.grouped(10000).foreach { chunk =>
+    rows.grouped(25000).foreach { chunk =>
       mux.emitAll(chunk.map { r =>
         val (uid, et) = (r.getLong(1), r.getString(2))
         val project = s"p${uid % 5}"

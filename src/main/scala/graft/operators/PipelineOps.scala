@@ -29,13 +29,15 @@ object PipelineOps extends QueryModule {
         .withColumn("fp", md5(lower(trim(col("text")))))
       // 1. exact dedup: keep the lowest doc_id per content fingerprint
       val keeper = docs.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      val exactKept = docs.join(keeper, Seq("fp", "doc_id"))
+      // reused by the shingle pass AND the survivor anti-join — cache once
+      val exactKept = docs.join(keeper, Seq("fp", "doc_id")).cache()
       // 2. near-dup candidates (same shape as q43), drop the higher id
       val sh = exactKept
         .filter(col("n_words") >= 3)
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(0, size(words) - 3)," +
             " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("sh"))
+        .cache() // feeds sizes + both sides of the inverted-index self-join
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val common = sh.select(col("doc_id").as("a"), col("sh"))
         .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
