@@ -44,6 +44,10 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     new ConcurrentHashMap[String, StreamingQuery]().asScala
   private val ledger: concurrent.Map[(String, String), DeliveryChunk] =
     new ConcurrentHashMap[(String, String), DeliveryChunk]().asScala
+  /** WAL-backed chunk/ack state — replayed on construction so pending
+    * (unacked) chunks survive a process restart (see LedgerStore). */
+  private val store = new LedgerStore(s"$ckptRoot/ledger")
+  store.load().foreach { case (k, v) => ledger.put(k, v) }
 
   /** Log row schema; `project` is the physical partition column. */
   val logSchema: StructType = StructType(Seq(
@@ -101,9 +105,11 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
         val rows = batch.select("subject", "resourceId").collect()
         if (rows.nonEmpty) {
           val chunkId = s"$groupId-$batchId"
-          ledger.put((groupId, chunkId), DeliveryChunk(groupId, chunkId, batchId,
+          val chunk = DeliveryChunk(groupId, chunkId, batchId,
             rows.map(_.getString(0)).toSeq, rows.map(_.getString(1)).toSeq,
-            new Timestamp(System.currentTimeMillis()), acked = false))
+            new Timestamp(System.currentTimeMillis()), acked = false)
+          store.appendChunk(chunk)   // WAL first, then visible state
+          ledger.put((groupId, chunkId), chunk)
         }
         ()
       }
@@ -164,9 +170,11 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
             .collect()
           matched.groupBy(_.getString(0)).foreach { case (gid, rows) =>
             val chunkId = s"$gid-$batchId"
-            ledger.put((gid, chunkId), DeliveryChunk(gid, chunkId, batchId,
+            val chunk = DeliveryChunk(gid, chunkId, batchId,
               rows.map(_.getString(1)).toSeq, rows.map(_.getString(2)).toSeq,
-              new Timestamp(System.currentTimeMillis()), acked = false))
+              new Timestamp(System.currentTimeMillis()), acked = false)
+            store.appendChunk(chunk)
+            ledger.put((gid, chunkId), chunk)
           }
         }
         ()
@@ -179,9 +187,13 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c }
       .toSeq.sortBy(_.batchId)
 
+  def deliveredChunks(groupId: String): Seq[DeliveryChunk] =
+    ledger.collect { case ((g, _), c) if g == groupId => c }.toSeq.sortBy(_.batchId)
+
   def ack(groupId: String, chunkId: String): Boolean =
     ledger.get((groupId, chunkId)) match {
       case Some(c) if !c.acked =>
+        store.appendAck(groupId, chunkId)
         ledger.put((groupId, chunkId), c.copy(acked = true)); true
       case _ => false
     }

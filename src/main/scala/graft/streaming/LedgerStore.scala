@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+import graft.core.DeliveryChunk
+
+/** Write-ahead ledger for delivery chunks and acks.
+  *
+  * Closes the at-least-once gap across process restarts: the streaming
+  * checkpoint marks a micro-batch COMMITTED as soon as foreachBatch
+  * returns, so without a durable ledger a crash between delivery and
+  * client ack would lose the chunk (the restarted query will not re-read
+  * the batch). The reference gets this durability from JetStream's
+  * consumer state; here it is an append-only JSONL log replayed on
+  * startup — driver-side single-writer state, exactly the scale of the
+  * reference's in-server `ack_chunks` map, but persistent.
+  *
+  * Record format (one JSON object per line):
+  *   {"t":"chunk","g":...,"c":...,"b":N,"subjects":[...],"ids":[...],"at":N}
+  *   {"t":"ack","g":...,"c":...}
+  */
+final class LedgerStore(dir: String) {
+  private val path: Path = Paths.get(dir, "ledger.jsonl")
+  Files.createDirectories(path.getParent)
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def append(line: String): Unit = synchronized {
+    Files.write(path, (line + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  def appendChunk(c: DeliveryChunk): Unit =
+    append(s"""{"t":"chunk","g":"${esc(c.groupId)}","c":"${esc(c.chunkId)}","b":${c.batchId},""" +
+      s""""subjects":[${c.subjects.map(s => "\"" + esc(s) + "\"").mkString(",")}],""" +
+      s""""ids":[${c.resourceIds.map(s => "\"" + esc(s) + "\"").mkString(",")}],""" +
+      s""""at":${c.deliveredAt.getTime}}""")
+
+  def appendAck(groupId: String, chunkId: String): Unit =
+    append(s"""{"t":"ack","g":"${esc(groupId)}","c":"${esc(chunkId)}"}""")
+
+  /** Replay the WAL into the in-memory state. Later records win (an ack
+    * flips its chunk; a re-appended chunk — micro-batch retry — is
+    * idempotent by (groupId, chunkId)). */
+  def load(): Map[(String, String), DeliveryChunk] = {
+    if (!Files.exists(path)) return Map.empty
+    val state = scala.collection.mutable.Map[(String, String), DeliveryChunk]()
+    Files.readAllLines(path, StandardCharsets.UTF_8).asScala.foreach { line =>
+      parse(line).foreach {
+        case Left(chunk) => state.put((chunk.groupId, chunk.chunkId), chunk)
+        case Right((g, c)) =>
+          state.get((g, c)).foreach(ch => state.put((g, c), ch.copy(acked = true)))
+      }
+    }
+    state.toMap
+  }
+
+  // -- minimal single-purpose JSONL parsing (format is ours; no deps) --
+  private def field(line: String, name: String): Option[String] = {
+    val k = "\"" + name + "\":"
+    val i = line.indexOf(k)
+    if (i < 0) return None
+    val rest = line.substring(i + k.length)
+    if (rest.startsWith("\"")) {
+      val sb = new StringBuilder
+      var j = 1
+      while (j < rest.length && rest(j) != '"') {
+        if (rest(j) == '\\' && j + 1 < rest.length) {
+          rest(j + 1) match {
+            case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+            case 'u' => sb.append(Integer.parseInt(rest.substring(j + 2, j + 6), 16).toChar); j += 4
+            case c => sb.append(c)
+          }
+          j += 2
+        } else { sb.append(rest(j)); j += 1 }
+      }
+      Some(sb.toString)
+    } else Some(rest.takeWhile(c => c != ',' && c != '}'))
+  }
+
+  private def array(line: String, name: String): Seq[String] = {
+    val k = "\"" + name + "\":["
+    val i = line.indexOf(k)
+    if (i < 0) return Seq.empty
+    val rest = line.substring(i + k.length)
+    val end = rest.indexOf(']')
+    if (end <= 0) return Seq.empty
+    rest.substring(0, end).split("\",\"").toSeq
+      .map(_.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty)
+  }
+
+  private def parse(line: String): Option[Either[DeliveryChunk, (String, String)]] =
+    field(line, "t").flatMap {
+      case "chunk" =>
+        for (g <- field(line, "g"); c <- field(line, "c"); b <- field(line, "b"))
+          yield Left(DeliveryChunk(g, c, b.toLong, array(line, "subjects"),
+            array(line, "ids"), new Timestamp(field(line, "at").map(_.toLong).getOrElse(0L)),
+            acked = false))
+      case "ack" =>
+        for (g <- field(line, "g"); c <- field(line, "c")) yield Right((g, c))
+      case _ => None
+    }
+}
