@@ -168,8 +168,29 @@ object Subjects {
   }
 
   /** Predicate for a constant query string (the common per-subscription
-    * case) — resolves to a plain `startsWith`/`===` Catalyst filter. */
+    * case) — resolves to a plain `startsWith`/`===` Catalyst filter for
+    * the grammar the reference emits, and to an anchored `rlike` for
+    * general NATS filters containing `*` (single-token wildcard) —
+    * the broker feature the reference never exercises but a NATS user
+    * could configure (SURVEY.md §2.1 R3). */
   def matchesLit(subject: Column, q: String): Column =
-    if (q.endsWith(".>")) subject.startsWith(q.dropRight(1)) // keep "base."
-    else subject === lit(q)
+    if (!q.contains("*")) {
+      if (q.endsWith(".>")) subject.startsWith(q.dropRight(1)) // keep "base."
+      else subject === lit(q)
+    } else {
+      subject.rlike(wildcardRegex(q))
+    }
+
+  /** Anchored regex equivalent of a NATS filter: `*` ⇒ one token
+    * (`[^.]+`), terminal `>` ⇒ one-or-more tokens (`.+`), literal
+    * tokens quoted. Mirrors [[matches]] token semantics exactly. */
+  def wildcardRegex(q: String): String = {
+    val tokens = q.split('.')
+    val body = tokens.zipWithIndex.map {
+      case (">", i) if i == tokens.length - 1 => ".+"
+      case ("*", _) => "[^.]+"
+      case (t, _) => java.util.regex.Pattern.quote(t)
+    }.mkString("\\.")
+    s"^$body$$"
+  }
 }

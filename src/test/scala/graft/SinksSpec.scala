@@ -46,6 +46,15 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
       == r.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("JSON source round-trip preserves values with explicit schema") {
+    val out = Files.createTempDirectory("graft-json").toString
+    val n = Tables.load(spark, dir, "nation")
+    n.write.mode(SaveMode.Overwrite).json(out)
+    val back = spark.read.schema(n.schema).json(out)
+    assert(back.orderBy("n_nationkey").collect().toSeq
+      == n.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("sorted single-file parquet write preserves order (Verify dump contract)") {
     val out = Files.createTempDirectory("graft-ord").toString + "/q"
     Tables.load(spark, dir, "orders")

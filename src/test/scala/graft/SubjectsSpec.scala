@@ -118,6 +118,24 @@ class SubjectsSpec extends AnyFunSuite {
     }
   }
 
+  test("wildcard regex translation agrees with the token matcher") {
+    forAll(idGen, idGen, idGen, idGen) { (p, c, so, o) =>
+      val subjects = Seq(
+        Subjects.projectSubject(p), Subjects.collectionSubject(p, c),
+        Subjects.objectSubject(p, c, so, o), Subjects.objectGroupSubject(p, c, so, o))
+      val wildcardQueries = Seq(
+        s"UPDATES.STORAGE._.*._",              // any project, exact level
+        s"UPDATES.STORAGE._.$p._.*._",         // any collection of p
+        s"UPDATES.STORAGE._.*.>",              // any project subtree
+        s"UPDATES.*._.$p._")                   // mid-path wildcard
+      for (su <- subjects; q <- wildcardQueries) {
+        val viaTokens = Subjects.matches(su, q)
+        val viaRegex = su.matches(Subjects.wildcardRegex(q))
+        assert(viaTokens == viaRegex, s"mismatch subject=$su query=$q")
+      }
+    }
+  }
+
   test("matchesLit agrees with the token matcher on generated cases") {
     forAll(idGen, idGen, idGen, idGen) { (p, c, so, o) =>
       val subjects = Seq(
