@@ -55,6 +55,15 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
       == n.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("ORC round-trip preserves values") {
+    val out = Files.createTempDirectory("graft-orc").toString
+    val su = Tables.load(spark, dir, "supplier")
+    su.write.mode(SaveMode.Overwrite).orc(out)
+    val back = spark.read.orc(out)
+    assert(back.orderBy("s_suppkey").collect().toSeq
+      == su.orderBy("s_suppkey").collect().toSeq)
+  }
+
   test("sorted single-file parquet write preserves order (Verify dump contract)") {
     val out = Files.createTempDirectory("graft-ord").toString + "/q"
     Tables.load(spark, dir, "orders")
