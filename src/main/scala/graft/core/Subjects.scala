@@ -27,6 +27,18 @@ object Subjects {
   /** Level separator (utils.rs "splited by ._.") */
   val Sep = "._."
 
+  /** NATS token rules: an id becomes one subject token, so it must not
+    * contain the separator, wildcards, whitespace or control/quote
+    * characters (which would also break the WAL's JSON encoding). The
+    * reference never validates — malformed ids silently corrupt its
+    * subject space; we reject them at the boundary. */
+  def requireValidId(id: String, what: String = "id"): Unit = {
+    require(id.nonEmpty, s"$what must be non-empty")
+    require(!id.exists(c => c == '.' || c == '*' || c == '>' || c == '"' ||
+      c == '\\' || c.isWhitespace || c.isControl),
+      s"$what contains characters illegal in a subject token: '$id'")
+  }
+
   /** utils.rs:16-32 `base_subject`: join ids with `._.`, inserting the
     * OBJECT/OBJECTGROUP discriminator before the third id (stage==2). */
   def baseSubject(ids: Seq[String], isObjectGroup: Boolean): String = {

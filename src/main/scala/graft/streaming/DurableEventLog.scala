@@ -58,7 +58,7 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
 
   def emit(resource: ResourceType, eventType: String, resourceId: String,
            relation: RelationCtx): Unit = {
-    require(resourceId.nonEmpty, "resourceId must be non-empty")
+    Subjects.requireValidId(resourceId, "resourceId")
     source.addData(Event(resource, eventType, resourceId, relation,
       new Timestamp(sequence.incrementAndGet() * 1000L)))
   }
@@ -127,11 +127,11 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
 
   def addGroup(groupId: String, resourceType: ResourceType, resourceId: String,
                hierarchy: Hierarchy, includeSubresources: Boolean): StreamGroup = {
-    require(!groups.contains(groupId), s"stream group $groupId already exists")
     val g = StreamGroup(groupId, resourceType.name, resourceId, EventType.All,
       includeSubresources,
       Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources))
-    groups.put(groupId, g)
+    require(groups.putIfAbsent(groupId, g).isEmpty,
+      s"stream group $groupId already exists")
     g
   }
 
@@ -149,6 +149,7 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     *    (from-now-on semantics). Pick per need; both are exposed.
     */
   def startMultiplexed(): Unit = synchronized {
+    require(!deliveries.contains("__mux__"), "multiplexed delivery already running")
     val q = spark.readStream
       .schema(logSchema)
       .parquet(logDir)

@@ -72,7 +72,10 @@ final class EventEngine(val spark: SparkSession,
     * rejected here. */
   def emit(resource: ResourceType, eventType: String, resourceId: String,
            relation: RelationCtx): Unit = {
-    require(resourceId.nonEmpty, "resourceId must be non-empty")
+    Subjects.requireValidId(resourceId, "resourceId")
+    Seq(relation.project, relation.collection, relation.sharedObject)
+      .filter(_.nonEmpty).foreach(Subjects.requireValidId(_, "relation id"))
+    relation.objectGroups.foreach(Subjects.requireValidId(_, "object group id"))
     require(resource != ResourceType.Unspecified && resource != ResourceType.All,
       s"cannot publish events for resource type ${resource.name}")
     source.addData(Event(resource, eventType, resourceId, relation,
@@ -87,11 +90,11 @@ final class EventEngine(val spark: SparkSession,
     * response (public_event_server.rs:102-121). */
   def createStreamGroup(groupId: String, resourceType: ResourceType, resourceId: String,
                         hierarchy: Hierarchy, includeSubresources: Boolean): StreamGroup = {
-    require(!groups.contains(groupId), s"stream group $groupId already exists")
     val filter = Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources)
     val group = StreamGroup(groupId, resourceType.name, resourceId,
       EventType.All, includeSubresources, filter)
-    groups.put(groupId, group)
+    require(groups.putIfAbsent(groupId, group).isEmpty,
+      s"stream group $groupId already exists")
     start(group)
     group
   }

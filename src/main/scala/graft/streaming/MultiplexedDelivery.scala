@@ -44,7 +44,7 @@ final class MultiplexedDelivery(val spark: SparkSession,
 
   def emit(resource: ResourceType, eventType: String, resourceId: String,
            relation: RelationCtx, ts: Timestamp = new Timestamp(0L)): Unit = {
-    require(resourceId.nonEmpty, "resourceId must be non-empty")
+    Subjects.requireValidId(resourceId, "resourceId")
     source.addData(Event(resource, eventType, resourceId, relation, ts))
   }
 
@@ -57,11 +57,11 @@ final class MultiplexedDelivery(val spark: SparkSession,
     * query picks the group up at its next micro-batch. */
   def addGroup(groupId: String, resourceType: ResourceType, resourceId: String,
                hierarchy: Hierarchy, includeSubresources: Boolean): StreamGroup = {
-    require(!groups.contains(groupId), s"stream group $groupId already exists")
     val g = StreamGroup(groupId, resourceType.name, resourceId, EventType.All,
       includeSubresources,
       Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources))
-    groups.put(groupId, g)
+    require(groups.putIfAbsent(groupId, g).isEmpty,
+      s"stream group $groupId already exists")
     g
   }
 
