@@ -31,6 +31,16 @@ import graft.core._
   * re-reading delivered files), while the ack ledger layered on top
   * gives at-least-once DELIVERY (unacked chunks stay pending across
   * restarts and are re-served to reconnecting clients).
+  *
+  * Small-files note for long-running deployments: a 250 ms trigger
+  * appends one file per batch per touched partition. The production
+  * remedies compose with this design without code changes here —
+  * (a) lengthen the ingest trigger (delivery latency is governed by the
+  * DELIVERY trigger, not ingest), (b) roll the log by time (new logDir
+  * per day; readers union static compacted history with the live dir),
+  * (c) compact closed partitions into an archive dir served to
+  * backfilling (per-group) readers only — live mux readers never
+  * re-read old batches, so compaction does not disturb them.
   */
 final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: String,
                             trigger: Trigger = Trigger.ProcessingTime("250 milliseconds")) {
