@@ -359,20 +359,27 @@ object Relational extends QueryModule {
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           lag(col("value"), 1).over(w).as("prev_v"),
           lead(col("value"), 1).over(w).as("next_v"),
-          first(col("event_type")).over(wf).as("first_type"))
+          first(col("event_type")).over(wf).as("first_type"),
+          last(col("event_type")).over(wAll).as("last_type"),
+          nth_value(col("event_type"), 2).over(wAll).as("second_type"))
         .orderBy("event_id")
     },
     Some("""SELECT event_id, user_id, event_type,
             lag(value)  OVER w AS prev_v,
             lead(value) OVER w AS next_v,
             first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+            last_value(event_type) OVER wall AS last_type,
+            nth_value(event_type, 2) OVER wall AS second_type
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   wall AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY event_id"""))
 
   val q18_window_frames = QueryDef(
