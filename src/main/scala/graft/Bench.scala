@@ -26,17 +26,28 @@ object Bench {
     // JIT + codegen warm-up on the smallest table so the first measured
     // query doesn't pay one-time session costs.
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // A failed query must be VISIBLE in the bench line, not a plausible
+    // timing: its value is emitted negative and its name is listed in
+    // "failed" (round-1 advice — the old form swallowed errors).
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => failed ::= name; false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -sec)
     }
     val replay = streamReplaySeconds(spark, sfDir)
     val all = results :+ ("stream_replay" -> replay)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the line SHORT: the driver parses this
+    // from a bounded tail of the sbt output, and round 1's full-precision
+    // line was long enough to be truncated (BENCH_r01 "parsed": null).
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).filter(_ > 0).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NullType}
 
 /** Native Catalyst expression: exact dot product of two float-array
   * columns, accumulated strictly left-to-right in double.
@@ -27,6 +28,26 @@ case class DotProductFF(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  /** Analysis-time type gate: both inputs must be array<float>. Without
+    * this, `graft_dot(array<double>, …)` (reachable via the registered
+    * SQL function) would pass analysis and then read the wrong 4 bytes
+    * of each UnsafeArrayData element at runtime — silent wrong results.
+    * (ExpectsInputTypes is unusable here: AbstractDataType is
+    * private[sql] in Spark 4.) Length mismatch stays a runtime-tolerated
+    * min(): query-vs-corpus embeddings share a fixed model dimension, and
+    * truncation is the documented contract for ragged inputs. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case NullType => true // NULL literal — propagates to a null result
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires (array<float>, array<float>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -33,12 +33,21 @@ object MultimodalOps extends QueryModule {
   /** Feature-extraction path through the stubbed codec (mapPartitions
     * batch contract). Not SQL-expressible — the codec is engine code —
     * so this is a rows-only check; determinism is pinned by
-    * MultimodalSpec instead. */
+    * MultimodalSpec instead.
+    *
+    * The 16-dim feature vector is emitted as SCALAR columns (first
+    * component, max, and an md5 signature of the full vector), not as an
+    * array: the driver's rows-only check sorts the result frame in
+    * pandas, and a raw array column is unhashable there (round-1
+    * failure). Scalars carry the same verification power. */
   val q50_multimodal_features = QueryDef(
     "q50_multimodal_features",
     (s, dir) => Multimodal.featureTable(s, dir)
       .select(col("asset_id"), col("kind"), col("n_bytes"), col("header"),
-        col("features"))
+        element_at(col("features"), 1).cast("double").as("f0"),
+        array_max(col("features")).cast("double").as("f_max"),
+        md5(concat_ws(",", expr("transform(features, x -> CAST(x AS STRING))")))
+          .as("features_sig"))
       .orderBy("asset_id"),
     None)
 

@@ -99,7 +99,10 @@ object Scalars extends QueryModule {
         round(log(col("l_quantity") + 1.0), 6).as("ln_qty"),
         (col("l_quantity") * col("l_quantity")).as("qty_sq"),
         (col("l_orderkey") % 7).cast("long").as("mod7"),
-        signum(col("l_extendedprice") - 30000.0).as("sgn"),
+        // BIGINT in both forms: DuckDB's sign() returns TINYINT, Spark's
+        // signum() DOUBLE — numerically equal but hash-different in the
+        // driver's typed compare (round-1 q27 hash mismatch).
+        signum(col("l_extendedprice") - 30000.0).cast("long").as("sgn"),
         greatest(col("l_quantity"), col("l_discount") * 100.0).as("g"),
         least(col("l_quantity"), col("l_tax") * 100.0).as("l"))
       .orderBy("l_orderkey", "l_linenumber", "l_partkey"),
@@ -113,7 +116,7 @@ object Scalars extends QueryModule {
             round(ln(l_quantity + 1.0), 6) AS ln_qty,
             l_quantity * l_quantity AS qty_sq,
             CAST(l_orderkey % 7 AS BIGINT) AS mod7,
-            sign(l_extendedprice - 30000.0) AS sgn,
+            CAST(sign(l_extendedprice - 30000.0) AS BIGINT) AS sgn,
             greatest(l_quantity, l_discount * 100.0) AS g,
             least(l_quantity, l_tax * 100.0) AS l
             FROM lineitem WHERE l_orderkey < 2000

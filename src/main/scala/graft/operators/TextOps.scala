@@ -129,8 +129,13 @@ object TextOps extends QueryModule {
     "q41_text_fingerprint",
     (s, dir) => t(s, dir, "documents")
       .withColumn("words", split(col("text"), " "))
+      // Guard: for docs with <3 words, sequence(0, size-3) would produce a
+      // DESCENDING sequence (e.g. [0,-1]) with null-padded shingles while
+      // the oracle's range(len-2) is empty — so short docs get NULL
+      // shingles (→ NULL winnow_sig) in BOTH engines.
       .withColumn("shingles",
-        expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"))
+        expr("CASE WHEN size(words) >= 3 THEN " +
+          "transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2])) END"))
       .select(col("doc_id"),
         md5(lower(trim(col("text")))).as("content_md5"),
         expr("array_min(transform(shingles, sh -> md5(sh)))").as("winnow_sig"),
@@ -141,11 +146,12 @@ object TextOps extends QueryModule {
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
             md5(lower(trim(text))) AS content_md5,
+            CASE WHEN len(string_split(text, ' ')) >= 3 THEN
             list_min(list_transform(
               list_transform(range(len(string_split(text, ' ')) - 2),
                 i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
                      || ' ' || string_split(text, ' ')[i+3]),
-              sh -> md5(sh))) AS winnow_sig,
+              sh -> md5(sh))) END AS winnow_sig,
             list_reduce(list_transform(string_split(text, ''),
               c -> CAST(ascii(c) AS BIGINT)),
               (h, c) -> (h * 31 + c) % 1000000007) AS roll_hash

@@ -93,14 +93,24 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
 
   /** The delivery scan for one group: reads the log from the group's
     * own checkpointed position, pruned to the group's project partition
-    * (PartitionFilters in the plan) plus the exact subject predicate. */
+    * (PartitionFilters in the plan) plus the exact subject predicate.
+    *
+    * The partition-prune key is only applied when the filter's project
+    * token (#3) is a LITERAL: a general NATS filter may carry `*` there
+    * (Subjects.matchesLit handles it via rlike), in which case we fall
+    * back to the full-log scan with the subject predicate alone —
+    * correct, just unpruned. */
   def deliveryStream(filterSubject: String): DataFrame = {
-    val project = filterSubject.split('.')(3)
-    spark.readStream
+    val tokens = filterSubject.split('.')
+    require(tokens.length >= 4,
+      s"filter subject needs >=4 tokens (UPDATES.STORAGE._.<project>...): $filterSubject")
+    val project = tokens(3)
+    val base = spark.readStream
       .schema(logSchema)
       .parquet(logDir)
-      .filter(col("project") === project
-        && Subjects.matchesLit(col("subject"), filterSubject))
+      .filter(Subjects.matchesLit(col("subject"), filterSubject))
+    if (project == "*" || project == ">") base
+    else base.filter(col("project") === project)
   }
 
   /** Start (or restart — same checkpoint) a group's delivery query. */
@@ -113,7 +123,11 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val rows = batch.select("subject", "resourceId").collect()
-        if (rows.nonEmpty) {
+        // Idempotent on foreachBatch replay: if the (groupId, chunkId)
+        // key is already in the ledger (this batch was delivered before a
+        // restart — possibly already acked), keep the existing entry and
+        // write nothing; re-appending would resurrect acked chunks.
+        if (rows.nonEmpty && !ledger.contains((groupId, s"$groupId-$batchId"))) {
           val chunkId = s"$groupId-$batchId"
           val chunk = DeliveryChunk(groupId, chunkId, batchId,
             rows.map(_.getString(0)).toSeq, rows.map(_.getString(1)).toSeq,
@@ -181,11 +195,15 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
             .collect()
           matched.groupBy(_.getString(0)).foreach { case (gid, rows) =>
             val chunkId = s"$gid-$batchId"
-            val chunk = DeliveryChunk(gid, chunkId, batchId,
-              rows.map(_.getString(1)).toSeq, rows.map(_.getString(2)).toSeq,
-              new Timestamp(System.currentTimeMillis()), acked = false)
-            store.appendChunk(chunk)
-            ledger.put((gid, chunkId), chunk)
+            // Same replay-idempotence as per-group mode: never overwrite
+            // an existing (possibly acked) ledger entry on batch re-run.
+            if (!ledger.contains((gid, chunkId))) {
+              val chunk = DeliveryChunk(gid, chunkId, batchId,
+                rows.map(_.getString(1)).toSeq, rows.map(_.getString(2)).toSeq,
+                new Timestamp(System.currentTimeMillis()), acked = false)
+              store.appendChunk(chunk)
+              ledger.put((gid, chunkId), chunk)
+            }
           }
         }
         ()

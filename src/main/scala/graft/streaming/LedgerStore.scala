@@ -49,15 +49,20 @@ final class LedgerStore(dir: String) {
   def appendAck(groupId: String, chunkId: String): Unit =
     append(s"""{"t":"ack","g":"${esc(groupId)}","c":"${esc(chunkId)}"}""")
 
-  /** Replay the WAL into the in-memory state. Later records win (an ack
-    * flips its chunk; a re-appended chunk — micro-batch retry — is
-    * idempotent by (groupId, chunkId)). */
+  /** Replay the WAL into the in-memory state. An ack flips its chunk;
+    * a re-appended chunk (micro-batch retry / foreachBatch replay after
+    * restart) is idempotent by (groupId, chunkId) AND ack-preserving:
+    * the chunk→ack→chunk sequence keeps acked=true — a client that
+    * already acked must not see the chunk re-served as pending. */
   def load(): Map[(String, String), DeliveryChunk] = {
     if (!Files.exists(path)) return Map.empty
     val state = scala.collection.mutable.Map[(String, String), DeliveryChunk]()
     Files.readAllLines(path, StandardCharsets.UTF_8).asScala.foreach { line =>
       parse(line).foreach {
-        case Left(chunk) => state.put((chunk.groupId, chunk.chunkId), chunk)
+        case Left(chunk) =>
+          val k = (chunk.groupId, chunk.chunkId)
+          val acked = state.get(k).exists(_.acked)
+          state.put(k, chunk.copy(acked = acked))
         case Right((g, c)) =>
           state.get((g, c)).foreach(ch => state.put((g, c), ch.copy(acked = true)))
       }

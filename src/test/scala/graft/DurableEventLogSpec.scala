@@ -115,6 +115,41 @@ class DurableEventLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally log2.stop()
   }
 
+  test("WAL replay is ack-preserving on chunk re-append (batch retry after ack)") {
+    // chunk → ack → chunk (foreachBatch retry re-running a batch whose
+    // chunk the client already acked) must NOT resurrect the chunk as
+    // pending (round-1 advice).
+    val dir = tmp()
+    val store = new graft.streaming.LedgerStore(dir)
+    val chunk = DeliveryChunk("g", "g-0", 0L, Seq("s1"), Seq("r1"),
+      new java.sql.Timestamp(0L), acked = false)
+    store.appendChunk(chunk)
+    store.appendAck("g", "g-0")
+    store.appendChunk(chunk) // replayed batch re-appends the same chunk
+    val state = store.load()
+    assert(state(("g", "g-0")).acked,
+      "acked chunk must stay acked across a re-append")
+  }
+
+  test("delivery filter validation: wildcard project skips pruning; short filters rejected") {
+    val (logDir, ckpt) = (tmp(), tmp())
+    val log = new DurableEventLog(spark, logDir, ckpt)
+    try {
+      log.startIngest()
+      log.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+      log.emit(ResourceType.Project, EventType.All, "p2", RelationCtx())
+      log.processAllAvailable()
+      // a general NATS filter with '*' in the project position must fall
+      // back to the full-log scan (round 1 delivered NOTHING: the plan
+      // filtered project === "*").
+      intercept[IllegalArgumentException] { log.deliveryStream("UPDATES.STORAGE._") }
+      log.startDelivery("gstar", "UPDATES.STORAGE._.*.>")
+      log.processAllAvailable()
+      val got = log.pendingChunks("gstar").flatMap(_.resourceIds).sorted
+      assert(got == Seq("p1", "p2"), s"wildcard-project filter must match all projects: $got")
+    } finally log.stop()
+  }
+
   test("subtree delivery scan prunes to the project partition") {
     val (logDir, ckpt) = (tmp(), tmp())
     val log = new DurableEventLog(spark, logDir, ckpt)

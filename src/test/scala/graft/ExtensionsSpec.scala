@@ -28,6 +28,18 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullCase, "null propagates")
   }
 
+  test("graft_dot rejects non-float-array inputs at analysis time") {
+    GraftExtensions.register(spark)
+    // array<double> would silently read the wrong 4 bytes per element at
+    // runtime without the checkInputDataTypes gate (round-1 advice).
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(CAST(1.0 AS DOUBLE)), array(CAST(1.0 AS FLOAT))) AS d")
+        .collect()
+    }
+    assert(e.getMessage.contains("array<float>") || e.getMessage.contains("DATATYPE_MISMATCH"),
+      s"analysis-time type error expected, got: ${e.getMessage.take(200)}")
+  }
+
   test("Graft facade: session + registered analytics views + SQL native function") {
     spark // force this suite's session so the facade adopts it
     val s = graft.Graft.session()

@@ -45,6 +45,23 @@ def compare(name, a, b):
         return f"FAIL {name}: spark output missing"
     if sorted(a.columns) != sorted(b.columns):
         return f"FAIL {name}: columns spark={sorted(a.columns)} oracle={sorted(b.columns)}"
+    # Dtype parity matters for the driver's hash compare even when values
+    # are numerically equal (round 1: DuckDB sign()->int8 vs Spark
+    # signum()->float64 hash-mismatched). Flag kind-level differences
+    # (int vs float vs object); width differences (int32 vs int64) are
+    # normalized by both sides.
+    kind_bad = []
+    nkind = lambda k: {"u": "i"}.get(k, k)
+    for c in sorted(a.columns):
+        ka, kb = nkind(a[c].dtype.kind), nkind(b[c].dtype.kind)
+        # date columns: spark parquet reads as object(datetime.date),
+        # duckdb fetchdf as datetime64 — same logical type, skip.
+        if {ka, kb} == {"O", "M"}:
+            continue
+        if ka != kb:
+            kind_bad.append(f"{c}: spark={a[c].dtype} oracle={b[c].dtype}")
+    if kind_bad:
+        return f"FAIL {name}: dtype kind mismatch — " + "; ".join(kind_bad[:4])
     if len(a) != len(b):
         return f"FAIL {name}: rows spark={len(a)} oracle={len(b)}"
     a, b = norm(a), norm(b)
