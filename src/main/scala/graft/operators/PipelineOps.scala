@@ -32,11 +32,14 @@ object PipelineOps extends QueryModule {
       // reused by the shingle pass AND the survivor anti-join — cache once
       val exactKept = docs.join(keeper, Seq("fp", "doc_id")).cache()
       // 2. near-dup candidates (same shape as q43), drop the higher id
+      // xxhash64 join key — same rationale and ~2× join speedup as q43;
+      // distinctness is established on the strings first.
       val sh = exactKept
         .filter(col("n_words") >= 3)
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(0, size(words) - 3)," +
-            " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("sh"))
+            " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("shs"))
+        .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
         .cache() // feeds sizes + both sides of the inverted-index self-join
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val common = sh.select(col("doc_id").as("a"), col("sh"))
