@@ -567,6 +567,68 @@ object Relational extends QueryModule {
             round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Linear-regression aggregates (slope / intercept / R²) built from
+    * EXACT fixed-point sums instead of the built-in `regr_*` functions:
+    * the built-ins accumulate doubles, so their result depends on
+    * partitioning order — a 1000-executor plan would not reproduce a
+    * single-threaded oracle. Here every moment (Σx, Σy, Σx², Σy², Σxy)
+    * is summed as DECIMAL(38,6) — each addend is exact on the data's
+    * value grid, decimal addition is associative, so the moments are
+    * partition-invariant — and the closed-form regression arithmetic
+    * runs on those exact moments with an identical expression tree in
+    * both engines (same IEEE ops in the same order → bit-identical).
+    * Partial aggregation (map-side combine) still applies: decimal SUM
+    * and COUNT are both algebraic. */
+  val q64_agg_regression = QueryDef(
+    "q64_agg_regression",
+    (s, dir) => {
+      def m(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          m(col("x")).as("sx"), m(col("y")).as("sy"),
+          m(col("x") * col("x")).as("sxx"),
+          m(col("y") * col("y")).as("syy"),
+          m(col("x") * col("y")).as("sxy"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("slope",
+          (col("nd") * col("sxy") - col("sx") * col("sy"))
+            / (col("nd") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("nd"))
+        // r2 is rounded (q57 convention): Σy² exceeds 2^53, so the two
+        // engines' decimal→double casts can differ by 1 ulp (~1e-20 here).
+        .withColumn("r2",
+          round(((col("nd") * col("sxy") - col("sx") * col("sy"))
+            * (col("nd") * col("sxy") - col("sx") * col("sy")))
+            / ((col("nd") * col("sxx") - col("sx") * col("sx"))
+              * (col("nd") * col("syy") - col("sy") * col("sy"))), 10))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          col("sxy"), col("slope"), col("intercept"), col("r2"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH moments AS (
+              SELECT l_returnflag,
+                     count(*) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+              FROM lineitem GROUP BY l_returnflag),
+            derived AS (
+              SELECT *,
+                     CAST(n AS DOUBLE) AS nd,
+                     (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+              FROM moments)
+            SELECT l_returnflag, n, sx, sy, sxy, slope,
+                   (sy - slope * sx) / nd AS intercept,
+                   round(((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+                     / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 10) AS r2
+            FROM derived ORDER BY l_returnflag"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q01_scan_project, q02_filter_pred, q03_join_star, q04_join_left,
     q05_join_full, q06_join_semi, q07_join_anti, q08_join_theta,
@@ -574,5 +636,6 @@ object Relational extends QueryModule {
     q13_agg_rollup, q14_agg_cube, q15_agg_collect, q16_window_rank,
     q17_window_analytic, q18_window_frames, q19_window_range,
     q20_sort_topk, q21_topk_per_group, q22_setops, q23_dedup_exact,
-    q24_distinct, q55_agg_grouping_sets, q56_agg_percentile, q57_agg_stats)
+    q24_distinct, q55_agg_grouping_sets, q56_agg_percentile, q57_agg_stats,
+    q64_agg_regression)
 }

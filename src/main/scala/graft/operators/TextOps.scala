@@ -157,7 +157,37 @@ object TextOps extends QueryModule {
               (h, c) -> (h * 31 + c) % 1000000007) AS roll_hash
             FROM documents ORDER BY doc_id"""))
 
+  /** BPE-style regex pre-tokenization (vs q38's whitespace tokens): a
+    * class-based alternation — digit runs, vowel runs, remaining runs —
+    * segments words into subword units the way a BPE pre-tokenizer
+    * splits on character classes before merges. Per doc: whitespace
+    * token count vs subword count, expansion ratio, and an md5 sequence
+    * signature over the subword stream (order-sensitive — two docs with
+    * the same bag but different order fingerprint differently).
+    * Map-only over the corpus scan; the same single-pass shape at 100 TB. */
+  val q63_token_bpe = QueryDef(
+    "q63_token_bpe",
+    (s, dir) => {
+      val pat = "[0-9]+|[aeiou]+|[^aeiou0-9 ]+"
+      t(s, dir, "documents")
+        .withColumn("toks", expr(s"regexp_extract_all(text, '$pat', 0)"))
+        .select(col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
+          size(col("toks")).cast("long").as("n_subtok"),
+          (size(col("toks")).cast("double")
+            / expr("size(split(text, ' '))")).as("expansion"),
+          md5(concat_ws("|", col("toks"))).as("tok_sig"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+            CAST(len(regexp_extract_all(text, '[0-9]+|[aeiou]+|[^aeiou0-9 ]+')) AS BIGINT) AS n_subtok,
+            CAST(len(regexp_extract_all(text, '[0-9]+|[aeiou]+|[^aeiou0-9 ]+')) AS DOUBLE)
+              / len(string_split(text, ' ')) AS expansion,
+            md5(array_to_string(regexp_extract_all(text, '[0-9]+|[aeiou]+|[^aeiou0-9 ]+'), '|')) AS tok_sig
+            FROM documents ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q37_text_stats, q38_token_tf, q39_text_quality, q40_text_langid,
-    q41_text_fingerprint)
+    q41_text_fingerprint, q63_token_bpe)
 }

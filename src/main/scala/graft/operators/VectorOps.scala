@@ -215,6 +215,47 @@ object VectorOps extends QueryModule {
             SELECT qid, CAST(cell AS BIGINT) AS cell, cid AS best_id, cos AS best_cos
             FROM ranked WHERE rn = 1 ORDER BY qid"""))
 
+  /** Embedding-cosine NEAR-DUP DEDUP (the dedup-family member of the
+    * vector ops): every vector whose cosine to some LOWER-id vector
+    * clears the near-dup threshold is a duplicate; the survivor is the
+    * smallest matching id. Output = one row per dropped vector with its
+    * keeper, strongest similarity and match count — the exact shape a
+    * cleaning pipeline consumes ("drop dup_id, it duplicates keep_id").
+    *
+    * Scale path: this exact all-pairs verify runs AFTER a candidate
+    * prefilter (the q48 hyperplane buckets / q54 IVF cells) — candidates
+    * only, never corpus×corpus; the threshold verify stage here is what
+    * both of those feed at 100 TB. max(cos)/min(id)/count are all
+    * order-independent aggregates, so the result is partition-invariant. */
+  val q62_dedup_embedding = QueryDef(
+    "q62_dedup_embedding",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("av"),
+        sqrt(norm2(col("embedding"))).as("na"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("bv"),
+        sqrt(norm2(col("embedding"))).as("nb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cos", dot(col("av"), col("bv")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .groupBy(col("b").as("dup_id"))
+        .agg(min(col("a")).as("keep_id"),
+          max(col("cos")).as("max_cos"),
+          count(lit(1)).as("n_matches"))
+        .orderBy("dup_id")
+    },
+    Some(s"""WITH pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     ${dotSql("x.embedding", "y.embedding")}
+                       / (sqrt(${dotSql("x.embedding", "x.embedding")})
+                          * sqrt(${dotSql("y.embedding", "y.embedding")})) AS cos
+              FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+            SELECT b AS dup_id, min(a) AS keep_id, max(cos) AS max_cos,
+                   count(*) AS n_matches
+            FROM pairs WHERE cos >= 0.45
+            GROUP BY b ORDER BY dup_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
-    q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf)
+    q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
+    q62_dedup_embedding)
 }

@@ -30,7 +30,8 @@ import graft.core._
   *    the next batch — dynamic groups without restarting the query.
   */
 final class MultiplexedDelivery(val spark: SparkSession,
-                                trigger: Trigger = Trigger.ProcessingTime("250 milliseconds")) {
+                                trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
+                                ledgerDir: Option[String] = None) {
   import spark.implicits._
 
   private val source =
@@ -40,6 +41,12 @@ final class MultiplexedDelivery(val spark: SparkSession,
     new ConcurrentHashMap[String, StreamGroup]().asScala
   private val ledger: concurrent.Map[(String, String), DeliveryChunk] =
     new ConcurrentHashMap[(String, String), DeliveryChunk]().asScala
+  /** Optional WAL (same LedgerStore as DurableEventLog): with a
+    * ledgerDir, pending/acked chunk state survives a process restart —
+    * a reconnecting client is re-served exactly its unacked chunks.
+    * Without one the ledger is in-memory only (the bench replay path). */
+  private val store: Option[LedgerStore] = ledgerDir.map(new LedgerStore(_))
+  store.foreach(_.load().foreach { case (k, v) => ledger.put(k, v) })
   @volatile private var query: Option[StreamingQuery] = None
 
   def emit(resource: ResourceType, eventType: String, resourceId: String,
@@ -97,9 +104,15 @@ final class MultiplexedDelivery(val spark: SparkSession,
             .collect()
           matched.groupBy(_.getString(0)).foreach { case (gid, rows) =>
             val chunkId = s"$gid-$batchId"
-            ledger.put((gid, chunkId), DeliveryChunk(gid, chunkId, batchId,
-              rows.map(_.getString(1)).toSeq, rows.map(_.getString(2)).toSeq,
-              new Timestamp(System.currentTimeMillis()), acked = false))
+            // replay-idempotent: a re-run batch must not overwrite an
+            // existing (possibly acked) entry — same rule as DurableEventLog
+            if (!ledger.contains((gid, chunkId))) {
+              val chunk = DeliveryChunk(gid, chunkId, batchId,
+                rows.map(_.getString(1)).toSeq, rows.map(_.getString(2)).toSeq,
+                new Timestamp(System.currentTimeMillis()), acked = false)
+              store.foreach(_.appendChunk(chunk)) // WAL first
+              ledger.put((gid, chunkId), chunk)
+            }
           }
         }
         ()
@@ -115,6 +128,7 @@ final class MultiplexedDelivery(val spark: SparkSession,
   def ack(groupId: String, chunkId: String): Boolean =
     ledger.get((groupId, chunkId)) match {
       case Some(c) if !c.acked =>
+        store.foreach(_.appendAck(groupId, chunkId))
         ledger.put((groupId, chunkId), c.copy(acked = true)); true
       case _ => false
     }

@@ -75,4 +75,27 @@ class MultiplexedDeliverySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(mux.pendingChunks("late").isEmpty, "removed group receives nothing")
     } finally mux.stop()
   }
+
+  test("WAL-backed mux: pending and acked chunks survive an engine restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mux-wal").toString
+    val mux1 = new MultiplexedDelivery(spark, ledgerDir = Some(dir))
+    try {
+      mux1.addGroup("g", ResourceType.Project, "p", Hierarchy(projectId = "p"), true)
+      mux1.start()
+      mux1.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      mux1.processAllAvailable()
+      mux1.emit(ResourceType.Collection, EventType.All, "c", RelationCtx(project = "p"))
+      mux1.processAllAvailable()
+      val pend = mux1.pendingChunks("g")
+      assert(pend.size == 2)
+      assert(mux1.ack("g", pend.head.chunkId))
+    } finally mux1.stop()
+
+    // "restart": a fresh mux over the same WAL dir — the unacked chunk is
+    // re-served as pending, the acked one stays acked.
+    val mux2 = new MultiplexedDelivery(spark, ledgerDir = Some(dir))
+    val pending = mux2.pendingChunks("g")
+    assert(pending.size == 1 && pending.head.resourceIds == Seq("c"),
+      s"only the unacked chunk is pending after restart: $pending")
+  }
 }
