@@ -56,14 +56,15 @@ object Bench {
     * hierarchy, pushed through ingest → fan-out → multiplexed filtered
     * delivery with one subtree subscription per project, and drained.
     * Returns elapsed seconds (events/s = rows ÷ this). */
-  private def streamReplaySeconds(spark: org.apache.spark.sql.SparkSession,
-                                  sfDir: String): Double = {
+  private[graft] def streamReplaySeconds(spark: org.apache.spark.sql.SparkSession,
+                                         sfDir: String): Double = {
     import graft.core._
     import graft.streaming.MultiplexedDelivery
     val rows = graft.sources.Tables.load(spark, sfDir, "events")
       .select("event_id", "user_id", "event_type").collect()
     val mux = new MultiplexedDelivery(spark,
-      org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
+      sourcePartitions = sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTS", "8").toInt)
     (0 until 5).foreach(p => mux.addGroup(s"bench-p$p", ResourceType.Project, s"p$p",
       Hierarchy(projectId = s"p$p"), includeSubresources = true))
     mux.start()

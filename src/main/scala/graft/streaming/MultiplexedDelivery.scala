@@ -31,11 +31,16 @@ import graft.core._
   */
 final class MultiplexedDelivery(val spark: SparkSession,
                                 trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
-                                ledgerDir: Option[String] = None) {
+                                ledgerDir: Option[String] = None,
+                                sourcePartitions: Int = 1) {
   import spark.implicits._
 
+  /** sourcePartitions > 1 spreads each micro-batch over that many tasks —
+    * the replay/backfill path wants the fan-out + subscription join
+    * parallel; interactive tests keep 1 for deterministic batch order. */
   private val source =
-    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark, numPartitions = 1)
+    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark,
+      numPartitions = sourcePartitions)
 
   private val groups: concurrent.Map[String, StreamGroup] =
     new ConcurrentHashMap[String, StreamGroup]().asScala

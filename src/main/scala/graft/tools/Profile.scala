@@ -54,6 +54,9 @@ object Profile {
         val b = sh.select(col("doc_id").as("b"), col("sh"))
         a.join(b, Seq("sh")).filter(col("a") < col("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("c")).count()
+      case "x:replay" =>
+        val sec = graft.Bench.streamReplaySeconds(spark, sfDir)
+        (sec * 1000).toLong // report ms in the "rows" slot
       case q => graft.SparkEntry.queries(q)(spark, sfDir).count()
     }
   }
