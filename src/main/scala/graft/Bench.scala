@@ -69,7 +69,8 @@ object Bench {
       Hierarchy(projectId = s"p$p"), includeSubresources = true))
     mux.start()
     val t0 = System.nanoTime()
-    rows.grouped(25000).foreach { chunk =>
+    val batchRows = sys.env.getOrElse("SPARK_GRAFT_REPLAY_BATCH", "25000").toInt
+    rows.grouped(batchRows).foreach { chunk =>
       mux.emitAll(chunk.map { r =>
         val (uid, et) = (r.getLong(1), r.getString(2))
         val project = s"p${uid % 5}"
