@@ -41,6 +41,7 @@ import graft.core._
   * (c) compact closed partitions into an archive dir served to
   * backfilling (per-group) readers only — live mux readers never
   * re-read old batches, so compaction does not disturb them.
+  * Strategy (c) is implemented: [[compactTo]] + [[archiveScan]].
   */
 final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: String,
                             trigger: Trigger = Trigger.ProcessingTime("250 milliseconds")) {
@@ -100,15 +101,18 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     * (Subjects.matchesLit handles it via rlike), in which case we fall
     * back to the full-log scan with the subject predicate alone —
     * correct, just unpruned. */
-  def deliveryStream(filterSubject: String): DataFrame = {
+  def deliveryStream(filterSubject: String): DataFrame =
+    prunedSubjectScan(spark.readStream.schema(logSchema).parquet(logDir), filterSubject)
+
+  /** Shared prune: subject predicate + (when the project token is a
+    * literal) the partition filter. Works for both the streaming log
+    * scan and batch archive scans. */
+  private def prunedSubjectScan(df: DataFrame, filterSubject: String): DataFrame = {
     val tokens = filterSubject.split('.')
     require(tokens.length >= 4,
       s"filter subject needs >=4 tokens (UPDATES.STORAGE._.<project>...): $filterSubject")
     val project = tokens(3)
-    val base = spark.readStream
-      .schema(logSchema)
-      .parquet(logDir)
-      .filter(Subjects.matchesLit(col("subject"), filterSubject))
+    val base = df.filter(Subjects.matchesLit(col("subject"), filterSubject))
     if (project == "*" || project == ">") base
     else base.filter(col("project") === project)
   }
@@ -211,6 +215,40 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
       .start()
     deliveries.put("__mux__", q)
   }
+
+  // ---- compaction (strategy (c) of the class doc) -------------------
+
+  /** Compact the log into an archive directory: one coalesced file set
+    * per project partition instead of one file per micro-batch. This is
+    * the small-files remedy for long-running deployments.
+    *
+    * Why an ARCHIVE and not in-place: the ingest sink maintains a
+    * `_spark_metadata` file-sink log that both batch and streaming
+    * readers of `logDir` trust as the authoritative file listing —
+    * rewriting data files in place would desynchronize it (compacted
+    * files invisible, removed files still listed). The archive is a
+    * plain partitioned parquet dataset read by BACKFILLING consumers
+    * ([[archiveScan]]); live delivery queries keep reading the log from
+    * their checkpoints and are never disturbed.
+    *
+    * `filesPerPartition` sizes the rewrite: 1 is right up to a few GB
+    * per project; raise it so individual files stay near the HDFS/S3
+    * sweet spot (~128 MB–1 GB) at scale. Returns rows archived. */
+  def compactTo(archiveDir: String, filesPerPartition: Int = 1): Long = {
+    val snap = spark.read.schema(logSchema).parquet(logDir)
+    val n = snap.count()
+    snap.repartition(filesPerPartition, col("project"))
+      .write.mode("overwrite").partitionBy("project").parquet(archiveDir)
+    n
+  }
+
+  /** Pruned batch scan of a compacted archive — what a backfilling
+    * consumer reads BEFORE switching to the live log (from-now-on via
+    * the multiplexed query). Same partition-prune + subject predicate
+    * as [[deliveryStream]], so a subtree backfill touches exactly one
+    * partition directory of the archive. */
+  def archiveScan(archiveDir: String, filterSubject: String): DataFrame =
+    prunedSubjectScan(spark.read.schema(logSchema).parquet(archiveDir), filterSubject)
 
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
     ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c }

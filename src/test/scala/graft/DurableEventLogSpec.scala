@@ -150,6 +150,40 @@ class DurableEventLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally log.stop()
   }
 
+  test("compaction: many micro-batch files archive to one file per partition; backfill scan prunes") {
+    val (logDir, ckpt, archive) = (tmp(), tmp(), tmp() + "/archive")
+    val log = new DurableEventLog(spark, logDir, ckpt)
+    try {
+      log.startIngest()
+      // several micro-batches → several small files per partition
+      (1 to 4).foreach { i =>
+        log.emit(ResourceType.Collection, EventType.All, s"c$i", RelationCtx(project = "p1"))
+        log.emit(ResourceType.Collection, EventType.All, s"d$i", RelationCtx(project = "p2"))
+        log.processAllAvailable()
+      }
+      def parquets(dir: String): Int = {
+        val d = new java.io.File(dir)
+        if (!d.exists()) 0 else d.listFiles().count(_.getName.endsWith(".parquet"))
+      }
+      assert(parquets(s"$logDir/project=p1") >= 4, "precondition: one file per batch")
+
+      val archived = log.compactTo(archive)
+      assert(archived == 8, s"all rows archived: $archived")
+      assert(parquets(s"$archive/project=p1") == 1 && parquets(s"$archive/project=p2") == 1,
+        "compaction must leave one file per project partition")
+
+      // backfill: the pruned archive scan sees exactly the subtree's rows,
+      // and the plan prunes to the one partition directory
+      val filter = graft.core.Subjects.projectQuery("p1", includeSub = true)
+      val scan = log.archiveScan(archive, filter)
+      assert(scan.select("resourceId").collect().map(_.getString(0)).sorted.toSeq
+        == Seq("c1", "c2", "c3", "c4"))
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("p1"),
+        s"archive backfill must prune to the project partition:\n${plan.take(1200)}")
+    } finally log.stop()
+  }
+
   test("subtree delivery scan prunes to the project partition") {
     val (logDir, ckpt) = (tmp(), tmp())
     val log = new DurableEventLog(spark, logDir, ckpt)

@@ -206,6 +206,37 @@ class StreamingWindowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows after the watermark closes the window") {
+    val impressions = MemoryStream[E](spark, numPartitions = 1)
+    val clicks = MemoryStream[E](spark, numPartitions = 1)
+    val l = impressions.toDF().select($"key", $"ts".as("imp_ts"))
+      .withWatermark("imp_ts", "1 minute")
+    val r = clicks.toDF().select($"key".as("ckey"), $"ts".as("click_ts"))
+      .withWatermark("click_ts", "1 minute")
+    val joined = l.join(r,
+      $"key" === $"ckey" &&
+        $"click_ts" >= $"imp_ts" && $"click_ts" <= $"imp_ts" + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+      .select($"key", $"click_ts")
+    val q = joined.writeStream.format("memory").queryName("ssoj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      impressions.addData(E(ts(1), "hit", 1.0), E(ts(1), "miss", 1.0))
+      clicks.addData(E(ts(2), "hit", 0.0))
+      q.processAllAvailable()
+      // advance both watermarks far past the join window so the engine
+      // can prove "miss" will never match and emit its null-padded row
+      impressions.addData(E(ts(60), "late", 1.0))
+      clicks.addData(E(ts(60), "late", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssoj_out").select("key", "click_ts")
+        .collect().map(r => (r.getString(0), r.isNullAt(1))).toSet
+      assert(got.contains(("hit", false)), s"matched row must carry its click: $got")
+      assert(got.contains(("miss", true)),
+        s"unmatched impression must surface null-padded once the state closes: $got")
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enrich against a broadcast dimension") {
     val in = MemoryStream[E](spark, numPartitions = 1)
     val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("key", "name")
