@@ -250,6 +250,34 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   def archiveScan(archiveDir: String, filterSubject: String): DataFrame =
     prunedSubjectScan(spark.read.schema(logSchema).parquet(archiveDir), filterSubject)
 
+  /** Serve a group's HISTORY from a compacted archive as ack-able
+    * delivery chunks (the backfill half of the compaction story; the
+    * live half is the from-now-on multiplexed query). Chunks are sliced
+    * `chunkRows` at a time — the batch analog of the 250 ms micro-batch
+    * window — under reserved negative batch ids so they sort before,
+    * and never collide with, live chunks. Idempotent per (groupId,
+    * chunkId): re-running a backfill re-serves nothing already in the
+    * ledger (WAL rules apply — acked stays acked). Returns the number
+    * of chunks created. */
+  def backfillFromArchive(groupId: String, archiveDir: String, filterSubject: String,
+                          chunkRows: Int = 10000): Int = {
+    val rows = archiveScan(archiveDir, filterSubject)
+      .select("subject", "resourceId").collect()
+    var created = 0
+    rows.grouped(chunkRows).zipWithIndex.foreach { case (slice, k) =>
+      val chunkId = s"$groupId-backfill-$k"
+      if (!ledger.contains((groupId, chunkId))) {
+        val chunk = DeliveryChunk(groupId, chunkId, batchId = -(k + 1L),
+          slice.map(_.getString(0)).toSeq, slice.map(_.getString(1)).toSeq,
+          new Timestamp(System.currentTimeMillis()), acked = false)
+        store.appendChunk(chunk)
+        ledger.put((groupId, chunkId), chunk)
+        created += 1
+      }
+    }
+    created
+  }
+
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
     ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c }
       .toSeq.sortBy(_.batchId)

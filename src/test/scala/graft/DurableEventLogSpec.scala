@@ -181,6 +181,18 @@ class DurableEventLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       val plan = scan.queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters") && plan.contains("p1"),
         s"archive backfill must prune to the project partition:\n${plan.take(1200)}")
+
+      // backfill delivery: history arrives as ack-able chunks (sliced),
+      // idempotent on re-run, and live chunk ids are never touched
+      val n = log.backfillFromArchive("bf", archive, filter, chunkRows = 3)
+      assert(n == 2, s"4 rows at 3/chunk = 2 chunks, got $n")
+      val pend = log.pendingChunks("bf")
+      assert(pend.flatMap(_.resourceIds).sorted == Seq("c1", "c2", "c3", "c4"))
+      assert(pend.forall(_.batchId < 0), "backfill chunks use reserved negative batch ids")
+      assert(log.ack("bf", pend.head.chunkId))
+      assert(log.backfillFromArchive("bf", archive, filter, chunkRows = 3) == 0,
+        "re-running a backfill must not recreate or resurrect chunks")
+      assert(log.pendingChunks("bf").size == 1, "acked backfill chunk stays acked")
     } finally log.stop()
   }
 
