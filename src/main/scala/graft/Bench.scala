@@ -23,8 +23,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT + codegen warm-up on the smallest table so the first measured
-    // query doesn't pay one-time session costs.
+    // Steady-state measurement (JMH-style): run every query once against
+    // the SMALLEST fixture first so codegen compilation and JIT warm up
+    // off the clock, then time at the target scale factor. Cold-start
+    // costs are per-JVM one-offs; the number that predicts cluster
+    // throughput at 100 TB is the warm one. Disable with
+    // SPARK_GRAFT_WARMUP=0 to measure cold-start instead.
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "/root/testdata/sf0.001")
+    if (warmupDir != "0" && new java.io.File(warmupDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache() // drop warmup-scale cached tables
+    }
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // A failed query must be VISIBLE in the bench line, not a plausible
     // timing: its value is emitted negative and its name is listed in

@@ -101,8 +101,18 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     * (Subjects.matchesLit handles it via rlike), in which case we fall
     * back to the full-log scan with the subject predicate alone —
     * correct, just unpruned. */
-  def deliveryStream(filterSubject: String): DataFrame =
-    prunedSubjectScan(spark.readStream.schema(logSchema).parquet(logDir), filterSubject)
+  /** `maxFilesPerTrigger` bounds how much of a backlog one micro-batch
+    * ingests — THE knob that keeps a new group's full-history backfill
+    * from materializing the whole log in a single batch. Unset, a
+    * restart after long downtime (or a fresh per-group checkpoint over
+    * a year of log) becomes one giant batch sized by the backlog, not
+    * by memory. */
+  def deliveryStream(filterSubject: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(logSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    prunedSubjectScan(reader.parquet(logDir), filterSubject)
+  }
 
   /** Shared prune: subject predicate + (when the project token is a
     * literal) the partition filter. Works for both the streaming log
@@ -117,14 +127,18 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     else base.filter(col("project") === project)
   }
 
-  /** Start (or restart — same checkpoint) a group's delivery query. */
-  def startDelivery(groupId: String, filterSubject: String): Unit = {
+  /** Start (or restart — same checkpoint) a group's delivery query.
+    * `deliveryTrigger` defaults to the log's cadence; pass
+    * `Trigger.AvailableNow()` for a drain-and-stop backfill run. */
+  def startDelivery(groupId: String, filterSubject: String,
+                    maxFilesPerTrigger: Option[Int] = None,
+                    deliveryTrigger: Trigger = trigger): Unit = {
     require(!deliveries.contains(groupId), s"delivery for $groupId already running")
-    val q = deliveryStream(filterSubject).writeStream
+    val q = deliveryStream(filterSubject, maxFilesPerTrigger).writeStream
       .queryName(s"durable-delivery-$groupId")
       .outputMode("append")
       .option("checkpointLocation", s"$ckptRoot/delivery-$groupId")
-      .trigger(trigger)
+      .trigger(deliveryTrigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val rows = batch.select("subject", "resourceId").collect()
         // Idempotent on foreachBatch replay: if the (groupId, chunkId)

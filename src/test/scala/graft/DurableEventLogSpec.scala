@@ -196,6 +196,33 @@ class DurableEventLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally log.stop()
   }
 
+  test("bounded backfill: maxFilesPerTrigger splits a backlog into multiple chunks; AvailableNow drains and stops") {
+    val (logDir, ckpt) = (tmp(), tmp())
+    val log = new DurableEventLog(spark, logDir, ckpt)
+    try {
+      log.startIngest()
+      (1 to 3).foreach { i =>
+        log.emit(ResourceType.Collection, EventType.All, s"c$i", RelationCtx(project = "p1"))
+        log.processAllAvailable()
+      }
+      // 3 committed micro-batches → >= 3 log files; a 1-file trigger cap
+      // must split the backfill into multiple delivery batches, and
+      // AvailableNow drains the backlog then stops on its own (the
+      // batch-backfill trigger, vs ProcessingTime's run-forever cadence)
+      log.startDelivery("g", graft.core.Subjects.projectQuery("p1", includeSub = true),
+        maxFilesPerTrigger = Some(1),
+        deliveryTrigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val deadline = System.currentTimeMillis() + 20000
+      while (log.pendingChunks("g").flatMap(_.resourceIds).size < 3
+        && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val chunks = log.pendingChunks("g")
+      assert(chunks.flatMap(_.resourceIds).sorted == Seq("c1", "c2", "c3"),
+        s"backfill must deliver everything: $chunks")
+      assert(chunks.size >= 3,
+        s"1-file batches must split the backlog into multiple chunks, got ${chunks.size}")
+    } finally log.stop()
+  }
+
   test("subtree delivery scan prunes to the project partition") {
     val (logDir, ckpt) = (tmp(), tmp())
     val log = new DurableEventLog(spark, logDir, ckpt)
