@@ -106,6 +106,26 @@ class StreamingWindowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("complete output mode: the sink holds the full recomputed aggregate every batch") {
+    val in = MemoryStream[E](spark, numPartitions = 1)
+    val agg = in.toDF().groupBy($"key").count()
+    val q = agg.writeStream.format("memory").queryName("complete_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(E(ts(1), "a", 1.0), E(ts(2), "a", 1.0), E(ts(3), "b", 1.0))
+      q.processAllAvailable()
+      val first = spark.table("complete_out").as[(String, Long)].collect().toMap
+      assert(first == Map("a" -> 2L, "b" -> 1L))
+      in.addData(E(ts(4), "b", 1.0))
+      q.processAllAvailable()
+      // complete mode REPLACES the sink table with the whole result —
+      // both keys present with updated counts, not a delta
+      val second = spark.table("complete_out").as[(String, Long)].collect().toMap
+      assert(second == Map("a" -> 2L, "b" -> 2L),
+        s"complete mode must re-emit the full aggregate: $second")
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap in streaming mode (append)") {
     val in = MemoryStream[E](spark, numPartitions = 1)
     val agg = in.toDF()
