@@ -48,10 +48,15 @@ object Graft {
                   trigger: Trigger = Trigger.ProcessingTime("250 milliseconds")): EventEngine =
     new EventEngine(spark, trigger)
 
-  /** The many-groups scale path: one streaming query for all groups. */
+  /** The many-groups scale path: one streaming query for all groups.
+    * Pass `ledgerDir` to make pending/acked chunk state survive a
+    * process restart (WAL); `sourcePartitions` > 1 parallelizes bulk
+    * replay/backfill ingest. */
   def multiplexed(spark: SparkSession,
-                  trigger: Trigger = Trigger.ProcessingTime("250 milliseconds")): MultiplexedDelivery =
-    new MultiplexedDelivery(spark, trigger)
+                  trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
+                  ledgerDir: Option[String] = None,
+                  sourcePartitions: Int = 1): MultiplexedDelivery =
+    new MultiplexedDelivery(spark, trigger, ledgerDir, sourcePartitions)
 
   /** The durable path: partitioned parquet event log + checkpointed
     * per-group delivery. */
