@@ -187,7 +187,46 @@ object TextOps extends QueryModule {
             md5(array_to_string(regexp_extract_all(text, '[0-9]+|[aeiou]+|[^aeiou0-9 ]+'), '|')) AS tok_sig
             FROM documents ORDER BY doc_id"""))
 
+  /** Deterministic train/val/test split — the assignment every training
+    * pipeline needs to be REPRODUCIBLE: bucket = first md5 byte of the
+    * doc id (0-255), <205 train / <230 val / else test (~80/10/10).
+    * Content-addressed hashing (not rand(), not row position) means the
+    * same doc lands in the same split on any engine, any partitioning,
+    * any subset of the corpus — re-running after adding documents never
+    * reshuffles existing assignments. Map-only + one tiny aggregation. */
+  val q65_split_train_val = QueryDef(
+    "q65_split_train_val",
+    (s, dir) => t(s, dir, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket",
+        (expr("instr('0123456789abcdef', substring(h, 1, 1)) - 1") * 16
+          + expr("instr('0123456789abcdef', substring(h, 2, 1)) - 1")).cast("long"))
+      .withColumn("split",
+        when(col("bucket") < 205, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("split"),
+    Some("""WITH assigned AS (
+              SELECT doc_id, n_chars,
+                     (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+              FROM documents)
+            SELECT CASE WHEN bucket < 205 THEN 'train'
+                        WHEN bucket < 230 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM assigned
+            GROUP BY 1 ORDER BY split"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q37_text_stats, q38_token_tf, q39_text_quality, q40_text_langid,
-    q41_text_fingerprint, q63_token_bpe)
+    q41_text_fingerprint, q63_token_bpe, q65_split_train_val)
 }
