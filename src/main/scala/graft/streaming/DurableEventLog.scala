@@ -292,6 +292,11 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     created
   }
 
+  /** WAL hygiene: rewrite the chunk/ack ledger to minimal equivalent
+    * state (see LedgerStore.compact) — pairs with [[compactTo]] for the
+    * event log itself. */
+  def compactLedger(): Unit = store.compact()
+
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
     ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c }
       .toSeq.sortBy(_.batchId)

@@ -40,14 +40,19 @@ final class LedgerStore(dir: String) {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  def appendChunk(c: DeliveryChunk): Unit =
-    append(s"""{"t":"chunk","g":"${esc(c.groupId)}","c":"${esc(c.chunkId)}","b":${c.batchId},""" +
+  private def chunkLine(c: DeliveryChunk): String =
+    s"""{"t":"chunk","g":"${esc(c.groupId)}","c":"${esc(c.chunkId)}","b":${c.batchId},""" +
       s""""subjects":[${c.subjects.map(s => "\"" + esc(s) + "\"").mkString(",")}],""" +
       s""""ids":[${c.resourceIds.map(s => "\"" + esc(s) + "\"").mkString(",")}],""" +
-      s""""at":${c.deliveredAt.getTime}}""")
+      s""""at":${c.deliveredAt.getTime}}"""
+
+  private def ackLine(groupId: String, chunkId: String): String =
+    s"""{"t":"ack","g":"${esc(groupId)}","c":"${esc(chunkId)}"}"""
+
+  def appendChunk(c: DeliveryChunk): Unit = append(chunkLine(c))
 
   def appendAck(groupId: String, chunkId: String): Unit =
-    append(s"""{"t":"ack","g":"${esc(groupId)}","c":"${esc(chunkId)}"}""")
+    append(ackLine(groupId, chunkId))
 
   /** Replay the WAL into the in-memory state. An ack flips its chunk;
     * a re-appended chunk (micro-batch retry / foreachBatch replay after
@@ -68,6 +73,27 @@ final class LedgerStore(dir: String) {
       }
     }
     state.toMap
+  }
+
+  /** Rewrite the WAL to the minimal lines reproducing current state:
+    * one chunk record per (groupId, chunkId) plus an ack record for the
+    * acked ones. Append-only logs otherwise grow with every micro-batch
+    * retry and ack forever; compaction is the same hygiene the event
+    * log gets from compactTo. Acked chunks are RETAINED (not dropped):
+    * their keys are what makes a later foreachBatch replay idempotent —
+    * dropping them would resurrect the chunk as pending on re-append.
+    * Atomic: write to a temp file, then move over the live WAL. */
+  def compact(): Unit = synchronized {
+    val state = load()
+    val tmp = path.resolveSibling(path.getFileName.toString + ".compact")
+    val sb = new StringBuilder
+    state.values.toSeq.sortBy(c => (c.groupId, c.batchId, c.chunkId)).foreach { c =>
+      sb.append(chunkLine(c)).append('\n')
+      if (c.acked) sb.append(ackLine(c.groupId, c.chunkId)).append('\n')
+    }
+    Files.writeString(tmp, sb.toString, StandardCharsets.UTF_8)
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   // -- minimal single-purpose JSONL parsing (format is ours; no deps) --

@@ -126,6 +126,9 @@ final class MultiplexedDelivery(val spark: SparkSession,
     query = Some(q)
   }
 
+  /** WAL hygiene (no-op without a ledgerDir). */
+  def compactLedger(): Unit = store.foreach(_.compact())
+
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
     ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c }
       .toSeq.sortBy(_.batchId)

@@ -131,6 +131,27 @@ class DurableEventLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "acked chunk must stay acked across a re-append")
   }
 
+  test("WAL compaction rewrites to minimal equivalent state, atomically") {
+    val dir = tmp()
+    val store = new graft.streaming.LedgerStore(dir)
+    val c1 = DeliveryChunk("g", "g-0", 0L, Seq("s1"), Seq("r1"),
+      new java.sql.Timestamp(0L), acked = false)
+    val c2 = DeliveryChunk("g", "g-1", 1L, Seq("s2"), Seq("r2"),
+      new java.sql.Timestamp(0L), acked = false)
+    // churn: retries re-append, acks accumulate — 6 lines for 2 chunks
+    store.appendChunk(c1); store.appendChunk(c1); store.appendAck("g", "g-0")
+    store.appendChunk(c1); store.appendChunk(c2); store.appendAck("g", "g-0")
+    val before = store.load()
+    store.compact()
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "ledger.jsonl"))
+    assert(lines.size == 3, s"2 chunks + 1 ack expected, got:\n${lines}")
+    assert(store.load() == before, "compaction must preserve the exact state")
+    // the compacted WAL still accepts appends and keeps idempotence
+    store.appendChunk(c1) // replay after compaction
+    assert(store.load()(("g", "g-0")).acked, "acked survives re-append post-compaction")
+  }
+
   test("delivery filter validation: wildcard project skips pruning; short filters rejected") {
     val (logDir, ckpt) = (tmp(), tmp())
     val log = new DurableEventLog(spark, logDir, ckpt)
