@@ -207,6 +207,57 @@ object Relational extends QueryModule {
                    o_totalprice
             FROM ranked WHERE rn = 1 ORDER BY event_id"""))
 
+  /** As-of join WITH TOLERANCE (bounded staleness) + left semantics:
+    * each error event gets the same user's latest purchase no older
+    * than 60 minutes, or NULLs if none — the feature-store lookup shape
+    * ("most recent value, but never staler than Δ"), which plain as-of
+    * (q09) can't express. Same partial-aggregable max_by argmax as q09;
+    * the tolerance bound also SHRINKS the join: at 100 TB the range
+    * predicate prunes almost all candidate pairs before the argmax. */
+  val q66_join_asof_tolerance = QueryDef(
+    "q66_join_asof_tolerance",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts").as("err_ts"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val best = err.join(pur,
+        col("user_id") === col("p_user")
+          && col("p_ts") <= col("err_ts")
+          && col("p_ts") >= col("err_ts") - expr("INTERVAL 60 MINUTES"))
+        .groupBy("event_id")
+        .agg(max_by(struct(col("p_id"), col("p_ts")), struct(col("p_ts"), col("p_id"))).as("best"))
+        .select(col("event_id"), col("best.p_id").as("p_id"), col("best.p_ts").as("p_ts"))
+      err.join(best, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("err_ts")).as("err_epoch"),
+          col("p_id"),
+          (unix_timestamp(col("err_ts")) - unix_timestamp(col("p_ts"))).as("age_s"))
+        .orderBy("event_id")
+    },
+    Some("""WITH err AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+            pur AS (
+              SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+              WHERE event_type = 'purchase'),
+            ranked AS (
+              SELECT e.event_id, p.p_id, p.p_ts,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY p.p_ts DESC, p.p_id DESC) AS rn
+              FROM err e JOIN pur p
+                ON e.user_id = p.user_id
+                AND p.p_ts <= e.ts
+                AND p.p_ts >= e.ts - INTERVAL 60 MINUTE)
+            SELECT e.event_id, e.user_id,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS err_epoch,
+                   r.p_id,
+                   CAST(floor(epoch(e.ts)) AS BIGINT)
+                     - CAST(floor(epoch(r.p_ts)) AS BIGINT) AS age_s
+            FROM err e LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+              USING (event_id)
+            ORDER BY event_id"""))
+
   val q10_agg_tpch_q1 = QueryDef(
     "q10_agg_tpch_q1",
     (s, dir) => t(s, dir, "lineitem")
@@ -637,5 +688,5 @@ object Relational extends QueryModule {
     q17_window_analytic, q18_window_frames, q19_window_range,
     q20_sort_topk, q21_topk_per_group, q22_setops, q23_dedup_exact,
     q24_distinct, q55_agg_grouping_sets, q56_agg_percentile, q57_agg_stats,
-    q64_agg_regression)
+    q64_agg_regression, q66_join_asof_tolerance)
 }

@@ -22,6 +22,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("binaryFile source ingests raw media files into the asset pipeline") {
+    // The object-storage ingestion path at corpus scale: media lands as
+    // FILES; spark.read.format("binaryFile") gives (path, modTime,
+    // length, content) without any decode, and the stub codec runs over
+    // `content` exactly as over synthesized assets. pathGlobFilter
+    // prunes by extension BEFORE any bytes are read.
+    val mediaDir = java.nio.file.Files.createTempDirectory("graft-media")
+    (0 until 6).foreach { i =>
+      val ext = if (i % 2 == 0) "png" else "txt"
+      java.nio.file.Files.write(mediaDir.resolve(f"asset$i%02d.$ext"),
+        (s"IMG0payload-$i" * (i + 1)).getBytes("UTF-8"))
+    }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(mediaDir.toString)
+    assert(files.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val rows = files.selectExpr("path", "length", "content").collect()
+    assert(rows.length == 3, "glob filter must prune non-media files from the listing")
+    // codec over file bytes: deterministic 16-dim features, same contract
+    rows.foreach { r =>
+      val feat = MediaCodec.decodeStub(r.getAs[Array[Byte]]("content"))
+      assert(feat.length == 16 && math.abs(feat.sum - 1.0f) < 1e-3,
+        "histogram features must normalize over file content")
+    }
+  }
+
   test("assets carry kind-specific magic headers and metadata") {
     val assets = Multimodal.synthesizeAssets(spark, dir).collect()
     assert(assets.length == 500)
