@@ -164,7 +164,57 @@ object StreamingBatch extends QueryModule {
                    count(DISTINCT subject) AS n_subjects
             FROM subj GROUP BY 1 ORDER BY level2"""))
 
+  /** Funnel conversion over the event stream: users who sign up,
+    * cohorted by signup day, and whether a purchase follows within 24
+    * hours. Two linear passes (first-signup argmin per user; qualifying
+    * purchases via a range-bounded join that prunes like q66) and one
+    * small cohort aggregation — no per-user window sort over the whole
+    * stream. The conversion rate divides two exact BIGINTs, so the
+    * double is bit-identical everywhere. */
+  val q67_funnel = QueryDef(
+    "q67_funnel",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val conv = su.join(pu,
+        col("user_id") === col("p_user")
+          && col("p_ts") >= col("s_ts")
+          && col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"), "left")
+        .groupBy("user_id")
+        .agg(first(col("s_ts")).as("s_ts"),
+          max(col("p_ts").isNotNull).as("converted"))
+      conv.groupBy(to_date(col("s_ts")).as("cohort"))
+        .agg(count(lit(1)).as("n_signups"),
+          sum(col("converted").cast("long")).cast("long").as("n_converted"))
+        .withColumn("conv_rate",
+          col("n_converted").cast("double") / col("n_signups").cast("double"))
+        .orderBy("cohort")
+    },
+    Some("""WITH su AS (
+              SELECT user_id, min(ts) AS s_ts FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+            pu AS (
+              SELECT user_id AS p_user, ts AS p_ts FROM events
+              WHERE event_type = 'purchase'),
+            conv AS (
+              SELECT su.user_id, min(su.s_ts) AS s_ts,
+                     max(p.p_ts IS NOT NULL) AS converted
+              FROM su LEFT JOIN pu p
+                ON su.user_id = p.p_user
+                AND p.p_ts >= su.s_ts
+                AND p.p_ts <= su.s_ts + INTERVAL 24 HOUR
+              GROUP BY su.user_id)
+            SELECT CAST(s_ts AS DATE) AS cohort,
+                   count(*) AS n_signups,
+                   CAST(sum(CAST(converted AS BIGINT)) AS BIGINT) AS n_converted,
+                   CAST(sum(CAST(converted AS BIGINT)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS conv_rate
+            FROM conv GROUP BY 1 ORDER BY cohort"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q32_window_tumbling, q33_window_sliding, q34_window_session,
-    q35_dedup_keepfirst, q36_subject_fanout)
+    q35_dedup_keepfirst, q36_subject_fanout, q67_funnel)
 }
