@@ -218,7 +218,75 @@ object DedupOps extends QueryModule {
             WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
             ORDER BY a, b"""))
 
+  /** Transitive near-dup CLUSTERS: connected components over the q43
+    * Jaccard pair graph via min-label propagation — A~B and B~C put A,
+    * C in one cluster even when A~C itself misses the threshold, which
+    * pairwise "drop the higher id" (q58's step 2) cannot express. One
+    * row per clustered doc with its component representative (min
+    * doc_id) — scalar-only output, totally ordered.
+    *
+    * Shape at scale: the loop is Pregel's — each iteration is one
+    * hash-join + one min-aggregation, both partial-aggregable, and
+    * terminates after O(component diameter) rounds (near-dup clusters
+    * are shallow; 3-4 rounds here). `localCheckpoint` truncates the
+    * growing lineage each round so the plan doesn't deepen with the
+    * iteration count. The converged fixpoint is unique regardless of
+    * execution order — the DuckDB oracle reaches the same one through a
+    * recursive CTE. */
+  val q68_dedup_clusters = QueryDef(
+    "q68_dedup_clusters",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.select(col("doc_id").as("a"), col("sh"))
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.8)
+        .select("a", "b").cache()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+      var labels = edges.select(col("a").as("doc")).distinct()
+        .select(col("doc"), col("doc").as("lbl"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val pushed = edges.join(labels, col("a") === col("doc"))
+          .select(col("b").as("doc"), col("lbl"))
+        val merged = labels.union(pushed)
+          .groupBy("doc").agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        changed = merged.join(labels.withColumnRenamed("lbl", "old"), Seq("doc"))
+          .filter(col("lbl") < col("old")).count()
+        labels = merged
+        rounds += 1
+      }
+      labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $shinglesSql,
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            pairs AS (
+              SELECT a, b FROM common
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE c / (sa.n + sb.n - c) >= 0.8),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach AS (
+              SELECT DISTINCT a AS src, a AS dst FROM edges
+              UNION
+              SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst)
+            SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q42_dedup_exact_stats, q43_dedup_ngram_jaccard, q44_dedup_minhash_lsh,
-    q45_dedup_simhash)
+    q45_dedup_simhash, q68_dedup_clusters)
 }
