@@ -41,13 +41,28 @@ object Bench {
     // timing: its value is emitted negative and its name is listed in
     // "failed" (round-1 advice — the old form swallowed errors).
     var failed = List.empty[String]
+    // Per-query MEDIAN of N runs (default 3): BASELINE.md documents ±25%
+    // single-run variance, which masked real regressions in round 2.
+    // Every run ends with clearCache() so a query's cached intermediates
+    // (the dedup family caches its signature tables) never pollute the
+    // next measurement — round 2's q44 "regression" was exactly this
+    // cross-query cache pressure, not the query itself.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => failed ::= name; false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -sec)
+      val secs = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => failed ::= name; false }
+        spark.catalog.clearCache()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) Some(sec) else None
+      }
+      val median =
+        if (secs.isEmpty) -1.0
+        else secs.sorted.apply(secs.size / 2)
+      name -> median
     }
+    failed = failed.distinct
     val replay = streamReplaySeconds(spark, sfDir)
     val all = results :+ ("stream_replay" -> replay)
     // 3-decimal rounding keeps the line SHORT: the driver parses this

@@ -97,18 +97,23 @@ object DedupOps extends QueryModule {
     * candidate pairs that share any band. Sub-quadratic: only
     * bucket-mates ever meet.
     *
-    * The 8 hash functions are derived from ONE md5 per shingle —
-    * 16-hex-char windows at stride 4 over the doubled digest — instead
-    * of 8 independent md5 calls: same uniformity for min-hashing, 8×
-    * less hashing, which is the dominant cost of a signature pass over
-    * a 100 TB corpus. */
+    * The 8 hash functions are the 8 NON-OVERLAPPING 32-bit (8-hex)
+    * windows of md5(sh) || md5('1' || sh) — two digest passes, not
+    * eight. Disjoint bit-ranges of independent digests are independent
+    * uniform hashes, which is load-bearing at scale: round 2 used
+    * OVERLAPPING stride-4 windows of one digest, so a single low-digest
+    * shingle shared by many docs could win all 8 mins at once and weld
+    * those docs into one all-band clique — a quadratic hot bucket at
+    * 100× corpus. With independent windows a shingle that is minimal
+    * under hash i is not preferentially minimal under hash j, so band
+    * keys decorrelate (pinned by BandedLshSpec's hot-shingle fixture). */
   val q44_dedup_minhash_lsh = QueryDef(
     "q44_dedup_minhash_lsh",
     (s, dir) => {
       val hashed = shingles(s, dir)
-        .withColumn("h2", concat(md5(col("sh")), md5(col("sh"))))
+        .withColumn("h2", concat(md5(col("sh")), md5(concat(lit("1"), col("sh")))))
       val sigCols = (0 to 7).map(i =>
-        min(substring(col("h2"), i * 4 + 1, 16)).as(s"m$i"))
+        min(substring(col("h2"), i * 8 + 1, 8)).as(s"m$i"))
       val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       // cache: both sides of the bucket join scan the banded signatures —
       // without it the shingle+md5 signature pass runs twice.
@@ -125,17 +130,17 @@ object DedupOps extends QueryModule {
     },
     Some(s"""WITH $shinglesSql,
             hashed AS (
-              SELECT doc_id, md5(sh) || md5(sh) AS h2 FROM sh),
+              SELECT doc_id, md5(sh) || md5('1' || sh) AS h2 FROM sh),
             sig AS (
               SELECT doc_id,
-                min(substr(h2,  1, 16)) AS m0,
-                min(substr(h2,  5, 16)) AS m1,
-                min(substr(h2,  9, 16)) AS m2,
-                min(substr(h2, 13, 16)) AS m3,
-                min(substr(h2, 17, 16)) AS m4,
-                min(substr(h2, 21, 16)) AS m5,
-                min(substr(h2, 25, 16)) AS m6,
-                min(substr(h2, 29, 16)) AS m7
+                min(substr(h2,  1, 8)) AS m0,
+                min(substr(h2,  9, 8)) AS m1,
+                min(substr(h2, 17, 8)) AS m2,
+                min(substr(h2, 25, 8)) AS m3,
+                min(substr(h2, 33, 8)) AS m4,
+                min(substr(h2, 41, 8)) AS m5,
+                min(substr(h2, 49, 8)) AS m6,
+                min(substr(h2, 57, 8)) AS m7
               FROM hashed GROUP BY doc_id),
             bands AS (
               SELECT doc_id, 0 AS band, m0 || m1 AS key FROM sig UNION ALL

@@ -303,15 +303,26 @@ object Relational extends QueryModule {
             count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  /** HLL sketch — engines' sketches differ by construction, so this is a
-    * rows-only check; the exact counterpart is q11. */
+  /** HLL sketch. The two engines' sketches differ by construction, so
+    * the raw estimate can't hash-match — but the sketch's CONTRACT can:
+    * each engine asserts its own estimate against its own exact count
+    * (|approx − exact| / exact < 15%, 3σ of the 5% default rsd), and the
+    * boolean + the exact anchor are cross-engine comparable. This gives
+    * the approx row a real pass/fail instead of rows-only. */
   val q12_agg_approx = QueryDef(
     "q12_agg_approx",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(countDistinct(col("l_partkey")).as("nd_exact"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+      .select(col("l_returnflag"), col("nd_exact"),
+        (abs(col("approx") - col("nd_exact")) / col("nd_exact") < 0.15).as("within_tol"))
       .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+            CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_exact,
+            abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+              / count(DISTINCT l_partkey) < 0.15 AS within_tol
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   val q13_agg_rollup = QueryDef(
     "q13_agg_rollup",

@@ -42,4 +42,44 @@ class BandedLshSpec extends AnyFunSuite {
     assert(hamming(a, b) == 5)
     assert(!bands(a).zip(bands(b)).exists { case (x, y) => x == y })
   }
+
+  // ---- q44 MinHash windows: independence under a hot shingle ---------
+
+  /** JVM mirror of q44's hash-function formula (DedupOps): the 8
+    * non-overlapping 8-hex windows of md5(sh) || md5('1' || sh). */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def window(sh: String, i: Int): String = {
+    val h2 = md5hex(sh) + md5hex("1" + sh)
+    h2.substring(i * 8, i * 8 + 8)
+  }
+
+  test("q44 hot shingle shared by every doc does not weld docs into one band clique") {
+    // Round-2 failure mode: with OVERLAPPING windows of one digest, a
+    // single low-digest shingle present in many docs wins all 8 mins at
+    // once → all band keys equal → quadratic bucket. Fixture: 40 docs of
+    // 30 unique shingles each, plus one shared shingle chosen to be the
+    // GLOBAL minimum under hash 0 (the worst case — it wins m0 for every
+    // doc by construction). Independence of the other windows must keep
+    // the band keys apart.
+    val docs = (0 until 40).map(i => (0 until 30).map(j => s"doc${i}_sh$j"))
+    val hot = docs.flatten.minBy(window(_, 0))
+    val withHot = docs.map(_ :+ hot)
+    val mins: Seq[Seq[String]] = withHot.map(doc => (0 until 8).map(i => doc.map(window(_, i)).min))
+    // the hot shingle does win hash 0 everywhere (fixture is the worst case)
+    assert(mins.forall(_.head == window(hot, 0)))
+    // …but band keys (m0||m1, m2||m3, m4||m5, m6||m7) must not collapse:
+    // no band bucket may contain every doc, and band 0 (the one the hot
+    // shingle dominates half of) must still spread across many keys.
+    val bandKeys = (0 until 4).map(b => mins.map(m => m(2 * b) + m(2 * b + 1)))
+    bandKeys.zipWithIndex.foreach { case (keys, b) =>
+      val biggestBucket = keys.groupBy(identity).values.map(_.size).max
+      assert(biggestBucket < docs.size,
+        s"band $b welded all ${docs.size} docs into one bucket")
+    }
+    assert(bandKeys.head.distinct.size > docs.size / 2,
+      "band-0 keys should stay nearly per-doc: m1 is independent of the hot shingle's m0")
+  }
 }
