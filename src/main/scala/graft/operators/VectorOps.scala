@@ -93,6 +93,44 @@ object VectorOps extends QueryModule {
                        * sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.4
             ORDER BY a, b"""))
 
+  /** Hyperplane component h,j = first md5 nibble of "h_j", centered —
+    * computed at PLAN TIME into a constant float vector, so each
+    * signature bit is one native dot product against a literal array
+    * (codegen loop) instead of a 64-term interpreted expression.
+    * ±x.5 values are exact in float; products/accumulation match the
+    * oracle's (instr(md5(...))-8.5)*v left-associated sum bit-for-bit. */
+  private def hyperplane(h: Int): Seq[Float] = (0 until 64).map { j =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${h}_$j".getBytes("UTF-8"))
+    val nibble = (hex(0) >> 4) & 0xf
+    (nibble - 7.5).toFloat
+  }
+
+  /** Sign-bit bucket over hyperplanes `hs` (bit i = hyperplane hs(i)). */
+  private def bucketCol(hs: Range): Column = hs.map { h =>
+    when(dot_ff(typedLit(hyperplane(h)), col("embedding")) > 0, lit(1L << (h - hs.head)))
+      .otherwise(lit(0L))
+  }.reduce(_ + _)
+
+  /** DuckDB mirror of [[bucketCol]] (same hyperplanes, same fold order). */
+  private def bucketSql(hs: Range): String = hs.map { h =>
+    val comps = (0 until 64).map(j =>
+      s"(instr('0123456789abcdef', substr(md5('${h}_$j'), 1, 1)) - 8.5) * CAST(embedding[${j + 1}] AS DOUBLE)")
+    s"(CASE WHEN (${comps.mkString(" + ")}) > 0 THEN ${1L << (h - hs.head)} ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** Same mirror with the hyperplane constants inlined as numeric
+    * literals instead of instr(md5(...)) recomputation — the components
+    * are ±x.5 values (exact in both float and the SQL literal), so
+    * parity holds and the SQL stays ~10× shorter; q62 uses 24
+    * hyperplanes, where the md5 form would be a 120 KB statement. */
+  private def bucketSqlLit(hs: Range): String = hs.map { h =>
+    val comps = hyperplane(h).zipWithIndex.map { case (w, j) =>
+      s"($w) * CAST(embedding[${j + 1}] AS DOUBLE)"
+    }
+    s"(CASE WHEN (${comps.mkString(" + ")}) > 0 THEN ${1L << (h - hs.head)} ELSE 0 END)"
+  }.mkString(" + ")
+
   /** Approximate NN via random-hyperplane LSH: 6 deterministic
     * md5-derived hyperplanes → 6-bit bucket per vector (64 buckets — sized
     * so buckets hold a handful of candidates at test scale; at corpus
@@ -103,23 +141,7 @@ object VectorOps extends QueryModule {
     "q48_vector_ann_lsh",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      // Hyperplane component h,j = first md5 nibble of "h_j", centered —
-      // computed at PLAN TIME into a constant float vector, so each
-      // signature bit is one native dot product against a literal array
-      // (codegen loop) instead of a 64-term interpreted expression.
-      // ±x.5 values are exact in float; products/accumulation match the
-      // oracle's (instr(md5(...))-8.5)*v left-associated sum bit-for-bit.
-      def hyperplane(h: Int): Seq[Float] = (0 until 64).map { j =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${h}_$j".getBytes("UTF-8"))
-        val nibble = (hex(0) >> 4) & 0xf
-        (nibble - 7.5).toFloat
-      }
-      val bucketCol = (0 until 6).map { h =>
-        when(dot_ff(typedLit(hyperplane(h)), col("embedding")) > 0, lit(1L << h))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      val withBucket = e.withColumn("bucket", bucketCol.cast("long"))
+      val withBucket = e.withColumn("bucket", bucketCol(0 until 6).cast("long"))
       val q = withBucket.filter(col("vec_id") < 32)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"),
           sqrt(norm2(col("embedding"))).as("qn"))
@@ -134,14 +156,8 @@ object VectorOps extends QueryModule {
         .orderBy("qid")
     },
     {
-      val sigBitSql = (h: Int) => {
-        val comps = (0 until 64).map(j =>
-          s"(instr('0123456789abcdef', substr(md5('${h}_$j'), 1, 1)) - 8.5) * CAST(embedding[${j + 1}] AS DOUBLE)")
-        s"(CASE WHEN (${comps.mkString(" + ")}) > 0 THEN ${1L << h} ELSE 0 END)"
-      }
-      val bucketSql = (0 until 6).map(sigBitSql).mkString(" + ")
       Some(s"""WITH wb AS (
-              SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
+              SELECT vec_id, embedding, CAST(${bucketSql(0 until 6)} AS BIGINT) AS bucket
               FROM embeddings),
             q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM wb WHERE vec_id < 32),
             c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM wb),
@@ -222,20 +238,40 @@ object VectorOps extends QueryModule {
     * keeper, strongest similarity and match count — the exact shape a
     * cleaning pipeline consumes ("drop dup_id, it duplicates keep_id").
     *
-    * Scale path: this exact all-pairs verify runs AFTER a candidate
-    * prefilter (the q48 hyperplane buckets / q54 IVF cells) — candidates
-    * only, never corpus×corpus; the threshold verify stage here is what
-    * both of those feed at 100 TB. max(cos)/min(id)/count are all
-    * order-independent aggregates, so the result is partition-invariant. */
+    * Candidate generation is the hyperplane-LSH prefilter (q48's
+    * machinery) composed in — EIGHT independent 3-bit hash tables
+    * (hyperplanes 3k..3k+2), candidates = pairs sharing a bucket in any
+    * table, unioned and deduped, then the exact cosine verify runs on
+    * candidates only. Never corpus×corpus: every candidate join is a
+    * bucket equi-join (PlanSpec pins no CartesianProduct/BNLJ).
+    *
+    * Geometry: this corpus's true near-dups sit at cos ≈ 0.45–0.51
+    * (p_agree ≈ 0.66 per hyperplane), so recall per 3-bit table is
+    * p³ ≈ 0.29 and across 8 tables 1−(1−p³)⁸ ≈ 0.93 — bands-many-and-
+    * short is the recall dial at low thresholds; at a production
+    * near-identical threshold (cos ≥ 0.9, p ≈ 0.86) the same geometry
+    * gives ≈ 0.996. The band width r is what grows with log(corpus) to
+    * keep Σ bucket² sub-quadratic at 100 TB. The identical bucket
+    * computation runs in the oracle, so candidate sets — and therefore
+    * outputs — are engine-identical. */
   val q62_dedup_embedding = QueryDef(
     "q62_dedup_embedding",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("a"), col("embedding").as("av"),
+      val tables = (0 until 8).map(k => (3 * k) until (3 * k + 3))
+      val wb = e.select(col("vec_id") +: tables.zipWithIndex.map { case (hs, k) =>
+        bucketCol(hs).cast("long").as(s"b$k")
+      }: _*)
+      def candsOn(k: String) =
+        wb.select(col("vec_id").as("a"), col(k))
+          .join(wb.select(col("vec_id").as("b"), col(k)), Seq(k))
+          .filter(col("a") < col("b")).select("a", "b")
+      val cands = tables.indices.map(k => candsOn(s"b$k")).reduce(_ union _).distinct()
+      val va = e.select(col("vec_id").as("a"), col("embedding").as("av"),
         sqrt(norm2(col("embedding"))).as("na"))
-      val b = e.select(col("vec_id").as("b"), col("embedding").as("bv"),
+      val vb = e.select(col("vec_id").as("b"), col("embedding").as("bv"),
         sqrt(norm2(col("embedding"))).as("nb"))
-      a.join(b, col("a") < col("b"))
+      cands.join(va, "a").join(vb, "b")
         .withColumn("cos", dot(col("av"), col("bv")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
         .groupBy(col("b").as("dup_id"))
@@ -244,16 +280,31 @@ object VectorOps extends QueryModule {
           count(lit(1)).as("n_matches"))
         .orderBy("dup_id")
     },
-    Some(s"""WITH pairs AS (
-              SELECT x.vec_id AS a, y.vec_id AS b,
+    {
+      val bucketCols = (0 until 8).map(k =>
+        s"CAST(${bucketSqlLit((3 * k) until (3 * k + 3))} AS BIGINT) AS b$k").mkString(",\n                     ")
+      val candUnions = (0 until 8).map(k =>
+        s"SELECT x.vec_id AS a, y.vec_id AS b FROM wb x JOIN wb y ON x.b$k = y.b$k AND x.vec_id < y.vec_id")
+        .mkString("\n              UNION\n              ")
+      Some(s"""WITH wb AS (
+              SELECT vec_id,
+                     $bucketCols
+              FROM embeddings),
+            cands AS (
+              $candUnions),
+            pairs AS (
+              SELECT a, b,
                      ${dotSql("x.embedding", "y.embedding")}
                        / (sqrt(${dotSql("x.embedding", "x.embedding")})
                           * sqrt(${dotSql("y.embedding", "y.embedding")})) AS cos
-              FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+              FROM cands
+              JOIN embeddings x ON x.vec_id = a
+              JOIN embeddings y ON y.vec_id = b)
             SELECT b AS dup_id, min(a) AS keep_id, max(cos) AS max_cos,
                    count(*) AS n_matches
             FROM pairs WHERE cos >= 0.45
-            GROUP BY b ORDER BY dup_id"""))
+            GROUP BY b ORDER BY dup_id""")
+    })
 
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,

@@ -81,6 +81,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ANN path must be a bucket-equi join; all-pairs defeats the index")
   }
 
+  test("embedding near-dup dedup candidates come from LSH buckets, never all-pairs (q62)") {
+    val p = plan(VectorOps.q62_dedup_embedding)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the q48 bucket prefilter must be composed into the dedup plan " +
+        s"— a corpus×corpus non-equi join does not survive a 100× corpus:\n${p.take(1500)}")
+  }
+
   test("exact dedup of documents is a single linear aggregation (q42)") {
     val p = plan(DedupOps.q42_dedup_exact_stats)
     assert(!p.contains("Join"), "exact dedup must not involve any join")
