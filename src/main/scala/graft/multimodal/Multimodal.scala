@@ -40,23 +40,27 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       header: String,
+      width: Int,            // decoded FROM THE BYTES, not copied from metadata
+      height: Int,
+      sample_rate: Int,
+      payload_sig: String,   // md5 of the decoded payload bytes
       features: Array[Float]) // fixed-size feature vector (16-dim)
 
   /** Deterministic media synthesis from the documents table: the text
-    * bytes play the role of an encoded payload, prefixed with a
-    * kind-specific 4-byte magic header (what a real container format
-    * would carry). Everything downstream treats `media` as opaque. */
+    * bytes play the role of an encoded payload behind a REAL parseable
+    * container header — 16 bytes of
+    * `magic(4 ASCII) | width(4 BE) | height(4 BE) | sample_rate(4 BE)`
+    * — the shape an actual format (BMP/WAV) carries. Everything
+    * downstream treats `media` as opaque; [[extractFeatures]] must
+    * genuinely parse these bytes back out (oracle-checked by q50). */
   def synthesizeAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
+    def be32(c: org.apache.spark.sql.Column) = unhex(format_string("%08x", c))
     Tables.load(spark, dir, "documents")
       .select(
         col("doc_id").as("asset_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        concat(
-          element_at(array(lit("IMG0"), lit("AUD0"), lit("VID0")),
-            (col("doc_id") % 3 + 1).cast("int")),
-          col("text")).cast("binary").as("media"),
         element_at(array(lit("png"), lit("wav"), lit("mp4")),
           (col("doc_id") % 3 + 1).cast("int")).as("format"),
         when(col("doc_id") % 3 === 0, (col("n_chars") % 1024 + 1).cast("int"))
@@ -64,22 +68,41 @@ object Multimodal {
         when(col("doc_id") % 3 === 0, (col("n_chars") % 768 + 1).cast("int"))
           .otherwise(lit(0)).cast("int").as("height"),
         when(col("doc_id") % 3 === 1, lit(16000)).otherwise(lit(0)).cast("int").as("sample_rate"),
-        (col("n_chars") * 10).cast("long").as("duration_ms"))
+        (col("n_chars") * 10).cast("long").as("duration_ms"),
+        col("text"))
+      .withColumn("media", concat(
+        element_at(array(lit("IMG0"), lit("AUD0"), lit("VID0")),
+          (col("asset_id") % 3 + 1).cast("int")).cast("binary"),
+        be32(col("width")), be32(col("height")), be32(col("sample_rate")),
+        col("text").cast("binary")))
+      .drop("text")
       .as[MediaAsset]
   }
+
+  /** Container-header layout of the synthesized media. */
+  val HeaderBytes = 16
 
   /** The decode + feature-extraction stage: per-partition batch
     * iteration so a real codec would amortize init (model load, decoder
     * context) once per partition — the same contract as an Arrow-batch
-    * UDF. Output schema is fixed 16-dim float features. */
+    * UDF. This is a REAL binary decode (header fields parsed out of the
+    * bytes, payload digested), so q50 can oracle every output column;
+    * only the embedding step ([[MediaCodec.decodeStub]]) stands in for a
+    * model. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       // Real build: init decoder/codec context HERE, once per partition.
+      val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { a =>
-        MediaFeatures(a.asset_id, a.kind, a.media.length.toLong,
-          new String(a.media.take(4), "UTF-8"),
-          MediaCodec.decodeStub(a.media))
+        val buf = java.nio.ByteBuffer.wrap(a.media) // BIG_ENDIAN by default
+        val magic = new String(a.media, 0, 4, "US-ASCII")
+        val (w, h, sr) = (buf.getInt(4), buf.getInt(8), buf.getInt(12))
+        val payload = java.util.Arrays.copyOfRange(a.media, HeaderBytes, a.media.length)
+        md.reset()
+        val sig = md.digest(payload).map("%02x".format(_)).mkString
+        MediaFeatures(a.asset_id, a.kind, a.media.length.toLong, magic,
+          w, h, sr, sig, MediaCodec.decodeStub(payload))
       }
     }
   }

@@ -24,32 +24,42 @@ object MultimodalOps extends QueryModule {
                  ELSE 'video' END AS kind,
             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
                  ELSE 'mp4' END AS format,
-            CAST(4 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+            CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0'
                  ELSE 'VID0' END AS header,
             CAST(n_chars * 10 AS BIGINT) AS duration_ms
             FROM documents ORDER BY asset_id"""))
 
-  /** Feature-extraction path through the stubbed codec (mapPartitions
-    * batch contract). Not SQL-expressible — the codec is engine code —
-    * so this is a rows-only check; determinism is pinned by
-    * MultimodalSpec instead.
-    *
-    * The 16-dim feature vector is emitted as SCALAR columns (first
-    * component, max, and an md5 signature of the full vector), not as an
-    * array: the driver's rows-only check sorts the result frame in
-    * pandas, and a raw array column is unhashable there (round-1
-    * failure). Scalars carry the same verification power. */
+  /** Feature-extraction path through the real binary decode
+    * (mapPartitions batch contract): every output column is parsed or
+    * digested FROM THE MEDIA BYTES on the Spark side — magic header,
+    * big-endian width/height/sample_rate, md5 of the payload — while
+    * the oracle recomputes the expected values from the source columns
+    * the synthesis used. A decode bug (wrong offset, wrong endianness,
+    * off-by-one payload slice) breaks the hash match, which is exactly
+    * the correctness signal a stubbed codec can't give. Only the
+    * embedding step (byte-histogram standing in for a model) remains
+    * engine-only; it is pinned by MultimodalSpec. */
   val q50_multimodal_features = QueryDef(
     "q50_multimodal_features",
     (s, dir) => Multimodal.featureTable(s, dir)
       .select(col("asset_id"), col("kind"), col("n_bytes"), col("header"),
-        element_at(col("features"), 1).cast("double").as("f0"),
-        array_max(col("features")).cast("double").as("f_max"),
-        md5(concat_ws(",", expr("transform(features, x -> CAST(x AS STRING))")))
-          .as("features_sig"))
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("payload_sig"))
       .orderBy("asset_id"),
-    None)
+    Some("""SELECT doc_id AS asset_id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS kind,
+            CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0'
+                 ELSE 'VID0' END AS header,
+            CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars % 1024 + 1 ELSE 0 END AS BIGINT) AS width,
+            CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars % 768 + 1 ELSE 0 END AS BIGINT) AS height,
+            CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS BIGINT) AS sample_rate,
+            md5(text) AS payload_sig
+            FROM documents ORDER BY asset_id"""))
 
   override val defs: Seq[QueryDef] = Seq(q49_multimodal_meta, q50_multimodal_features)
 }

@@ -77,6 +77,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decode parses header fields back out of the binary, not from metadata") {
+    // round-trip: synthesized width/height/sample_rate must come back
+    // from the BYTES (big-endian at offsets 4/8/12) and the payload
+    // digest must match the source text — the q50 oracle contract.
+    val assets = Multimodal.synthesizeAssets(spark, dir).collect().sortBy(_.asset_id)
+    val feats = Multimodal.extractFeatures(Multimodal.synthesizeAssets(spark, dir))
+      .collect().sortBy(_.asset_id).toIndexedSeq
+    assets.zip(feats).foreach { case (a, f) =>
+      assert(f.width == a.width && f.height == a.height && f.sample_rate == a.sample_rate,
+        s"asset ${a.asset_id}: decoded header fields must equal the synthesized ones")
+      assert(f.n_bytes == a.media.length.toLong)
+      val expectedSig = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.util.Arrays.copyOfRange(a.media, Multimodal.HeaderBytes, a.media.length))
+        .map("%02x".format(_)).mkString
+      assert(f.payload_sig == expectedSig, s"asset ${a.asset_id}: payload digest mismatch")
+    }
+  }
+
   test("stub codec boundary: known bytes produce the expected histogram") {
     val features = MediaCodec.decodeStub(Array[Byte](0x00, 0x10, 0x20, 0x30))
     assert(features(0) == 0.25f && features(1) == 0.25f
@@ -92,7 +110,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sampled = Multimodal.frameSample(assets, everyNth = 4).collect()
     sampled.foreach { a =>
       val orig = a.kind == "video"
-      if (orig) assert(a.media.length <= (a.duration_ms / 10 + 4) / 4 + 1)
+      if (orig) assert(a.media.length <= (a.duration_ms / 10 + 16) / 4 + 1)
     }
     val nonVideoUnchanged = Multimodal.frameSample(assets, 4).filter(_.kind != "video")
       .collect().map(_.media.length).sum
@@ -104,6 +122,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("feature table drops the binary column before the shuffle") {
     val ft = Multimodal.featureTable(spark, dir)
     assert(!ft.columns.contains("media"), "binary payload must not travel through shuffles")
-    assert(ft.columns.toSet == Set("asset_id", "kind", "n_bytes", "header", "features"))
+    assert(ft.columns.toSet == Set("asset_id", "kind", "n_bytes", "header",
+      "width", "height", "sample_rate", "payload_sig", "features"))
   }
 }
