@@ -193,6 +193,16 @@ object Subjects {
       subject.rlike(wildcardRegex(q))
     }
 
+  /** Event-type gate of a stream group. The reference DECLARES the
+    * field on every group (storage_endpoint_mock.rs:32-38) but only
+    * ever exercises `All` (public_event_server.rs:127); here the
+    * declared capability is implemented: `ALL` admits every event,
+    * anything else is an exact match on the event's type. Pure Column
+    * logic, so it joins/filters inside codegen next to the subject
+    * predicate. */
+  def eventTypeMatches(eventType: Column, groupEventType: Column): Column =
+    (groupEventType === lit(EventType.All)) || (eventType === groupEventType)
+
   /** Anchored regex equivalent of a NATS filter: `*` ⇒ one token
     * (`[^.]+`), terminal `>` ⇒ one-or-more tokens (`.+`), literal
     * tokens quoted. Mirrors [[matches]] token semantics exactly. */

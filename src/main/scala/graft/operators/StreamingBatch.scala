@@ -214,7 +214,53 @@ object StreamingBatch extends QueryModule {
                      / CAST(count(*) AS DOUBLE) AS conv_rate
             FROM conv GROUP BY 1 ORDER BY cohort"""))
 
+  /** Event-type-gated subscription matching (R7/R8 parity): the
+    * reference declares an `event_type` per stream group
+    * (storage_endpoint_mock.rs:32-38) though its tests only pass
+    * `All`; here the declared gate is exercised. Six literal groups
+    * (project filter × gate), events mapped to their publish subjects
+    * as in q36, broadcast-joined on subject-prefix match AND
+    * [[Subjects.eventTypeMatches]] (ALL admits everything, else exact
+    * match) — the identical Column predicate the three streaming
+    * delivery paths apply. Batch form so DuckDB pins the semantics. */
+  val q69_eventtype_gate = QueryDef(
+    "q69_eventtype_gate",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("project", concat(lit("p"), (col("user_id") % 5).cast("string")))
+        .withColumn("subject", Subjects.objectSubjectCol(col("project"),
+          concat(lit("c"), col("user_id").cast("string")),
+          concat(lit("s"), col("event_id").cast("string")),
+          concat(lit("o"), col("event_id").cast("string"))))
+      val groups = s.createDataFrame(Seq(
+        ("gA", "p0", "ALL"), ("gB", "p0", "purchase"), ("gC", "p1", "signup"),
+        ("gD", "p2", "ALL"), ("gE", "p3", "view"), ("gF", "p4", "error")))
+        .toDF("group_id", "g_project", "g_event_type")
+      e.join(broadcast(groups),
+          col("subject").startsWith(
+            concat(lit("UPDATES.STORAGE._."), col("g_project"), lit("._")))
+            && Subjects.eventTypeMatches(col("event_type"), col("g_event_type")))
+        .groupBy("group_id", "g_event_type")
+        .agg(count(lit(1)).as("n_delivered"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("group_id")
+    },
+    Some("""WITH e AS (
+              SELECT event_id, user_id, event_type,
+                     'p' || CAST(user_id % 5 AS VARCHAR) AS project
+              FROM events),
+            g(group_id, g_project, g_event_type) AS (
+              VALUES ('gA','p0','ALL'), ('gB','p0','purchase'),
+                     ('gC','p1','signup'), ('gD','p2','ALL'),
+                     ('gE','p3','view'), ('gF','p4','error'))
+            SELECT group_id, g_event_type,
+                   count(*) AS n_delivered,
+                   count(DISTINCT user_id) AS n_users
+            FROM e JOIN g ON e.project = g.g_project
+              AND (g.g_event_type = 'ALL' OR e.event_type = g.g_event_type)
+            GROUP BY 1, 2 ORDER BY group_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q32_window_tumbling, q33_window_sliding, q34_window_session,
-    q35_dedup_keepfirst, q36_subject_fanout, q67_funnel)
+    q35_dedup_keepfirst, q36_subject_fanout, q67_funnel, q69_eventtype_gate)
 }

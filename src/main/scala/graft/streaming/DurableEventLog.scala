@@ -108,10 +108,12 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     * a year of log) becomes one giant batch sized by the backlog, not
     * by memory. */
   def deliveryStream(filterSubject: String,
-                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                     maxFilesPerTrigger: Option[Int] = None,
+                     eventType: String = EventType.All): DataFrame = {
     val reader = spark.readStream.schema(logSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     prunedSubjectScan(reader.parquet(logDir), filterSubject)
+      .filter(Subjects.eventTypeMatches(col("eventType"), lit(eventType)))
   }
 
   /** Shared prune: subject predicate + (when the project token is a
@@ -132,9 +134,10 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     * `Trigger.AvailableNow()` for a drain-and-stop backfill run. */
   def startDelivery(groupId: String, filterSubject: String,
                     maxFilesPerTrigger: Option[Int] = None,
-                    deliveryTrigger: Trigger = trigger): Unit = {
+                    deliveryTrigger: Trigger = trigger,
+                    eventType: String = EventType.All): Unit = {
     require(!deliveries.contains(groupId), s"delivery for $groupId already running")
-    val q = deliveryStream(filterSubject, maxFilesPerTrigger).writeStream
+    val q = deliveryStream(filterSubject, maxFilesPerTrigger, eventType).writeStream
       .queryName(s"durable-delivery-$groupId")
       .outputMode("append")
       .option("checkpointLocation", s"$ckptRoot/delivery-$groupId")
@@ -168,8 +171,9 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     new ConcurrentHashMap[String, StreamGroup]().asScala
 
   def addGroup(groupId: String, resourceType: ResourceType, resourceId: String,
-               hierarchy: Hierarchy, includeSubresources: Boolean): StreamGroup = {
-    val g = StreamGroup(groupId, resourceType.name, resourceId, EventType.All,
+               hierarchy: Hierarchy, includeSubresources: Boolean,
+               eventType: String = EventType.All): StreamGroup = {
+    val g = StreamGroup(groupId, resourceType.name, resourceId, eventType,
       includeSubresources,
       Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources))
     require(groups.putIfAbsent(groupId, g).isEmpty,
@@ -204,11 +208,13 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
         val snapshot = groups.values.toSeq
         if (snapshot.nonEmpty && !batch.isEmpty) {
           val subs = snapshot.toDF().select(col("id"), col("filterSubject"),
+            col("eventType").as("subEventType"),
             split(col("filterSubject"), "\\.").getItem(3).as("sub_project"))
           val matched = batch
             .join(broadcast(subs),
               col("project") === col("sub_project")
-                && Subjects.matchesCol(col("subject"), col("filterSubject")))
+                && Subjects.matchesCol(col("subject"), col("filterSubject"))
+                && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
             .select(col("id").as("groupId"), col("subject"), col("resourceId"))
             .collect()
           matched.groupBy(_.getString(0)).foreach { case (gid, rows) =>

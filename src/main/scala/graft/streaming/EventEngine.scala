@@ -87,12 +87,16 @@ final class EventEngine(val spark: SparkSession,
 
   /** R7/R8: register a stream group and start its filtered delivery
     * query. `hierarchy` plays the storage service's resolved-ancestors
-    * response (public_event_server.rs:102-121). */
+    * response (public_event_server.rs:102-121). `eventType` is the
+    * group's declared event-type gate (storage_endpoint_mock.rs:32-38;
+    * the reference stores it but only exercises ALL — here it filters
+    * delivery: a CREATED-only group never sees UPDATED events). */
   def createStreamGroup(groupId: String, resourceType: ResourceType, resourceId: String,
-                        hierarchy: Hierarchy, includeSubresources: Boolean): StreamGroup = {
+                        hierarchy: Hierarchy, includeSubresources: Boolean,
+                        eventType: String = EventType.All): StreamGroup = {
     val filter = Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources)
     val group = StreamGroup(groupId, resourceType.name, resourceId,
-      EventType.All, includeSubresources, filter)
+      eventType, includeSubresources, filter)
     require(groups.putIfAbsent(groupId, group).isEmpty,
       s"stream group $groupId already exists")
     start(group)
@@ -110,7 +114,8 @@ final class EventEngine(val spark: SparkSession,
   private def start(group: StreamGroup): Unit = {
     // R10–R12: the delivery loop. Micro-batch ≙ pull window; each batch
     // with data becomes one acknowledgeable chunk.
-    val filtered = eventLog.filter(Subjects.matchesLit(col("subject"), group.filterSubject))
+    val filtered = eventLog.filter(Subjects.matchesLit(col("subject"), group.filterSubject)
+      && Subjects.eventTypeMatches(col("eventType"), lit(group.eventType)))
     val q = filtered.writeStream
       .queryName(s"delivery-${group.id}")
       .outputMode("append")

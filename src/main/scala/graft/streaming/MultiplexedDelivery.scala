@@ -66,10 +66,12 @@ final class MultiplexedDelivery(val spark: SparkSession,
   def emitAll(events: Iterable[Event]): Unit = source.addData(events)
 
   /** Register a group — no new streaming query is started; the shared
-    * query picks the group up at its next micro-batch. */
+    * query picks the group up at its next micro-batch. `eventType`
+    * gates delivery (ALL = everything; else exact match). */
   def addGroup(groupId: String, resourceType: ResourceType, resourceId: String,
-               hierarchy: Hierarchy, includeSubresources: Boolean): StreamGroup = {
-    val g = StreamGroup(groupId, resourceType.name, resourceId, EventType.All,
+               hierarchy: Hierarchy, includeSubresources: Boolean,
+               eventType: String = EventType.All): StreamGroup = {
+    val g = StreamGroup(groupId, resourceType.name, resourceId, eventType,
       includeSubresources,
       Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources))
     require(groups.putIfAbsent(groupId, g).isEmpty,
@@ -100,11 +102,14 @@ final class MultiplexedDelivery(val spark: SparkSession,
         if (snapshot.nonEmpty && !batch.isEmpty) {
           // keep only the join-relevant columns: StreamGroup.resourceId
           // would otherwise collide with the event batch's resourceId
-          val subs = snapshot.toDF().select(col("id"), col("filterSubject"))
+          // (and its eventType with the event's — aliased to subEventType)
+          val subs = snapshot.toDF().select(col("id"), col("filterSubject"),
+            col("eventType").as("subEventType"))
           val matched = batch
             .join(broadcast(subs),
               projectToken(col("subject")) === projectToken(col("filterSubject"))
-                && Subjects.matchesCol(col("subject"), col("filterSubject")))
+                && Subjects.matchesCol(col("subject"), col("filterSubject"))
+                && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
             .select(col("id").as("groupId"), col("subject"), col("resourceId"))
             .collect()
           matched.groupBy(_.getString(0)).foreach { case (gid, rows) =>

@@ -99,6 +99,30 @@ class EventEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally engine.stop()
   }
 
+  test("event-type gate: CREATED-only group ignores UPDATED events; ALL sees both") {
+    val engine = newEngine()
+    try {
+      engine.createStreamGroup("created-only", ResourceType.Project, "p",
+        Hierarchy(projectId = "p"), includeSubresources = true,
+        eventType = EventType.Created)
+      engine.createStreamGroup("all-events", ResourceType.Project, "p",
+        Hierarchy(projectId = "p"), includeSubresources = true)
+
+      engine.emit(ResourceType.Project, EventType.Created, "p", RelationCtx())
+      engine.emit(ResourceType.Project, EventType.Updated, "p", RelationCtx())
+      engine.processAllAvailable()
+
+      // both events share subject UPDATES.STORAGE._.p._ — the gate is the
+      // only thing separating the two groups, so delivery COUNT is the signal
+      def nDelivered(g: String): Int =
+        engine.pendingChunks(g).map(_.subjects.size).sum
+      assert(nDelivered("created-only") == 1,
+        "a CREATED-only group must never see UPDATED events")
+      assert(nDelivered("all-events") == 2,
+        "an ALL group sees every event type")
+    } finally engine.stop()
+  }
+
   test("at-least-once: unacked chunks stay pending; unknown acks are graceful") {
     val engine = newEngine()
     try {
