@@ -44,7 +44,8 @@ import graft.core._
   * Strategy (c) is implemented: [[compactTo]] + [[archiveScan]].
   */
 final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: String,
-                            trigger: Trigger = Trigger.ProcessingTime("250 milliseconds")) {
+                            trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
+                            security: EngineSecurity = EngineSecurity.Permissive) {
   import spark.implicits._
 
   private val source =
@@ -68,7 +69,8 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     StructField("project", StringType)))
 
   def emit(resource: ResourceType, eventType: String, resourceId: String,
-           relation: RelationCtx): Unit = {
+           relation: RelationCtx, token: Option[String] = None): Unit = {
+    security.requireInternal(token)
     Subjects.requireValidId(resourceId, "resourceId")
     source.addData(Event(resource, eventType, resourceId, relation,
       new Timestamp(sequence.incrementAndGet() * 1000L)))
@@ -172,7 +174,9 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
 
   def addGroup(groupId: String, resourceType: ResourceType, resourceId: String,
                hierarchy: Hierarchy, includeSubresources: Boolean,
-               eventType: String = EventType.All): StreamGroup = {
+               eventType: String = EventType.All,
+               token: Option[String] = None): StreamGroup = {
+    security.requireRead(token, resourceType, resourceId)
     val g = StreamGroup(groupId, resourceType.name, resourceId, eventType,
       includeSubresources,
       Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources))

@@ -44,7 +44,8 @@ import graft.core._
   * [[Subjects.matchesCol]] expressions support unchanged.
   */
 final class EventEngine(val spark: SparkSession,
-                        trigger: Trigger = Trigger.ProcessingTime("250 milliseconds")) {
+                        trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
+                        security: EngineSecurity = EngineSecurity.Permissive) {
   import spark.implicits._
 
   /** The shared ingest stream (R1). MemoryStream plays the role of the
@@ -67,11 +68,15 @@ final class EventEngine(val spark: SparkSession,
   private val ledger: concurrent.Map[(String, String), DeliveryChunk] =
     new ConcurrentHashMap[(String, String), DeliveryChunk]().asScala
 
-  /** R1 `emit_event`: validate, then append to the stream. Unlike the
-    * reference (which logs-and-drops publish failures) a bad event is
-    * rejected here. */
+  /** R1 `emit_event`: token gate, validate, then append to the stream.
+    * The gate mirrors internal_event_server.rs:23-45 (missing header →
+    * unauthenticated, mismatch → "bad token"); with the default
+    * [[EngineSecurity.Permissive]] it is a no-op. Unlike the reference
+    * (which logs-and-drops publish failures) a bad event is rejected
+    * here. */
   def emit(resource: ResourceType, eventType: String, resourceId: String,
-           relation: RelationCtx): Unit = {
+           relation: RelationCtx, token: Option[String] = None): Unit = {
+    security.requireInternal(token)
     Subjects.requireValidId(resourceId, "resourceId")
     Seq(relation.project, relation.collection, relation.sharedObject)
       .filter(_.nonEmpty).foreach(Subjects.requireValidId(_, "relation id"))
@@ -90,10 +95,14 @@ final class EventEngine(val spark: SparkSession,
     * response (public_event_server.rs:102-121). `eventType` is the
     * group's declared event-type gate (storage_endpoint_mock.rs:32-38;
     * the reference stores it but only exercises ALL — here it filters
-    * delivery: a CREATED-only group never sees UPDATED events). */
+    * delivery: a CREATED-only group never sees UPDATED events).
+    * `token` feeds the R8 authorize gate (public_event_server.rs:74-100):
+    * the caller must hold a Read grant on the subscribed resource. */
   def createStreamGroup(groupId: String, resourceType: ResourceType, resourceId: String,
                         hierarchy: Hierarchy, includeSubresources: Boolean,
-                        eventType: String = EventType.All): StreamGroup = {
+                        eventType: String = EventType.All,
+                        token: Option[String] = None): StreamGroup = {
+    security.requireRead(token, resourceType, resourceId)
     val filter = Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources)
     val group = StreamGroup(groupId, resourceType.name, resourceId,
       eventType, includeSubresources, filter)
@@ -103,10 +112,13 @@ final class EventEngine(val spark: SparkSession,
     group
   }
 
-  /** R9: attach to an existing group (restarts its query if stopped). */
-  def attach(groupId: String): StreamGroup = {
+  /** R9: attach to an existing group (restarts its query if stopped).
+    * The reference re-authorizes on every bidi attach
+    * (public_event_server.rs:249-301) — mirrored here. */
+  def attach(groupId: String, token: Option[String] = None): StreamGroup = {
     val g = groups.getOrElse(groupId,
       throw new NoSuchElementException(s"unknown stream group $groupId"))
+    security.requireRead(token, ResourceType.fromName(g.resourceType), g.resourceId)
     if (!queries.contains(groupId)) start(g)
     g
   }

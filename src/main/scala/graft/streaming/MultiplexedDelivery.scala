@@ -32,7 +32,8 @@ import graft.core._
 final class MultiplexedDelivery(val spark: SparkSession,
                                 trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
                                 ledgerDir: Option[String] = None,
-                                sourcePartitions: Int = 1) {
+                                sourcePartitions: Int = 1,
+                                security: EngineSecurity = EngineSecurity.Permissive) {
   import spark.implicits._
 
   /** sourcePartitions > 1 spreads each micro-batch over that many tasks —
@@ -55,7 +56,9 @@ final class MultiplexedDelivery(val spark: SparkSession,
   @volatile private var query: Option[StreamingQuery] = None
 
   def emit(resource: ResourceType, eventType: String, resourceId: String,
-           relation: RelationCtx, ts: Timestamp = new Timestamp(0L)): Unit = {
+           relation: RelationCtx, ts: Timestamp = new Timestamp(0L),
+           token: Option[String] = None): Unit = {
+    security.requireInternal(token)
     Subjects.requireValidId(resourceId, "resourceId")
     source.addData(Event(resource, eventType, resourceId, relation, ts))
   }
@@ -70,7 +73,9 @@ final class MultiplexedDelivery(val spark: SparkSession,
     * gates delivery (ALL = everything; else exact match). */
   def addGroup(groupId: String, resourceType: ResourceType, resourceId: String,
                hierarchy: Hierarchy, includeSubresources: Boolean,
-               eventType: String = EventType.All): StreamGroup = {
+               eventType: String = EventType.All,
+               token: Option[String] = None): StreamGroup = {
+    security.requireRead(token, resourceType, resourceId)
     val g = StreamGroup(groupId, resourceType.name, resourceId, eventType,
       includeSubresources,
       Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources))

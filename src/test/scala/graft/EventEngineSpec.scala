@@ -123,6 +123,69 @@ class EventEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally engine.stop()
   }
 
+  test("authz: emit is token-gated like internal_event_server.rs:23-45") {
+    val engine = new EventEngine(spark,
+      trigger = Trigger.ProcessingTime("250 milliseconds"),
+      security = EngineSecurity(internalToken = Some("secret")))
+    try {
+      // missing header → unauthenticated (reference returns that status)
+      intercept[UnauthenticatedException] {
+        engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      }
+      // wrong token → "bad token" permission denied
+      intercept[PermissionDeniedException] {
+        engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx(),
+          token = Some("wrong"))
+      }
+      // right token → accepted
+      engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx(),
+        token = Some("secret"))
+    } finally engine.stop()
+  }
+
+  test("authz: subscribe/attach require a Read grant (public_event_server.rs:74-100)") {
+    // grants dimension: alice may read project p1 (and anything via the
+    // wildcard row for the admin token); bob holds no grants
+    val grants = spark.createDataFrame(Seq(
+      ("alice-token", "PROJECT", "p1", "READ"),
+      ("admin-token", "ALL", "*", "READ")))
+      .toDF("token", "resource_type", "resource_id", "action")
+    val engine = new EventEngine(spark,
+      trigger = Trigger.ProcessingTime("250 milliseconds"),
+      security = EngineSecurity(authz = Some(AuthzProvider.fromGrants(grants))))
+    try {
+      // no token at all → unauthenticated, before any authz lookup
+      intercept[UnauthenticatedException] {
+        engine.createStreamGroup("g0", ResourceType.Project, "p1",
+          Hierarchy(projectId = "p1"), includeSubresources = true)
+      }
+      // bob: authenticated but no grant → permission denied
+      intercept[PermissionDeniedException] {
+        engine.createStreamGroup("g0", ResourceType.Project, "p1",
+          Hierarchy(projectId = "p1"), includeSubresources = true,
+          token = Some("bob-token"))
+      }
+      assert(engine.listGroups.isEmpty, "denied subscribe must not register a group")
+      // alice: direct grant; admin: wildcard grant on another project
+      engine.createStreamGroup("g1", ResourceType.Project, "p1",
+        Hierarchy(projectId = "p1"), includeSubresources = true,
+        token = Some("alice-token"))
+      engine.createStreamGroup("g2", ResourceType.Project, "p2",
+        Hierarchy(projectId = "p2"), includeSubresources = true,
+        token = Some("admin-token"))
+      // attach re-authorizes (public_event_server.rs:249-301): alice has
+      // no grant on p2, so attaching to g2 is denied even though it exists
+      intercept[PermissionDeniedException] {
+        engine.attach("g2", token = Some("alice-token"))
+      }
+      assert(engine.attach("g1", token = Some("alice-token")).id == "g1")
+      // the gated flow still delivers end-to-end
+      engine.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+      engine.processAllAvailable()
+      assert(engine.pendingChunks("g1").flatMap(_.resourceIds) == Seq("p1"))
+    } finally engine.stop()
+  }
+
   test("at-least-once: unacked chunks stay pending; unknown acks are graceful") {
     val engine = newEngine()
     try {
