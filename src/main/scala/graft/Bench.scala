@@ -116,8 +116,9 @@ object Bench {
       mux.processAllAvailable()
     }
     val elapsed = (System.nanoTime() - t0) / 1e9
-    val delivered = (0 until 5).map(p => mux.pendingChunks(s"bench-p$p")
-      .map(_.resourceIds.size).sum).sum
+    // Accounting from chunk metadata only — the payload stays in the
+    // distributed deliveries table; nothing is hydrated to the driver.
+    val delivered = (0 until 5).map(p => mux.pendingRowCount(s"bench-p$p")).sum
     mux.stop()
     require(delivered >= rows.length,
       s"replay must deliver every event at least once ($delivered < ${rows.length})")

@@ -94,12 +94,28 @@ final case class Hierarchy(
 
 /** One delivered chunk awaiting ack — the reference's
   * `ack_chunks: HashMap<chunk_id, Vec<Message>>`
-  * (public_event_server.rs:318-319,416-420) re-expressed as a ledger row. */
+  * (public_event_server.rs:318-319,416-420). The client-facing,
+  * payload-hydrated view: engines materialize it on demand from the
+  * distributed deliveries table (see `streaming.DeliveryTable`). */
 final case class DeliveryChunk(
     groupId: String,
     chunkId: String,
     batchId: Long,
     subjects: Seq[String],
     resourceIds: Seq[String],
+    deliveredAt: Timestamp,
+    acked: Boolean)
+
+/** Driver-resident chunk METADATA — what the delivery ledger and its
+  * WAL actually hold. The payload (subjects/resourceIds) lives in the
+  * partitioned deliveries table, written by executors inside
+  * foreachBatch; keeping only ids+counts on the driver is what removes
+  * the reference's every-event-through-the-driver bottleneck at scale
+  * (the reference holds full `Vec<Message>`s in its in-server map). */
+final case class ChunkMeta(
+    groupId: String,
+    chunkId: String,
+    batchId: Long,
+    rows: Long,
     deliveredAt: Timestamp,
     acked: Boolean)

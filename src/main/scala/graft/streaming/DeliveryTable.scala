@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The distributed half of the delivery ledger: chunk PAYLOADS
+  * (subject, resourceId rows) as a parquet dataset partitioned by
+  * `(groupId, chunkId)`.
+  *
+  * The reference keeps every delivered message in an in-server
+  * `HashMap<chunk_id, Vec<Message>>` until acked
+  * (public_event_server.rs:318-319) — at 100 TB that routes the whole
+  * event volume through one process's heap. Here executors write each
+  * micro-batch's payload straight to this table inside foreachBatch;
+  * the driver ledger keeps only [[graft.core.ChunkMeta]] (ids + row
+  * counts), and a consumer pulling its pending chunks reads exactly its
+  * own `(groupId, chunkId)` partition directories back — partition
+  * pruning makes the re-read proportional to what THAT consumer has
+  * outstanding, not to the log.
+  *
+  * Writes use dynamic partition overwrite so a foreachBatch replay
+  * (micro-batch retry / restart) rewrites the same partitions with
+  * identical content instead of appending duplicates — the write is
+  * idempotent per (groupId, chunkId), matching the WAL's replay rule.
+  *
+  * `seq` preserves delivery order within a chunk (monotonic per
+  * partition, partition-major across them — the same order the old
+  * driver-side `collect()` produced).
+  */
+final class DeliveryTable(spark: SparkSession, val dir: String) {
+
+  private def fs = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Payload of one chunk for one group (per-group delivery queries). */
+  def write(groupId: String, chunkId: String, rows: DataFrame): Unit =
+    writeMulti(rows
+      .withColumn("groupId", lit(groupId))
+      .withColumn("chunkId", lit(chunkId)))
+
+  /** Payload rows spanning many groups in one pass (multiplexed
+    * delivery: one distributed write per micro-batch for ALL groups).
+    * `rows` must carry groupId, chunkId, subject, resourceId. */
+  def writeMulti(rows: DataFrame): Unit =
+    rows.select(col("groupId"), col("chunkId"), col("subject"),
+        col("resourceId"), monotonically_increasing_id().as("seq"))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("groupId", "chunkId")
+      .parquet(dir)
+
+  /** Hydrate the payloads of `chunkIds` for `groupId` in ONE pruned
+    * scan: (chunkId → (subjects, resourceIds)), each in delivery order.
+    * This is the consumer-pull path — materialization happens at the
+    * consumer, per chunk, never at delivery time. */
+  def read(groupId: String, chunkIds: Seq[String]): Map[String, (Seq[String], Seq[String])] = {
+    val (filesystem, path) = fs
+    if (chunkIds.isEmpty || !filesystem.exists(path)) return Map.empty
+    spark.read.parquet(dir)
+      .filter(col("groupId") === groupId && col("chunkId").isin(chunkIds: _*))
+      .select("chunkId", "subject", "resourceId", "seq")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (cid, rs) =>
+        val ordered = rs.sortBy(_.getLong(3))
+        (cid, (ordered.map(_.getString(1)).toSeq, ordered.map(_.getString(2)).toSeq))
+      }
+  }
+
+  /** Drop a group's payload partitions (group delete / retention). */
+  def drop(groupId: String): Unit = {
+    val (filesystem, path) = fs
+    val gdir = new org.apache.hadoop.fs.Path(path, s"groupId=$groupId")
+    if (filesystem.exists(gdir)) { filesystem.delete(gdir, true); () }
+  }
+}
+
+object DeliveryTable {
+  /** Engine-owned scratch location for in-process/test wiring;
+    * production passes a durable shared path instead. */
+  def tempDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-deliveries-").toString
+}

@@ -54,12 +54,15 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   @volatile private var ingestQuery: Option[StreamingQuery] = None
   private val deliveries: concurrent.Map[String, StreamingQuery] =
     new ConcurrentHashMap[String, StreamingQuery]().asScala
-  private val ledger: concurrent.Map[(String, String), DeliveryChunk] =
-    new ConcurrentHashMap[(String, String), DeliveryChunk]().asScala
-  /** WAL-backed chunk/ack state — replayed on construction so pending
-    * (unacked) chunks survive a process restart (see LedgerStore). */
+  private val ledger: concurrent.Map[(String, String), ChunkMeta] =
+    new ConcurrentHashMap[(String, String), ChunkMeta]().asScala
+  /** WAL-backed chunk/ack METADATA — replayed on construction so pending
+    * (unacked) chunks survive a process restart (see LedgerStore).
+    * Payloads are durable in [[DeliveryTable]] parquet under ckptRoot,
+    * written by executors — the driver holds ids+counts only. */
   private val store = new LedgerStore(s"$ckptRoot/ledger")
   store.load().foreach { case (k, v) => ledger.put(k, v) }
+  private val table = new DeliveryTable(spark, s"$ckptRoot/deliveries")
 
   /** Log row schema; `project` is the physical partition column. */
   val logSchema: StructType = StructType(Seq(
@@ -145,18 +148,25 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
       .option("checkpointLocation", s"$ckptRoot/delivery-$groupId")
       .trigger(deliveryTrigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val rows = batch.select("subject", "resourceId").collect()
         // Idempotent on foreachBatch replay: if the (groupId, chunkId)
         // key is already in the ledger (this batch was delivered before a
-        // restart — possibly already acked), keep the existing entry and
-        // write nothing; re-appending would resurrect acked chunks.
-        if (rows.nonEmpty && !ledger.contains((groupId, s"$groupId-$batchId"))) {
-          val chunkId = s"$groupId-$batchId"
-          val chunk = DeliveryChunk(groupId, chunkId, batchId,
-            rows.map(_.getString(0)).toSeq, rows.map(_.getString(1)).toSeq,
-            new Timestamp(System.currentTimeMillis()), acked = false)
-          store.appendChunk(chunk)   // WAL first, then visible state
-          ledger.put((groupId, chunkId), chunk)
+        // restart — possibly already acked), keep the existing entry;
+        // re-appending the WAL record would resurrect acked chunks. The
+        // payload write is dynamic-partition-overwrite, so a replayed
+        // write rewrites identical content rather than duplicating it.
+        val chunkId = s"$groupId-$batchId"
+        if (!ledger.contains((groupId, chunkId))) {
+          val payload = batch.select("subject", "resourceId").persist()
+          try {
+            val n = payload.count()
+            if (n > 0) {
+              table.write(groupId, chunkId, payload) // payload first …
+              val meta = ChunkMeta(groupId, chunkId, batchId, n,
+                new Timestamp(System.currentTimeMillis()), acked = false)
+              store.appendChunk(meta)                // … then WAL commit
+              ledger.put((groupId, chunkId), meta)
+            }
+          } finally { payload.unpersist(); () }
         }
         ()
       }
@@ -214,25 +224,39 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
           val subs = snapshot.toDF().select(col("id"), col("filterSubject"),
             col("eventType").as("subEventType"),
             split(col("filterSubject"), "\\.").getItem(3).as("sub_project"))
+          // One distributed pass serves EVERY group: join, then write all
+          // groups' payloads in a single partitioned write. Only per-group
+          // COUNTS reach the driver (one row per matched group).
           val matched = batch
             .join(broadcast(subs),
               col("project") === col("sub_project")
                 && Subjects.matchesCol(col("subject"), col("filterSubject"))
                 && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
             .select(col("id").as("groupId"), col("subject"), col("resourceId"))
-            .collect()
-          matched.groupBy(_.getString(0)).foreach { case (gid, rows) =>
-            val chunkId = s"$gid-$batchId"
+            .persist()
+          try {
+            val counts = matched.groupBy("groupId").count().collect()
+              .map(r => (r.getString(0), r.getLong(1)))
             // Same replay-idempotence as per-group mode: never overwrite
-            // an existing (possibly acked) ledger entry on batch re-run.
-            if (!ledger.contains((gid, chunkId))) {
-              val chunk = DeliveryChunk(gid, chunkId, batchId,
-                rows.map(_.getString(1)).toSeq, rows.map(_.getString(2)).toSeq,
-                new Timestamp(System.currentTimeMillis()), acked = false)
-              store.appendChunk(chunk)
-              ledger.put((gid, chunkId), chunk)
+            // an existing (possibly acked) ledger entry on batch re-run;
+            // the payload write is per-partition overwrite (idempotent).
+            val fresh = counts.filter { case (gid, _) =>
+              !ledger.contains((gid, s"$gid-$batchId")) }
+            if (fresh.nonEmpty) {
+              val freshIds = fresh.map(_._1).toSeq
+              table.writeMulti(matched
+                .filter(col("groupId").isin(freshIds: _*))
+                .withColumn("chunkId",
+                  concat(col("groupId"), lit(s"-$batchId"))))
+              fresh.foreach { case (gid, n) =>
+                val chunkId = s"$gid-$batchId"
+                val meta = ChunkMeta(gid, chunkId, batchId, n,
+                  new Timestamp(System.currentTimeMillis()), acked = false)
+                store.appendChunk(meta)
+                ledger.put((gid, chunkId), meta)
+              }
             }
-          }
+          } finally { matched.unpersist(); () }
         }
         ()
       }
@@ -285,17 +309,32 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     * of chunks created. */
   def backfillFromArchive(groupId: String, archiveDir: String, filterSubject: String,
                           chunkRows: Int = 10000): Int = {
-    val rows = archiveScan(archiveDir, filterSubject)
-      .select("subject", "resourceId").collect()
+    // Distributed slicing: zipWithIndex assigns contiguous scan-order
+    // indices without a driver materialization (the RDD detour is the
+    // one API that gives contiguous ids; this is a bulk admin path, not
+    // a codegen-hot loop), then one partitioned write ships every
+    // chunk's payload straight from the executors.
+    val base = archiveScan(archiveDir, filterSubject).select("subject", "resourceId")
+    val n = base.count()
+    if (n == 0) return 0
+    val sliced = base.rdd.zipWithIndex.map { case (r, i) =>
+      (s"$groupId-backfill-${i / chunkRows}", r.getString(0), r.getString(1))
+    }
+    table.writeMulti(spark.createDataFrame(sliced)
+      .toDF("chunkId", "subject", "resourceId")
+      .withColumn("groupId", lit(groupId)))
+    val nChunks = ((n + chunkRows - 1) / chunkRows).toInt
     var created = 0
-    rows.grouped(chunkRows).zipWithIndex.foreach { case (slice, k) =>
+    (0 until nChunks).foreach { k =>
       val chunkId = s"$groupId-backfill-$k"
+      // Idempotent per (groupId, chunkId): a re-run backfill re-serves
+      // nothing already in the ledger (WAL rules — acked stays acked).
       if (!ledger.contains((groupId, chunkId))) {
-        val chunk = DeliveryChunk(groupId, chunkId, batchId = -(k + 1L),
-          slice.map(_.getString(0)).toSeq, slice.map(_.getString(1)).toSeq,
+        val meta = ChunkMeta(groupId, chunkId, batchId = -(k + 1L),
+          math.min(chunkRows.toLong, n - k.toLong * chunkRows),
           new Timestamp(System.currentTimeMillis()), acked = false)
-        store.appendChunk(chunk)
-        ledger.put((groupId, chunkId), chunk)
+        store.appendChunk(meta)
+        ledger.put((groupId, chunkId), meta)
         created += 1
       }
     }
@@ -307,12 +346,29 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     * event log itself. */
   def compactLedger(): Unit = store.compact()
 
+  /** Hydrate metas into client-facing chunks: ONE pruned read of the
+    * deliveries table covering all requested chunks (consumer pull). */
+  private def hydrate(groupId: String, metas: Seq[ChunkMeta]): Seq[DeliveryChunk] = {
+    if (metas.isEmpty) return Seq.empty
+    val payload = table.read(groupId, metas.map(_.chunkId))
+    metas.map { m =>
+      val (subjects, ids) = payload.getOrElse(m.chunkId, (Seq.empty, Seq.empty))
+      DeliveryChunk(m.groupId, m.chunkId, m.batchId, subjects, ids, m.deliveredAt, m.acked)
+    }
+  }
+
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
-    ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c }
-      .toSeq.sortBy(_.batchId)
+    hydrate(groupId, ledger.collect {
+      case ((g, _), c) if g == groupId && !c.acked => c
+    }.toSeq.sortBy(_.batchId))
+
+  /** Pending row count from driver metadata alone (no payload read). */
+  def pendingRowCount(groupId: String): Long =
+    ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c.rows }.sum
 
   def deliveredChunks(groupId: String): Seq[DeliveryChunk] =
-    ledger.collect { case ((g, _), c) if g == groupId => c }.toSeq.sortBy(_.batchId)
+    hydrate(groupId,
+      ledger.collect { case ((g, _), c) if g == groupId => c }.toSeq.sortBy(_.batchId))
 
   def ack(groupId: String, chunkId: String): Boolean =
     ledger.get((groupId, chunkId)) match {

@@ -45,7 +45,8 @@ import graft.core._
   */
 final class EventEngine(val spark: SparkSession,
                         trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
-                        security: EngineSecurity = EngineSecurity.Permissive) {
+                        security: EngineSecurity = EngineSecurity.Permissive,
+                        deliveriesDir: Option[String] = None) {
   import spark.implicits._
 
   /** The shared ingest stream (R1). MemoryStream plays the role of the
@@ -63,10 +64,16 @@ final class EventEngine(val spark: SparkSession,
   private val queries: concurrent.Map[String, StreamingQuery] =
     new ConcurrentHashMap[String, StreamingQuery]().asScala
 
-  /** Delivery ledger: (groupId, chunkId) → chunk. The reference's
-    * `ack_chunks: Mutex<HashMap>` (public_event_server.rs:318-319). */
-  private val ledger: concurrent.Map[(String, String), DeliveryChunk] =
-    new ConcurrentHashMap[(String, String), DeliveryChunk]().asScala
+  /** Delivery ledger: (groupId, chunkId) → METADATA ONLY. The
+    * reference's `ack_chunks: Mutex<HashMap>` holds full message
+    * vectors (public_event_server.rs:318-319); here payloads live in
+    * the distributed [[DeliveryTable]] and the driver keeps ids+counts
+    * — no event row transits or resides in driver memory between
+    * delivery and ack. */
+  private val ledger: concurrent.Map[(String, String), ChunkMeta] =
+    new ConcurrentHashMap[(String, String), ChunkMeta]().asScala
+  private val table = new DeliveryTable(spark,
+    deliveriesDir.getOrElse(DeliveryTable.tempDir()))
 
   /** R1 `emit_event`: token gate, validate, then append to the stream.
     * The gate mirrors internal_event_server.rs:23-45 (missing header →
@@ -133,31 +140,56 @@ final class EventEngine(val spark: SparkSession,
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val rows = batch.select("subject", "resourceId").collect()
-        if (rows.nonEmpty) {
-          // Deterministic chunk id (groupId+batchId) instead of uuid4:
-          // replayable, and idempotent on micro-batch retry.
-          val chunkId = s"${group.id}-$batchId"
-          ledger.put((group.id, chunkId), DeliveryChunk(
-            group.id, chunkId, batchId,
-            rows.map(_.getString(0)).toSeq, rows.map(_.getString(1)).toSeq,
-            new Timestamp(System.currentTimeMillis()), acked = false))
-        }
+        // Two actions on the batch (count + distributed payload write) —
+        // persist/unpersist inside the batch is the idiomatic shape; no
+        // event row is collected to the driver.
+        val payload = batch.select("subject", "resourceId").persist()
+        try {
+          val n = payload.count()
+          if (n > 0) {
+            // Deterministic chunk id (groupId+batchId) instead of uuid4:
+            // replayable, and idempotent on micro-batch retry.
+            val chunkId = s"${group.id}-$batchId"
+            table.write(group.id, chunkId, payload)
+            ledger.putIfAbsent((group.id, chunkId), ChunkMeta(
+              group.id, chunkId, batchId, n,
+              new Timestamp(System.currentTimeMillis()), acked = false))
+          }
+        } finally { payload.unpersist(); () }
         ()
       }
       .start()
     queries.put(group.id, q)
   }
 
+  /** Hydrate metas into client-facing chunks: ONE pruned read of the
+    * deliveries table covering all requested chunks. */
+  private def hydrate(groupId: String, metas: Seq[ChunkMeta]): Seq[DeliveryChunk] = {
+    if (metas.isEmpty) return Seq.empty
+    val payload = table.read(groupId, metas.map(_.chunkId))
+    metas.map { m =>
+      val (subjects, ids) = payload.getOrElse(m.chunkId, (Seq.empty, Seq.empty))
+      DeliveryChunk(m.groupId, m.chunkId, m.batchId, subjects, ids, m.deliveredAt, m.acked)
+    }
+  }
+
   /** Chunks delivered to a group and not yet acked — what a reconnecting
-    * client receives again (at-least-once). */
+    * client receives again (at-least-once). Payloads are read back from
+    * the deliveries table at PULL time (consumer-side materialization). */
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
-    ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c }
-      .toSeq.sortBy(_.batchId)
+    hydrate(groupId, ledger.collect {
+      case ((g, _), c) if g == groupId && !c.acked => c
+    }.toSeq.sortBy(_.batchId))
+
+  /** Pending row count from driver metadata alone — monitoring/backlog
+    * accounting without touching the payload table. */
+  def pendingRowCount(groupId: String): Long =
+    ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c.rows }.sum
 
   /** All chunks ever delivered to a group (acked + pending). */
   def deliveredChunks(groupId: String): Seq[DeliveryChunk] =
-    ledger.collect { case ((g, _), c) if g == groupId => c }.toSeq.sortBy(_.batchId)
+    hydrate(groupId,
+      ledger.collect { case ((g, _), c) if g == groupId => c }.toSeq.sortBy(_.batchId))
 
   /** R12/R13 ack path: mark a chunk consumed. Unknown chunk ids are
     * ignored (reference panics — public_event_server.rs:368). */
@@ -180,6 +212,7 @@ final class EventEngine(val spark: SparkSession,
     close(groupId)
     groups.remove(groupId)
     ledger.keys.filter(_._1 == groupId).foreach(ledger.remove)
+    table.drop(groupId)
   }
 
   def listGroups: Seq[StreamGroup] = groups.values.toSeq.sortBy(_.id)

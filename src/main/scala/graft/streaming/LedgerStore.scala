@@ -5,9 +5,9 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
-import graft.core.DeliveryChunk
+import graft.core.ChunkMeta
 
-/** Write-ahead ledger for delivery chunks and acks.
+/** Write-ahead ledger for delivery-chunk METADATA and acks.
   *
   * Closes the at-least-once gap across process restarts: the streaming
   * checkpoint marks a micro-batch COMMITTED as soon as foreachBatch
@@ -16,10 +16,15 @@ import graft.core.DeliveryChunk
   * the batch). The reference gets this durability from JetStream's
   * consumer state; here it is an append-only JSONL log replayed on
   * startup — driver-side single-writer state, exactly the scale of the
-  * reference's in-server `ack_chunks` map, but persistent.
+  * reference's in-server ack map, but persistent.
+  *
+  * The WAL holds ONLY [[ChunkMeta]] (ids, batch, row count, ack state);
+  * chunk payloads are durable in the partitioned [[DeliveryTable]]
+  * parquet the executors wrote — so WAL size is O(chunks), independent
+  * of event volume.
   *
   * Record format (one JSON object per line):
-  *   {"t":"chunk","g":...,"c":...,"b":N,"subjects":[...],"ids":[...],"at":N}
+  *   {"t":"chunk","g":...,"c":...,"b":N,"n":N,"at":N}
   *   {"t":"ack","g":...,"c":...}
   */
 final class LedgerStore(dir: String) {
@@ -40,16 +45,14 @@ final class LedgerStore(dir: String) {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  private def chunkLine(c: DeliveryChunk): String =
+  private def chunkLine(c: ChunkMeta): String =
     s"""{"t":"chunk","g":"${esc(c.groupId)}","c":"${esc(c.chunkId)}","b":${c.batchId},""" +
-      s""""subjects":[${c.subjects.map(s => "\"" + esc(s) + "\"").mkString(",")}],""" +
-      s""""ids":[${c.resourceIds.map(s => "\"" + esc(s) + "\"").mkString(",")}],""" +
-      s""""at":${c.deliveredAt.getTime}}"""
+      s""""n":${c.rows},"at":${c.deliveredAt.getTime}}"""
 
   private def ackLine(groupId: String, chunkId: String): String =
     s"""{"t":"ack","g":"${esc(groupId)}","c":"${esc(chunkId)}"}"""
 
-  def appendChunk(c: DeliveryChunk): Unit = append(chunkLine(c))
+  def appendChunk(c: ChunkMeta): Unit = append(chunkLine(c))
 
   def appendAck(groupId: String, chunkId: String): Unit =
     append(ackLine(groupId, chunkId))
@@ -59,9 +62,9 @@ final class LedgerStore(dir: String) {
     * restart) is idempotent by (groupId, chunkId) AND ack-preserving:
     * the chunk→ack→chunk sequence keeps acked=true — a client that
     * already acked must not see the chunk re-served as pending. */
-  def load(): Map[(String, String), DeliveryChunk] = {
+  def load(): Map[(String, String), ChunkMeta] = {
     if (!Files.exists(path)) return Map.empty
-    val state = scala.collection.mutable.Map[(String, String), DeliveryChunk]()
+    val state = scala.collection.mutable.Map[(String, String), ChunkMeta]()
     Files.readAllLines(path, StandardCharsets.UTF_8).asScala.foreach { line =>
       parse(line).foreach {
         case Left(chunk) =>
@@ -119,24 +122,13 @@ final class LedgerStore(dir: String) {
     } else Some(rest.takeWhile(c => c != ',' && c != '}'))
   }
 
-  private def array(line: String, name: String): Seq[String] = {
-    val k = "\"" + name + "\":["
-    val i = line.indexOf(k)
-    if (i < 0) return Seq.empty
-    val rest = line.substring(i + k.length)
-    val end = rest.indexOf(']')
-    if (end <= 0) return Seq.empty
-    rest.substring(0, end).split("\",\"").toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty)
-  }
-
-  private def parse(line: String): Option[Either[DeliveryChunk, (String, String)]] =
+  private def parse(line: String): Option[Either[ChunkMeta, (String, String)]] =
     field(line, "t").flatMap {
       case "chunk" =>
         for (g <- field(line, "g"); c <- field(line, "c"); b <- field(line, "b"))
-          yield Left(DeliveryChunk(g, c, b.toLong, array(line, "subjects"),
-            array(line, "ids"), new Timestamp(field(line, "at").map(_.toLong).getOrElse(0L)),
+          yield Left(ChunkMeta(g, c, b.toLong,
+            field(line, "n").map(_.toLong).getOrElse(0L),
+            new Timestamp(field(line, "at").map(_.toLong).getOrElse(0L)),
             acked = false))
       case "ack" =>
         for (g <- field(line, "g"); c <- field(line, "c")) yield Right((g, c))

@@ -45,14 +45,19 @@ final class MultiplexedDelivery(val spark: SparkSession,
 
   private val groups: concurrent.Map[String, StreamGroup] =
     new ConcurrentHashMap[String, StreamGroup]().asScala
-  private val ledger: concurrent.Map[(String, String), DeliveryChunk] =
-    new ConcurrentHashMap[(String, String), DeliveryChunk]().asScala
+  private val ledger: concurrent.Map[(String, String), ChunkMeta] =
+    new ConcurrentHashMap[(String, String), ChunkMeta]().asScala
   /** Optional WAL (same LedgerStore as DurableEventLog): with a
     * ledgerDir, pending/acked chunk state survives a process restart —
     * a reconnecting client is re-served exactly its unacked chunks.
-    * Without one the ledger is in-memory only (the bench replay path). */
+    * Without one the metadata ledger is in-memory only (the bench
+    * replay path). Payloads always go to the distributed
+    * [[DeliveryTable]] (under ledgerDir when durable, scratch space
+    * otherwise) — the driver holds ids+counts only. */
   private val store: Option[LedgerStore] = ledgerDir.map(new LedgerStore(_))
   store.foreach(_.load().foreach { case (k, v) => ledger.put(k, v) })
+  private val table = new DeliveryTable(spark,
+    ledgerDir.map(d => s"$d/deliveries").getOrElse(DeliveryTable.tempDir()))
   @volatile private var query: Option[StreamingQuery] = None
 
   def emit(resource: ResourceType, eventType: String, resourceId: String,
@@ -87,6 +92,7 @@ final class MultiplexedDelivery(val spark: SparkSession,
   def removeGroup(groupId: String): Unit = {
     groups.remove(groupId)
     ledger.keys.filter(_._1 == groupId).foreach(ledger.remove)
+    table.drop(groupId)
   }
 
   /** The project token (#3) of a subject or filter-subject — both
@@ -110,25 +116,37 @@ final class MultiplexedDelivery(val spark: SparkSession,
           // (and its eventType with the event's — aliased to subEventType)
           val subs = snapshot.toDF().select(col("id"), col("filterSubject"),
             col("eventType").as("subEventType"))
+          // One distributed pass serves EVERY group: join, then ONE
+          // partitioned payload write; only per-group counts reach the
+          // driver (one row per matched group).
           val matched = batch
             .join(broadcast(subs),
               projectToken(col("subject")) === projectToken(col("filterSubject"))
                 && Subjects.matchesCol(col("subject"), col("filterSubject"))
                 && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
             .select(col("id").as("groupId"), col("subject"), col("resourceId"))
-            .collect()
-          matched.groupBy(_.getString(0)).foreach { case (gid, rows) =>
-            val chunkId = s"$gid-$batchId"
+            .persist()
+          try {
+            val counts = matched.groupBy("groupId").count().collect()
+              .map(r => (r.getString(0), r.getLong(1)))
             // replay-idempotent: a re-run batch must not overwrite an
             // existing (possibly acked) entry — same rule as DurableEventLog
-            if (!ledger.contains((gid, chunkId))) {
-              val chunk = DeliveryChunk(gid, chunkId, batchId,
-                rows.map(_.getString(1)).toSeq, rows.map(_.getString(2)).toSeq,
-                new Timestamp(System.currentTimeMillis()), acked = false)
-              store.foreach(_.appendChunk(chunk)) // WAL first
-              ledger.put((gid, chunkId), chunk)
+            val fresh = counts.filter { case (gid, _) =>
+              !ledger.contains((gid, s"$gid-$batchId")) }
+            if (fresh.nonEmpty) {
+              val freshIds = fresh.map(_._1).toSeq
+              table.writeMulti(matched
+                .filter(col("groupId").isin(freshIds: _*))
+                .withColumn("chunkId", concat(col("groupId"), lit(s"-$batchId"))))
+              fresh.foreach { case (gid, n) =>
+                val chunkId = s"$gid-$batchId"
+                val meta = ChunkMeta(gid, chunkId, batchId, n,
+                  new Timestamp(System.currentTimeMillis()), acked = false)
+                store.foreach(_.appendChunk(meta)) // WAL after payload
+                ledger.put((gid, chunkId), meta)
+              }
             }
-          }
+          } finally { matched.unpersist(); () }
         }
         ()
       }
@@ -139,9 +157,26 @@ final class MultiplexedDelivery(val spark: SparkSession,
   /** WAL hygiene (no-op without a ledgerDir). */
   def compactLedger(): Unit = store.foreach(_.compact())
 
+  /** Hydrate metas into client-facing chunks: ONE pruned read of the
+    * deliveries table covering all requested chunks (consumer pull). */
+  private def hydrate(groupId: String, metas: Seq[ChunkMeta]): Seq[DeliveryChunk] = {
+    if (metas.isEmpty) return Seq.empty
+    val payload = table.read(groupId, metas.map(_.chunkId))
+    metas.map { m =>
+      val (subjects, ids) = payload.getOrElse(m.chunkId, (Seq.empty, Seq.empty))
+      DeliveryChunk(m.groupId, m.chunkId, m.batchId, subjects, ids, m.deliveredAt, m.acked)
+    }
+  }
+
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
-    ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c }
-      .toSeq.sortBy(_.batchId)
+    hydrate(groupId, ledger.collect {
+      case ((g, _), c) if g == groupId && !c.acked => c
+    }.toSeq.sortBy(_.batchId))
+
+  /** Pending row count from driver metadata alone (no payload read) —
+    * the backlog-accounting path for monitoring and the bench. */
+  def pendingRowCount(groupId: String): Long =
+    ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c.rows }.sum
 
   def ack(groupId: String, chunkId: String): Boolean =
     ledger.get((groupId, chunkId)) match {

@@ -121,7 +121,7 @@ class DurableEventLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pending (round-1 advice).
     val dir = tmp()
     val store = new graft.streaming.LedgerStore(dir)
-    val chunk = DeliveryChunk("g", "g-0", 0L, Seq("s1"), Seq("r1"),
+    val chunk = ChunkMeta("g", "g-0", 0L, 1L,
       new java.sql.Timestamp(0L), acked = false)
     store.appendChunk(chunk)
     store.appendAck("g", "g-0")
@@ -134,9 +134,9 @@ class DurableEventLogSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("WAL compaction rewrites to minimal equivalent state, atomically") {
     val dir = tmp()
     val store = new graft.streaming.LedgerStore(dir)
-    val c1 = DeliveryChunk("g", "g-0", 0L, Seq("s1"), Seq("r1"),
+    val c1 = ChunkMeta("g", "g-0", 0L, 1L,
       new java.sql.Timestamp(0L), acked = false)
-    val c2 = DeliveryChunk("g", "g-1", 1L, Seq("s2"), Seq("r2"),
+    val c2 = ChunkMeta("g", "g-1", 1L, 1L,
       new java.sql.Timestamp(0L), acked = false)
     // churn: retries re-append, acks accumulate — 6 lines for 2 chunks
     store.appendChunk(c1); store.appendChunk(c1); store.appendAck("g", "g-0")
