@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-curation operators — the remaining filters every large-scale
+  * training-data pipeline runs between raw crawl and training shards:
+  * benchmark decontamination, PII scrubbing, repetition-based quality
+  * gating (the Gopher/C4 family of rules), and domain-mix resampling.
+  *
+  * Shapes chosen for 100 TB:
+  *  - decontamination is an INVERTED-INDEX equi-join on n-gram keys
+  *    (never corpus × benchmark), the same pattern as q43;
+  *  - scrubbing and mix assignment are map-only single passes;
+  *  - repetition metrics use explode → two-level partial aggregation
+  *    (per (doc, gram), then per doc) instead of per-row O(n²) array
+  *    loops, so skewy long documents still parallelize.
+  */
+object CurationOps extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Benchmark decontamination: flag training docs sharing any word
+    * 5-gram with a held-out eval set (here: every 50th doc stands in
+    * for the benchmark). Both sides shingle once, dedupe per doc, and
+    * meet in an equi-join on the 64-bit gram key — work is proportional
+    * to true overlap, not to |corpus| × |benchmark|. The join key is
+    * xxhash64 (8-byte shuffle rows); the oracle joins the raw grams —
+    * identical counts absent 64-bit collisions (none in the fixtures). */
+  val q70_decontaminate = QueryDef(
+    "q70_decontaminate",
+    (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(words) - 5), i -> " +
+            "xxhash64(concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4])))"))
+          .as("g"))
+        .distinct()
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select(col("g"), col("doc_id").as("bench_id"))
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_grams_shared"),
+          countDistinct(col("bench_id")).as("n_bench_hits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(len(string_split(text, ' ')) - 4),
+                       i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                            || ' ' || string_split(text, ' ')[i+3] || ' ' || string_split(text, ' ')[i+4]
+                            || ' ' || string_split(text, ' ')[i+5])) AS g
+              FROM documents WHERE len(string_split(text, ' ')) >= 5),
+            bench AS (SELECT g, doc_id AS bench_id FROM grams WHERE doc_id % 50 = 0)
+            SELECT c.doc_id,
+                   count(DISTINCT c.g) AS n_grams_shared,
+                   count(DISTINCT b.bench_id) AS n_bench_hits
+            FROM grams c JOIN bench b ON c.g = b.g
+            WHERE c.doc_id % 50 <> 0
+            GROUP BY c.doc_id ORDER BY c.doc_id"""))
+
+  /** PII scrubbing: token-level denylist replacement plus regex
+    * redaction of email-shaped and long-digit-run spans, with per-doc
+    * counts and a content hash of the scrubbed text so the oracle
+    * verifies the EXACT rewritten bytes, not just the counts. The
+    * corpus is synthetic word salad, so the email/digit patterns
+    * exercise the zero-match path and the denylist the real-match path;
+    * the plan is a map-only scan either way. */
+  val q71_pii_scrub = QueryDef(
+    "q71_pii_scrub",
+    (s, dir) => {
+      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"
+      val digitPat = "[0-9][0-9][0-9]+"
+      t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("scrub", regexp_replace(regexp_replace(
+          expr("concat_ws(' ', transform(words, w -> CASE WHEN w = 'customer' THEN '<ID>' ELSE w END))"),
+          emailPat, "<EMAIL>"), digitPat, "<NUM>"))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(words, w -> w = 'customer')) AS BIGINT)").as("n_deny"),
+          expr(s"CAST(size(regexp_extract_all(text, '$emailPat', 0)) AS BIGINT)").as("n_email"),
+          expr(s"CAST(size(regexp_extract_all(text, '$digitPat', 0)) AS BIGINT)").as("n_digit"),
+          md5(col("scrub")).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), w -> w = 'customer')) AS BIGINT) AS n_deny,
+            CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9]+')) AS BIGINT) AS n_digit,
+            md5(regexp_replace(regexp_replace(
+              array_to_string(list_transform(string_split(text, ' '),
+                w -> CASE WHEN w = 'customer' THEN '<ID>' ELSE w END), ' '),
+              '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g'),
+              '[0-9][0-9][0-9]+', '<NUM>', 'g')) AS scrub_md5
+            FROM documents ORDER BY doc_id"""))
+
+  /** Repetition-based quality gate (the Gopher rules' 2-gram family):
+    * fraction of 2-grams that are duplicates and the top 2-gram's share,
+    * with a keep flag at fixed thresholds. Aggregates per (doc, gram)
+    * first — partial map-side combine — then per doc: no per-row O(n²)
+    * array scan, so a pathological 1 GB document still parallelizes. */
+  val q72_quality_repetition = QueryDef(
+    "q72_quality_repetition",
+    (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(words) - 2), i -> concat_ws(' ', words[i], words[i+1]))"))
+          .as("gram"))
+      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").cast("long").as("n_2g"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).cast("long").as("n_dup_2g"),
+          (max("cnt").cast("double") / sum("cnt").cast("double")).as("top_frac"),
+          (sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).cast("double")
+            / sum("cnt").cast("double")).as("dup_frac"))
+        .withColumn("keep", col("top_frac") <= 0.2 && col("dup_frac") <= 0.3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS gram
+              FROM documents WHERE len(string_split(text, ' ')) >= 2),
+            c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_2g,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_2g,
+                   CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(cnt) AS DOUBLE) AS dup_frac,
+                   (CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) <= 0.2
+                     AND CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                       / CAST(sum(cnt) AS DOUBLE) <= 0.3) AS keep
+            FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Domain-mix resampling: downsample each source tier to a target
+    * weight (full / half / quarter) with the same content-addressed
+    * md5-bucket trick as q65 under a distinct salt — the assignment is
+    * reproducible per document on any engine, any partitioning, any
+    * corpus subset, and composes with q65's split without correlation
+    * (different salt ⇒ independent buckets). Map-only + tiny agg. */
+  val q73_domain_mix = QueryDef(
+    "q73_domain_mix",
+    (s, dir) => t(s, dir, "documents")
+      .withColumn("h", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .withColumn("bucket",
+        (expr("instr('0123456789abcdef', substring(h, 1, 1)) - 1") * 16
+          + expr("instr('0123456789abcdef', substring(h, 2, 1)) - 1")).cast("long"))
+      .withColumn("thresh",
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 256L)
+          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 128L)
+          .otherwise(64L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("thresh"), 1L).otherwise(0L)).cast("long").as("n_kept"))
+      .withColumn("kept_frac", col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source"),
+    Some("""WITH assigned AS (
+              SELECT source,
+                     (instr('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
+                     CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 256
+                          WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN 128
+                          ELSE 64 END AS thresh
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN bucket < thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN bucket < thresh THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS kept_frac
+            FROM assigned GROUP BY source ORDER BY source"""))
+
+  override val defs: Seq[QueryDef] = Seq(
+    q70_decontaminate, q71_pii_scrub, q72_quality_repetition, q73_domain_mix)
+}
