@@ -220,7 +220,10 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val snapshot = groups.values.toSeq
-        if (snapshot.nonEmpty && !batch.isEmpty) {
+        // No batch.isEmpty pre-check: that is a full extra pass on the
+        // common (non-empty) path; the per-group counts below cost the
+        // same on an empty batch and gate the write anyway.
+        if (snapshot.nonEmpty) {
           val subs = snapshot.toDF().select(col("id"), col("filterSubject"),
             col("eventType").as("subEventType"),
             split(col("filterSubject"), "\\.").getItem(3).as("sub_project"))

@@ -110,7 +110,10 @@ final class MultiplexedDelivery(val spark: SparkSession,
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val snapshot = groups.values.toSeq
-        if (snapshot.nonEmpty && !batch.isEmpty) {
+        // No batch.isEmpty pre-check: that is a full extra pass on the
+        // common (non-empty) path; the per-group counts below cost the
+        // same on an empty batch and gate the write anyway.
+        if (snapshot.nonEmpty) {
           // keep only the join-relevant columns: StreamGroup.resourceId
           // would otherwise collide with the event batch's resourceId
           // (and its eventType with the event's — aliased to subEventType)
