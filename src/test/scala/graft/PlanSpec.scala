@@ -98,6 +98,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), "window agg must combine map-side")
   }
 
+  test("decontamination meets in the n-gram equi-join, never corpus x benchmark (q70)") {
+    val p = plan(CurationOps.q70_decontaminate)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decontamination must be an inverted-index equi-join on the gram key, " +
+        s"not an all-pairs comparison, got:\n${p.take(3000)}")
+  }
+
   test("SimHash candidates come from the band equi-join, never all-pairs (q45)") {
     val p = plan(DedupOps.q45_dedup_simhash)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
