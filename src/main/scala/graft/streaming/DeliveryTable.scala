@@ -56,10 +56,20 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     * scan: (chunkId → (subjects, resourceIds)), each in delivery order.
     * This is the consumer-pull path — materialization happens at the
     * consumer, per chunk, never at delivery time. */
+  /** Fixed read schema (incl. partition columns): hydration never pays
+    * footer-sampling schema inference, and an existing-but-empty dir
+    * reads as empty instead of failing inference. */
+  private val readSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("subject", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("resourceId", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("groupId", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("chunkId", org.apache.spark.sql.types.StringType)))
+
   def read(groupId: String, chunkIds: Seq[String]): Map[String, (Seq[String], Seq[String])] = {
     val (filesystem, path) = fs
     if (chunkIds.isEmpty || !filesystem.exists(path)) return Map.empty
-    spark.read.parquet(dir)
+    spark.read.schema(readSchema).parquet(dir)
       .filter(col("groupId") === groupId && col("chunkId").isin(chunkIds: _*))
       .select("chunkId", "subject", "resourceId", "seq")
       .collect()
