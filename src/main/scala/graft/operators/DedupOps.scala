@@ -253,24 +253,54 @@ object DedupOps extends QueryModule {
         .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.8)
         .select("a", "b").cache()
       val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
-      var labels = edges.select(col("a").as("doc")).distinct()
-        .select(col("doc"), col("doc").as("lbl"))
-        .localCheckpoint(true)
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 50) {
-        val pushed = edges.join(labels, col("a") === col("doc"))
-          .select(col("b").as("doc"), col("lbl"))
-        val merged = labels.union(pushed)
-          .groupBy("doc").agg(min(col("lbl")).as("lbl"))
+      // Hybrid component step (the switch GraphFrames' connected
+      // components makes): the DISTRIBUTED heavy lifting — shingling,
+      // inverted-index candidate join, Jaccard verify — has already
+      // reduced the graph to near-dup edges. Below a threshold the
+      // component labeling is cheaper as one in-process union-find than
+      // as N distributed rounds (each round = 2 jobs); above it, the
+      // Pregel-style min-label loop takes over unchanged. 5M edges
+      // ≈ 80 MB collected — far under driver headroom, while a 100 TB
+      // corpus whose dup graph exceeds it stays fully distributed.
+      val smallGraphEdges = 5000000L
+      if (edges.count() <= smallGraphEdges) {
+        val e = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        e.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = e.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+        val rows = nodes.map(d => (d, find(d)))
+        s.createDataFrame(rows).toDF("doc_id", "cluster_id").orderBy("doc_id")
+      } else {
+        var labels = edges.select(col("a").as("doc")).distinct()
+          .select(col("doc"), col("doc").as("lbl"))
           .localCheckpoint(true)
-        changed = merged.join(labels.withColumnRenamed("lbl", "old"), Seq("doc"))
-          .filter(col("lbl") < col("old")).count()
-        labels = merged
-        rounds += 1
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 50) {
+          val pushed = edges.join(labels, col("a") === col("doc"))
+            .select(col("b").as("doc"), col("lbl"))
+          val merged = labels.union(pushed)
+            .groupBy("doc").agg(min(col("lbl")).as("lbl"))
+            .localCheckpoint(true)
+          changed = merged.join(labels.withColumnRenamed("lbl", "old"), Seq("doc"))
+            .filter(col("lbl") < col("old")).count()
+          labels = merged
+          rounds += 1
+        }
+        labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+          .orderBy("doc_id")
       }
-      labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
-        .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $shinglesSql,
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
