@@ -548,15 +548,19 @@ object Relational extends QueryModule {
   val q23_dedup_exact = QueryDef(
     "q23_dedup_exact",
     (s, dir) => {
-      // Tie-break over every emitted column: the synthetic lineitem has
-      // duplicate (l_orderkey, l_linenumber) pairs, and a survivor chosen
-      // on an incomplete key would be nondeterministic.
-      val w = Window.partitionBy("l_orderkey")
-        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      // Keep-first = argmin per key, expressed as min(struct(...)): the
+      // struct's lexicographic order IS the tie-break order (complete —
+      // the synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+      // pairs, so an incomplete key would pick nondeterministically).
+      // A hash aggregate with map-side partial combine: one shuffle of
+      // one pre-reduced row per key, no per-partition sort — the shape
+      // that wins over the row_number window at any scale.
       t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(min(struct(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))).as("m"))
+        .select(col("l_orderkey"),
+          col("m.l_linenumber").as("l_linenumber"),
+          col("m.l_partkey").as("l_partkey"))
         .orderBy("l_orderkey")
     },
     Some("""SELECT l_orderkey, l_linenumber, l_partkey
