@@ -175,6 +175,62 @@ object CurationOps extends QueryModule {
                      / CAST(count(*) AS DOUBLE) AS kept_frac
             FROM assigned GROUP BY source ORDER BY source"""))
 
+  /** GPT-style sequence packing: concatenate each shard's documents in
+    * a deterministic order and chunk the token stream every B tokens —
+    * the packing step that turns a cleaned corpus into fixed-length
+    * training sequences. Per (shard, sequence): how many documents
+    * overlap it and its token count (B everywhere but each shard's
+    * tail). Packing is a running sum, which is inherently sequential —
+    * so it runs per SHARD (content-addressed md5 shard, the unit a real
+    * pipeline packs independently): the window's partition key makes the
+    * cumulative sum parallel across shards and the global-sort
+    * bottleneck never appears. A document straddling a boundary fans
+    * out to each sequence it overlaps via an index range explode. */
+  val q74_sequence_pack = QueryDef(
+    "q74_sequence_pack",
+    (s, dir) => {
+      val B = 256
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("shard", (expr(
+          "instr('0123456789abcdef', substring(md5(concat('pack:', CAST(doc_id AS STRING))), 1, 1)) - 1")
+          % 8).cast("long"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("tok_start", col("cum") - col("n_tok"))
+        .select(col("shard"), col("tok_start"), col("cum"),
+          explode(expr(s"sequence(CAST(floor(tok_start / $B.0) AS BIGINT), " +
+            s"CAST(floor((cum - 1) / $B.0) AS BIGINT))")).as("seq_id"))
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("cum"), (col("seq_id") + 1) * B)
+            - greatest(col("tok_start"), col("seq_id") * B)).cast("long").as("n_tokens"))
+        .orderBy("shard", "seq_id")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                     CAST((instr('0123456789abcdef', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS BIGINT) AS shard
+              FROM documents),
+            c AS (
+              SELECT shard, n_tok,
+                     sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM d),
+            spans AS (
+              SELECT shard, cum - n_tok AS tok_start, cum,
+                     unnest(range(CAST(floor((cum - n_tok) / 256.0) AS BIGINT),
+                                  CAST(floor((cum - 1) / 256.0) AS BIGINT) + 1)) AS seq_id
+              FROM c)
+            SELECT shard, seq_id,
+                   count(*) AS n_docs,
+                   CAST(sum(least(cum, (seq_id + 1) * 256) - greatest(tok_start, seq_id * 256)) AS BIGINT) AS n_tokens
+            FROM spans GROUP BY 1, 2 ORDER BY shard, seq_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
-    q70_decontaminate, q71_pii_scrub, q72_quality_repetition, q73_domain_mix)
+    q70_decontaminate, q71_pii_scrub, q72_quality_repetition, q73_domain_mix,
+    q74_sequence_pack)
 }

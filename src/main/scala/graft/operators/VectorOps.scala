@@ -306,7 +306,67 @@ object VectorOps extends QueryModule {
             GROUP BY b ORDER BY dup_id""")
     })
 
+  /** One spherical k-means Lloyd step over the embeddings, against four
+    * deterministic centroids (the same ±x.5 md5-derived generator as the
+    * LSH hyperplanes, seeds 100-103 so they are uncorrelated with the
+    * q48/q62 planes):
+    *  - E-step: assign each vector to the argmax-dot centroid (native
+    *    [[dot_ff]] per centroid — four codegen'd literal-array dots per
+    *    row, one linear scan; ties break to the lowest centroid id);
+    *  - M-step: per-(cluster, dimension) component sums via posexplode →
+    *    partial-aggregated groupBy — the update a driver loop would turn
+    *    into new centroids, here produced distributively.
+    * Component sums use fixed-point quantization — floor(comp · 1e10)
+    * summed as BIGINT: floor is rounding-mode-free (a DECIMAL cast ties
+    * at the 10th digit and Spark/DuckDB round ties differently), the
+    * scaled values are exact in double, and integer sums are immune to
+    * accumulation order (QueryDef determinism rules); cluster sizes ride
+    * along per row. This is the building block for IVF cell training
+    * (q54's coarse quantizer) at corpus scale. */
+  val q75_kmeans_step = QueryDef(
+    "q75_kmeans_step",
+    (s, dir) => {
+      val d = (0 until 4).map(k => dot(typedLit(hyperplane(100 + k)), col("embedding")))
+      t(s, dir, "embeddings")
+        .withColumn("cluster",
+          when(d(0) >= d(1) && d(0) >= d(2) && d(0) >= d(3), 0L)
+            .when(d(1) >= d(2) && d(1) >= d(3), 1L)
+            .when(d(2) >= d(3), 2L)
+            .otherwise(3L))
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "comp")))
+        .groupBy("cluster", "dim")
+        .agg(count(lit(1)).as("n_members"),
+          sum(expr("CAST(floor(CAST(comp AS DOUBLE) * 10000000000.0) AS BIGINT)"))
+            .cast("long").as("sum_scaled"))
+        .select(col("cluster"), col("dim").cast("long").as("dim"),
+          col("n_members"), col("sum_scaled"))
+        .orderBy("cluster", "dim")
+    },
+    Some {
+      def dotLit(h: Int): String = hyperplane(h).zipWithIndex.map { case (w, j) =>
+        s"($w) * CAST(embedding[${j + 1}] AS DOUBLE)"
+      }.mkString(" + ")
+      s"""WITH scored AS (
+            SELECT embedding, ${dotLit(100)} AS d0, ${dotLit(101)} AS d1,
+                   ${dotLit(102)} AS d2, ${dotLit(103)} AS d3
+            FROM embeddings),
+          assigned AS (
+            SELECT embedding,
+                   CAST(CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0
+                             WHEN d1 >= d2 AND d1 >= d3 THEN 1
+                             WHEN d2 >= d3 THEN 2 ELSE 3 END AS BIGINT) AS cluster
+            FROM scored),
+          expl AS (
+            SELECT cluster, j AS dim,
+                   CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 10000000000.0) AS BIGINT) AS comp
+            FROM assigned, range(0, 64) AS t(j))
+          SELECT cluster, CAST(dim AS BIGINT) AS dim,
+                 count(*) AS n_members,
+                 CAST(sum(comp) AS BIGINT) AS sum_scaled
+          FROM expl GROUP BY 1, 2 ORDER BY cluster, dim"""
+    })
+
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
-    q62_dedup_embedding)
+    q62_dedup_embedding, q75_kmeans_step)
 }
