@@ -324,6 +324,27 @@ object Relational extends QueryModule {
               / count(DISTINCT l_partkey) < 0.15 AS within_tol
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Approximate-quantile sketch row, verified the q12 way: sketches are
+    * engine-specific (Spark KLL-style percentile_approx vs DuckDB
+    * t-digest), so each engine asserts ITS OWN estimate lands within 5%
+    * of the column's range of ITS OWN exact median; the boolean and the
+    * exact anchor hash-match across engines. */
+  val q76_agg_approx_quantile = QueryDef(
+    "q76_agg_approx_quantile",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("median(l_quantity)").as("med_exact"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx"),
+        (max(col("l_quantity")) - min(col("l_quantity"))).as("rng"))
+      .select(col("l_returnflag"), col("med_exact"),
+        (abs(col("approx") - col("med_exact")) <= col("rng") * 0.05).as("within_tol"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+            median(l_quantity) AS med_exact,
+            abs(approx_quantile(l_quantity, 0.5) - median(l_quantity))
+              <= (max(l_quantity) - min(l_quantity)) * 0.05 AS within_tol
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val q13_agg_rollup = QueryDef(
     "q13_agg_rollup",
     (s, dir) => {
@@ -703,5 +724,5 @@ object Relational extends QueryModule {
     q17_window_analytic, q18_window_frames, q19_window_range,
     q20_sort_topk, q21_topk_per_group, q22_setops, q23_dedup_exact,
     q24_distinct, q55_agg_grouping_sets, q56_agg_percentile, q57_agg_stats,
-    q64_agg_regression, q66_join_asof_tolerance)
+    q64_agg_regression, q66_join_asof_tolerance, q76_agg_approx_quantile)
 }
