@@ -80,6 +80,28 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
       }
   }
 
+  /** Row counts of one batch's just-written chunks from parquet
+    * METADATA only: a filesystem existence probe per candidate group
+    * (groups whose join matched nothing wrote no partition), then one
+    * footer-count job over exactly those chunk directories. This is the
+    * second half of the write-first delivery pattern — the batch is
+    * traversed ONCE (by the payload write); counts come from file
+    * metadata, never from a second pass over the data. */
+  def chunkCounts(groupIds: Seq[String], chunkIdFor: String => String): Map[String, Long] = {
+    val (filesystem, path) = fs
+    val present = groupIds.filter { g =>
+      filesystem.exists(new org.apache.hadoop.fs.Path(path,
+        s"groupId=$g/chunkId=${chunkIdFor(g)}"))
+    }
+    if (present.isEmpty) return Map.empty
+    val paths = present.map(g => s"$dir/groupId=$g/chunkId=${chunkIdFor(g)}")
+    spark.read.option("basePath", dir).schema(readSchema).parquet(paths: _*)
+      .groupBy("groupId").count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+  }
+
   /** Drop a group's payload partitions (group delete / retention). */
   def drop(groupId: String): Unit = {
     val (filesystem, path) = fs

@@ -154,19 +154,17 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
         // re-appending the WAL record would resurrect acked chunks. The
         // payload write is dynamic-partition-overwrite, so a replayed
         // write rewrites identical content rather than duplicating it.
+        // Write-first: one pass (the write — an empty batch writes no
+        // partitions), then the count from the written parquet footers.
         val chunkId = s"$groupId-$batchId"
         if (!ledger.contains((groupId, chunkId))) {
-          val payload = batch.select("subject", "resourceId").persist()
-          try {
-            val n = payload.count()
-            if (n > 0) {
-              table.write(groupId, chunkId, payload) // payload first …
-              val meta = ChunkMeta(groupId, chunkId, batchId, n,
-                new Timestamp(System.currentTimeMillis()), acked = false)
-              store.appendChunk(meta)                // … then WAL commit
-              ledger.put((groupId, chunkId), meta)
-            }
-          } finally { payload.unpersist(); () }
+          table.write(groupId, chunkId, batch.select("subject", "resourceId"))
+          table.chunkCounts(Seq(groupId), _ => chunkId).get(groupId).foreach { n =>
+            val meta = ChunkMeta(groupId, chunkId, batchId, n,
+              new Timestamp(System.currentTimeMillis()), acked = false)
+            store.appendChunk(meta)                // WAL after payload
+            ledger.put((groupId, chunkId), meta)
+          }
         }
         ()
       }
@@ -227,39 +225,30 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
           val subs = snapshot.toDF().select(col("id"), col("filterSubject"),
             col("eventType").as("subEventType"),
             split(col("filterSubject"), "\\.").getItem(3).as("sub_project"))
-          // One distributed pass serves EVERY group: join, then write all
-          // groups' payloads in a single partitioned write. Only per-group
-          // COUNTS reach the driver (one row per matched group).
+          // Write-first: ONE distributed pass (join → partitioned payload
+          // write) serves every group; per-group counts then come from
+          // parquet FOOTERS of the just-written chunk dirs, never from a
+          // second pass over the batch. A replayed batch rewrites its own
+          // partitions (dynamic overwrite) — idempotent — and the ledger
+          // guard below keeps an existing (possibly acked) meta intact.
           val matched = batch
             .join(broadcast(subs),
               col("project") === col("sub_project")
                 && Subjects.matchesCol(col("subject"), col("filterSubject"))
                 && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
             .select(col("id").as("groupId"), col("subject"), col("resourceId"))
-            .persist()
-          try {
-            val counts = matched.groupBy("groupId").count().collect()
-              .map(r => (r.getString(0), r.getLong(1)))
-            // Same replay-idempotence as per-group mode: never overwrite
-            // an existing (possibly acked) ledger entry on batch re-run;
-            // the payload write is per-partition overwrite (idempotent).
-            val fresh = counts.filter { case (gid, _) =>
-              !ledger.contains((gid, s"$gid-$batchId")) }
-            if (fresh.nonEmpty) {
-              val freshIds = fresh.map(_._1).toSeq
-              table.writeMulti(matched
-                .filter(col("groupId").isin(freshIds: _*))
-                .withColumn("chunkId",
-                  concat(col("groupId"), lit(s"-$batchId"))))
-              fresh.foreach { case (gid, n) =>
-                val chunkId = s"$gid-$batchId"
+          table.writeMulti(matched
+            .withColumn("chunkId", concat(col("groupId"), lit(s"-$batchId"))))
+          table.chunkCounts(snapshot.map(_.id), g => s"$g-$batchId")
+            .foreach { case (gid, n) =>
+              val chunkId = s"$gid-$batchId"
+              if (!ledger.contains((gid, chunkId))) {
                 val meta = ChunkMeta(gid, chunkId, batchId, n,
                   new Timestamp(System.currentTimeMillis()), acked = false)
                 store.appendChunk(meta)
                 ledger.put((gid, chunkId), meta)
               }
             }
-          } finally { matched.unpersist(); () }
         }
         ()
       }

@@ -140,22 +140,20 @@ final class EventEngine(val spark: SparkSession,
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // Two actions on the batch (count + distributed payload write) —
-        // persist/unpersist inside the batch is the idiomatic shape; no
-        // event row is collected to the driver.
-        val payload = batch.select("subject", "resourceId").persist()
-        try {
-          val n = payload.count()
-          if (n > 0) {
-            // Deterministic chunk id (groupId+batchId) instead of uuid4:
-            // replayable, and idempotent on micro-batch retry.
-            val chunkId = s"${group.id}-$batchId"
-            table.write(group.id, chunkId, payload)
-            ledger.putIfAbsent((group.id, chunkId), ChunkMeta(
-              group.id, chunkId, batchId, n,
-              new Timestamp(System.currentTimeMillis()), acked = false))
-          }
-        } finally { payload.unpersist(); () }
+        // Write-first: ONE pass over the batch (the distributed payload
+        // write — an empty batch writes no partitions); the row count
+        // comes from the written files' parquet footers. No event row is
+        // collected to the driver. Deterministic chunk id
+        // (groupId+batchId) instead of uuid4: replayable, and idempotent
+        // on micro-batch retry.
+        val chunkId = s"${group.id}-$batchId"
+        table.write(group.id, chunkId, batch.select("subject", "resourceId"))
+        table.chunkCounts(Seq(group.id), _ => chunkId).get(group.id).foreach { n =>
+          ledger.putIfAbsent((group.id, chunkId), ChunkMeta(
+            group.id, chunkId, batchId, n,
+            new Timestamp(System.currentTimeMillis()), acked = false))
+          ()
+        }
         ()
       }
       .start()

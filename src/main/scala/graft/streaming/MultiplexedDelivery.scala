@@ -119,37 +119,30 @@ final class MultiplexedDelivery(val spark: SparkSession,
           // (and its eventType with the event's — aliased to subEventType)
           val subs = snapshot.toDF().select(col("id"), col("filterSubject"),
             col("eventType").as("subEventType"))
-          // One distributed pass serves EVERY group: join, then ONE
-          // partitioned payload write; only per-group counts reach the
-          // driver (one row per matched group).
+          // Write-first: ONE distributed pass (join → partitioned payload
+          // write) serves every group; per-group counts then come from
+          // parquet FOOTERS of the just-written chunk dirs, never from a
+          // second pass over the batch. A replayed batch rewrites its own
+          // partitions (dynamic overwrite) — idempotent — and the ledger
+          // guard below keeps an existing (possibly acked) meta intact.
           val matched = batch
             .join(broadcast(subs),
               projectToken(col("subject")) === projectToken(col("filterSubject"))
                 && Subjects.matchesCol(col("subject"), col("filterSubject"))
                 && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
             .select(col("id").as("groupId"), col("subject"), col("resourceId"))
-            .persist()
-          try {
-            val counts = matched.groupBy("groupId").count().collect()
-              .map(r => (r.getString(0), r.getLong(1)))
-            // replay-idempotent: a re-run batch must not overwrite an
-            // existing (possibly acked) entry — same rule as DurableEventLog
-            val fresh = counts.filter { case (gid, _) =>
-              !ledger.contains((gid, s"$gid-$batchId")) }
-            if (fresh.nonEmpty) {
-              val freshIds = fresh.map(_._1).toSeq
-              table.writeMulti(matched
-                .filter(col("groupId").isin(freshIds: _*))
-                .withColumn("chunkId", concat(col("groupId"), lit(s"-$batchId"))))
-              fresh.foreach { case (gid, n) =>
-                val chunkId = s"$gid-$batchId"
+          table.writeMulti(matched
+            .withColumn("chunkId", concat(col("groupId"), lit(s"-$batchId"))))
+          table.chunkCounts(snapshot.map(_.id), g => s"$g-$batchId")
+            .foreach { case (gid, n) =>
+              val chunkId = s"$gid-$batchId"
+              if (!ledger.contains((gid, chunkId))) {
                 val meta = ChunkMeta(gid, chunkId, batchId, n,
                   new Timestamp(System.currentTimeMillis()), acked = false)
                 store.foreach(_.appendChunk(meta)) // WAL after payload
                 ledger.put((gid, chunkId), meta)
               }
             }
-          } finally { matched.unpersist(); () }
         }
         ()
       }
