@@ -437,6 +437,25 @@ object Relational extends QueryModule {
             CAST(ntile(4)     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS quartile
             FROM orders ORDER BY o_custkey, o_orderkey"""))
 
+  /** Distribution window functions (the §2.2 ranking family's
+    * remainder): percent_rank and cume_dist are exact integer-ratio
+    * doubles — (rank-1)/(n-1) and rank_with_ties/n — so they are
+    * bit-identical across engines with the same ties ordering. */
+  val q77_window_distribution = QueryDef(
+    "q77_window_distribution",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+            percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pr,
+            cume_dist()    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+            FROM orders ORDER BY o_orderkey"""))
+
   val q17_window_analytic = QueryDef(
     "q17_window_analytic",
     (s, dir) => {
@@ -724,5 +743,6 @@ object Relational extends QueryModule {
     q17_window_analytic, q18_window_frames, q19_window_range,
     q20_sort_topk, q21_topk_per_group, q22_setops, q23_dedup_exact,
     q24_distinct, q55_agg_grouping_sets, q56_agg_percentile, q57_agg_stats,
-    q64_agg_regression, q66_join_asof_tolerance, q76_agg_approx_quantile)
+    q64_agg_regression, q66_join_asof_tolerance, q76_agg_approx_quantile,
+    q77_window_distribution)
 }
