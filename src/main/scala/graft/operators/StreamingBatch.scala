@@ -260,7 +260,34 @@ object StreamingBatch extends QueryModule {
               AND (g.g_event_type = 'ALL' OR e.event_type = g.g_event_type)
             GROUP BY 1, 2 ORDER BY group_id"""))
 
+  /** SCD-style validity intervals (change-data-capture → dimension
+    * history): each user's event stream becomes [valid_from, valid_to)
+    * rows via lead() over the per-user time order — the open (current)
+    * row keeps a NULL valid_to. The warehouse pattern for replaying an
+    * event log into slowly-changing-dimension state; one shuffle on the
+    * entity key, map-side everything else. Epoch-seconds output dodges
+    * ns-vs-µs timestamp representation (QueryDef determinism rules). */
+  val q78_scd_intervals = QueryDef(
+    "q78_scd_intervals",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("valid_from"),
+          unix_timestamp(lead(col("ts"), 1).over(w)).as("valid_to"),
+          (lead(col("ts"), 1).over(w).isNull).as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    Some("""SELECT user_id, event_id, event_type,
+            CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+            CAST(floor(epoch(lead(ts, 1) OVER w)) AS BIGINT) AS valid_to,
+            lead(ts, 1) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, valid_from, event_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q32_window_tumbling, q33_window_sliding, q34_window_session,
-    q35_dedup_keepfirst, q36_subject_fanout, q67_funnel, q69_eventtype_gate)
+    q35_dedup_keepfirst, q36_subject_fanout, q67_funnel, q69_eventtype_gate,
+    q78_scd_intervals)
 }
