@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import graft.sources.Tables
-import graft.streaming.{DurableEventLog, EventEngine, MultiplexedDelivery}
+import graft.core.EngineSecurity
+import graft.streaming.{DurableEventLog, EventEngine, EventSession, MultiplexedDelivery}
 
 /** User-facing entry point — what a user of the reference switches to.
   *
@@ -43,10 +44,15 @@ object Graft {
   }
 
   /** The per-group streaming engine (reference-shaped: one filtered
-    * query per stream group). */
+    * query per stream group). `security` adds the reference's token /
+    * authz gates; the permissive default matches in-process embedding. */
   def eventEngine(spark: SparkSession,
-                  trigger: Trigger = Trigger.ProcessingTime("250 milliseconds")): EventEngine =
-    new EventEngine(spark, trigger)
+                  trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
+                  security: EngineSecurity = EngineSecurity.Permissive): EventEngine =
+    new EventEngine(spark, trigger, security)
+
+  /** An R13 bidi session (Init/Ack/Close protocol) over an engine. */
+  def session(engine: EventEngine): EventSession = new EventSession(engine)
 
   /** The many-groups scale path: one streaming query for all groups.
     * Pass `ledgerDir` to make pending/acked chunk state survive a
@@ -55,12 +61,14 @@ object Graft {
   def multiplexed(spark: SparkSession,
                   trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
                   ledgerDir: Option[String] = None,
-                  sourcePartitions: Int = 1): MultiplexedDelivery =
-    new MultiplexedDelivery(spark, trigger, ledgerDir, sourcePartitions)
+                  sourcePartitions: Int = 1,
+                  security: EngineSecurity = EngineSecurity.Permissive): MultiplexedDelivery =
+    new MultiplexedDelivery(spark, trigger, ledgerDir, sourcePartitions, security)
 
   /** The durable path: partitioned parquet event log + checkpointed
     * per-group delivery. */
   def durableLog(spark: SparkSession, logDir: String, checkpointRoot: String,
-                 trigger: Trigger = Trigger.ProcessingTime("250 milliseconds")): DurableEventLog =
-    new DurableEventLog(spark, logDir, checkpointRoot, trigger)
+                 trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
+                 security: EngineSecurity = EngineSecurity.Permissive): DurableEventLog =
+    new DurableEventLog(spark, logDir, checkpointRoot, trigger, security)
 }
