@@ -226,7 +226,41 @@ object TextOps extends QueryModule {
             FROM assigned
             GROUP BY 1 ORDER BY split"""))
 
+  /** Heavy hitters via Spark's frequent-items sketch (`approx_top_k`),
+    * verified the q12/q76 way: the EXACT top-3 tokens (hash-matched
+    * across engines) must appear in the sketch's top-10 — if the sketch
+    * dropped a true heavy hitter, the boolean flips and the hash
+    * mismatches. The oracle's "sketch" is its exact top-10 (this DuckDB
+    * build ships no frequent-items aggregate), so the oracle pins the
+    * anchors and the containment CONTRACT while Spark is the engine
+    * actually exercising a sketch. */
+  val q79_heavy_hitters = QueryDef(
+    "q79_heavy_hitters",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val sketch = toks.agg(expr("approx_top_k(token, 10)").as("tk"))
+      toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token")).limit(3)
+        .crossJoin(sketch)
+        .select(col("token"), col("tf"),
+          expr("array_contains(transform(tk, x -> x.item), token)").as("in_sketch"))
+        .orderBy(col("tf").desc, col("token"))
+    },
+    Some("""WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+            sk AS (
+              SELECT list(token) AS tk FROM (
+                SELECT token FROM toks GROUP BY token
+                ORDER BY count(*) DESC, token LIMIT 10)),
+            exact AS (
+              SELECT token, count(*) AS tf FROM toks
+              GROUP BY token ORDER BY tf DESC, token LIMIT 3)
+            SELECT token, tf, list_contains((SELECT tk FROM sk), token) AS in_sketch
+            FROM exact ORDER BY tf DESC, token"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q37_text_stats, q38_token_tf, q39_text_quality, q40_text_langid,
-    q41_text_fingerprint, q63_token_bpe, q65_split_train_val)
+    q41_text_fingerprint, q63_token_bpe, q65_split_train_val,
+    q79_heavy_hitters)
 }
