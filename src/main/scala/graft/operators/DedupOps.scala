@@ -33,6 +33,24 @@ object DedupOps extends QueryModule {
         "array_distinct(transform(sequence(0, size(words) - 3)," +
           " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("sh"))
 
+  /** [[shingles]] plus the doc's distinct-shingle COUNT, computed on the
+    * pre-explode array — no sizes aggregation or join afterwards. The
+    * count rides every exploded row (8 bytes) so the pair join can
+    * apply the set-similarity SIZE FILTER early: J(a,b) ≥ 0.8 forces
+    * min(na,nb) ≥ 0.8·max(na,nb), a necessary condition that prunes
+    * candidate pairs BEFORE the per-pair aggregation (the classic
+    * length filter of set-similarity joins; exact, so the result set —
+    * and the oracle — are unchanged). */
+  private def shinglesN(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("arr", expr(
+        "array_distinct(transform(sequence(0, size(words) - 3)," +
+          " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("sh"))
+
   private val shinglesSql =
     """sh AS (
          SELECT DISTINCT doc_id,
@@ -65,16 +83,18 @@ object DedupOps extends QueryModule {
   val q43_dedup_ngram_jaccard = QueryDef(
     "q43_dedup_ngram_jaccard",
     (s, dir) => {
-      val sh = shingles(s, dir)
-        .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("a"), col("sh"))
-      val b = sh.select(col("doc_id").as("b"), col("sh"))
-      val common = a.join(b, Seq("sh")).filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val sh = shinglesN(s, dir)
+        .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh")).cache()
+      val a = sh.select(col("doc_id").as("a"), col("n").as("na"), col("sh"))
+      val b = sh.select(col("doc_id").as("b"), col("n").as("nb"), col("sh"))
+      // size filter (5·min ≥ 4·max ⟺ ratio ≥ 0.8, exact in integers)
+      // prunes pairs BEFORE the per-pair aggregation; carrying na/nb as
+      // grouping keys also removes the two post-agg sizes joins.
+      val common = a.join(b, Seq("sh"))
+        .filter(col("a") < col("b")
+          && col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+        .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("c"))
       common
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
         .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
         .filter(col("jac") >= 0.8)
         .select(col("a"), col("b"), col("jac"))
@@ -241,15 +261,14 @@ object DedupOps extends QueryModule {
   val q68_dedup_clusters = QueryDef(
     "q68_dedup_clusters",
     (s, dir) => {
-      val sh = shingles(s, dir)
-        .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.select(col("doc_id").as("a"), col("sh"))
-        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      val sh = shinglesN(s, dir)
+        .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh")).cache()
+      // same early size filter + sizes-as-grouping-keys shape as q43
+      val pairs = sh.select(col("doc_id").as("a"), col("n").as("na"), col("sh"))
+        .join(sh.select(col("doc_id").as("b"), col("n").as("nb"), col("sh")), Seq("sh"))
+        .filter(col("a") < col("b")
+          && col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+        .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("c"))
         .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.8)
         .select("a", "b").cache()
       val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()

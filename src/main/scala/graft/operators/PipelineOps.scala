@@ -36,19 +36,20 @@ object PipelineOps extends QueryModule {
       // distinctness is established on the strings first.
       val sh = exactKept
         .filter(col("n_words") >= 3)
-        .select(col("doc_id"), explode(expr(
+        .withColumn("arr", expr(
           "array_distinct(transform(sequence(0, size(words) - 3)," +
-            " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("shs"))
-        .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
-        .cache() // feeds sizes + both sides of the inverted-index self-join
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val common = sh.select(col("doc_id").as("a"), col("sh"))
-        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      val dupIds = common
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+            " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))"))
+        .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+          explode(col("arr")).as("shs"))
+        .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh"))
+        .cache() // feeds both sides of the inverted-index self-join
+      // early size filter (J≥0.8 ⇒ 5·min ≥ 4·max) + sizes as grouping
+      // keys — prunes pairs before aggregation, no sizes joins (q43 shape)
+      val dupIds = sh.select(col("doc_id").as("a"), col("n").as("na"), col("sh"))
+        .join(sh.select(col("doc_id").as("b"), col("n").as("nb"), col("sh")), Seq("sh"))
+        .filter(col("a") < col("b")
+          && col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+        .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("c"))
         .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.8)
         .select(col("b").as("doc_id")).distinct()
       val nearKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti")
