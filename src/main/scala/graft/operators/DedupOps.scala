@@ -33,23 +33,22 @@ object DedupOps extends QueryModule {
         "array_distinct(transform(sequence(0, size(words) - 3)," +
           " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("sh"))
 
-  /** [[shingles]] plus the doc's distinct-shingle COUNT, computed on the
-    * pre-explode array — no sizes aggregation or join afterwards. The
-    * count rides every exploded row (8 bytes) so the pair join can
-    * apply the set-similarity SIZE FILTER early: J(a,b) ≥ 0.8 forces
-    * min(na,nb) ≥ 0.8·max(na,nb), a necessary condition that prunes
-    * candidate pairs BEFORE the per-pair aggregation (the classic
-    * length filter of set-similarity joins; exact, so the result set —
-    * and the oracle — are unchanged). */
-  private def shinglesN(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 3)
-      .withColumn("arr", expr(
-        "array_distinct(transform(sequence(0, size(words) - 3)," +
-          " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))"))
-      .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
-        explode(col("arr")).as("sh"))
+  /** Hashed [[shingles]] (cached) with the doc's distinct-shingle COUNT
+    * attached by joining the sizes aggregate back on — a hash aggregate
+    * plus one planner-chosen join (broadcast at test scale, shuffle at
+    * corpus scale). Not size() on the pre-explode array (duplicates the
+    * array construction — 1.7× colder) and not a window count (adds a
+    * per-partition sort). The count rides every exploded row so the
+    * pair join can apply the set-similarity SIZE FILTER early:
+    * J(a,b) ≥ 0.8 forces min(na,nb) ≥ 0.8·max(na,nb), a necessary
+    * condition that prunes candidate pairs BEFORE the per-pair
+    * aggregation (the classic length filter of set-similarity joins;
+    * exact, so the result set — and the oracle — are unchanged). */
+  private def shinglesHashedN(s: SparkSession, dir: String): DataFrame = {
+    val base = shingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
+    base.join(base.groupBy("doc_id").agg(count(lit(1)).as("n")), "doc_id")
+  }
 
   private val shinglesSql =
     """sh AS (
@@ -83,8 +82,7 @@ object DedupOps extends QueryModule {
   val q43_dedup_ngram_jaccard = QueryDef(
     "q43_dedup_ngram_jaccard",
     (s, dir) => {
-      val sh = shinglesN(s, dir)
-        .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh")).cache()
+      val sh = shinglesHashedN(s, dir)
       val a = sh.select(col("doc_id").as("a"), col("n").as("na"), col("sh"))
       val b = sh.select(col("doc_id").as("b"), col("n").as("nb"), col("sh"))
       // size filter (5·min ≥ 4·max ⟺ ratio ≥ 0.8, exact in integers)
@@ -261,8 +259,7 @@ object DedupOps extends QueryModule {
   val q68_dedup_clusters = QueryDef(
     "q68_dedup_clusters",
     (s, dir) => {
-      val sh = shinglesN(s, dir)
-        .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh")).cache()
+      val sh = shinglesHashedN(s, dir)
       // same early size filter + sizes-as-grouping-keys shape as q43
       val pairs = sh.select(col("doc_id").as("a"), col("n").as("na"), col("sh"))
         .join(sh.select(col("doc_id").as("b"), col("n").as("nb"), col("sh")), Seq("sh"))

@@ -34,15 +34,17 @@ object PipelineOps extends QueryModule {
       // 2. near-dup candidates (same shape as q43), drop the higher id
       // xxhash64 join key — same rationale and ~2× join speedup as q43;
       // distinctness is established on the strings first.
-      val sh = exactKept
+      val base = exactKept
         .filter(col("n_words") >= 3)
-        .withColumn("arr", expr(
+        .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(0, size(words) - 3)," +
-            " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))"))
-        .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
-          explode(col("arr")).as("shs"))
-        .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh"))
-        .cache() // feeds both sides of the inverted-index self-join
+            " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("shs"))
+        .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
+        .cache() // feeds sizes + both sides of the inverted-index self-join
+      // sizes joined back for the early filter (DedupOps.shinglesHashedN
+      // shape: hash agg + planner-chosen join, no pre-explode size() and
+      // no window sort)
+      val sh = base.join(base.groupBy("doc_id").agg(count(lit(1)).as("n")), "doc_id")
       // early size filter (J≥0.8 ⇒ 5·min ≥ 4·max) + sizes as grouping
       // keys — prunes pairs before aggregation, no sizes joins (q43 shape)
       val dupIds = sh.select(col("doc_id").as("a"), col("n").as("na"), col("sh"))
