@@ -286,8 +286,43 @@ object StreamingBatch extends QueryModule {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY user_id, valid_from, event_id"""))
 
+  /** Retention cohort matrix — q67's sibling and the other half of
+    * product analytics over an event stream: users cohorted by their
+    * first-signup week, and for each week offset since, how many of the
+    * cohort came back (any event). Two linear passes (first-signup
+    * argmin; distinct user-week activity) meeting in one equi-join on
+    * user, then a small matrix aggregation. Weeks are integral
+    * epoch-week indices so the matrix is exact-typed end to end. */
+  val q80_retention = QueryDef(
+    "q80_retention",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("wk", floor(unix_timestamp(col("ts")) / 604800L).cast("long"))
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val active = ev.select("user_id", "wk").distinct()
+      cohorts.join(active, "user_id")
+        .filter(col("wk") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_wk", "offset_wk")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_type,
+                     CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk
+              FROM events),
+            cohorts AS (
+              SELECT user_id, min(wk) AS cohort_wk FROM ev
+              WHERE event_type = 'signup' GROUP BY user_id),
+            active AS (SELECT DISTINCT user_id, wk FROM ev)
+            SELECT c.cohort_wk, a.wk - c.cohort_wk AS offset_wk,
+                   count(DISTINCT c.user_id) AS n_active
+            FROM cohorts c JOIN active a ON c.user_id = a.user_id
+            WHERE a.wk >= c.cohort_wk
+            GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q32_window_tumbling, q33_window_sliding, q34_window_session,
     q35_dedup_keepfirst, q36_subject_fanout, q67_funnel, q69_eventtype_gate,
-    q78_scd_intervals)
+    q78_scd_intervals, q80_retention)
 }

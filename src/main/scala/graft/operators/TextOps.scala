@@ -259,8 +259,50 @@ object TextOps extends QueryModule {
             SELECT token, tf, list_contains((SELECT tk FROM sk), token) AS in_sketch
             FROM exact ORDER BY tf DESC, token"""))
 
+  /** TF-IDF top terms per document — the classic relevance weighting as
+    * a two-aggregate plan: per-(doc, token) term frequency, per-token
+    * document frequency, idf = ln((N+1)/(df+1)), top-3 terms per doc by
+    * the rounded score. Rounding to 6 decimals BEFORE ranking makes the
+    * ranking independent of last-ulp ln() differences between libms
+    * (the q57 precedent), and the token tie-break totalizes the order. */
+  val q81_tfidf = QueryDef(
+    "q81_tfidf",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count() // tiny dimension scan, plan-time constant
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(df, "token")
+        .withColumn("tfidf", round(col("tf")
+          * log((lit(nDocs) + 1.0) / (col("df") + lit(1.0))), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("token"), col("tf"), col("tfidf"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tf AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY 1, 2),
+            dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY token),
+            n AS (SELECT count(*) AS nd FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.token, t.tf,
+                     round(t.tf * ln((n.nd + 1.0) / (d.df + 1.0)), 6) AS tfidf
+              FROM tfc t JOIN dfc d ON t.token = d.token CROSS JOIN n)
+            SELECT doc_id, CAST(rk AS BIGINT) AS rk, token,
+                   CAST(tf AS BIGINT) AS tf, tfidf
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, token) AS rk FROM scored)
+            WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q37_text_stats, q38_token_tf, q39_text_quality, q40_text_langid,
     q41_text_fingerprint, q63_token_bpe, q65_split_train_val,
-    q79_heavy_hitters)
+    q79_heavy_hitters, q81_tfidf)
 }
