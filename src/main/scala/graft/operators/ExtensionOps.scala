@@ -108,5 +108,49 @@ object ExtensionOps extends QueryModule {
             SELECT CAST(label AS BIGINT) AS label, id AS best_id, score AS best_score
             FROM ranked WHERE rn = 1 ORDER BY label"""))
 
-  override val defs: Seq[QueryDef] = Seq(q51_join_right, q52_udf_scalar, q53_udaf_argmax)
+  /** Bloom-filter semi-join reduction — THE star-join technique at
+    * 100 TB: build a bloom filter over the (filtered) dimension's keys,
+    * broadcast the few-KB sketch, and discard non-matching fact rows
+    * BEFORE the join so the shuffle carries only plausible matches.
+    * Catalyst's own runtime-filter machinery (`BloomFilterAggregate` /
+    * `BloomFilterMightContain`, reached through ColumnBridge — they are
+    * internal expressions) is used explicitly; both sides hash with
+    * xxhash64 as the runtime filter does. The actual join still runs,
+    * so bloom FALSE POSITIVES are eliminated and the result equals the
+    * plain join — which is exactly what the oracle computes. */
+  val q83_bloom_prefilter = QueryDef(
+    "q83_bloom_prefilter",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val dim = Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") === 5).select(col("s_suppkey"))
+      val bloomAgg = column(new BloomFilterAggregate(
+        expression(xxhash64(col("s_suppkey"))),
+        Literal(1000L), Literal(8L * 1024 * 8)).toAggregateExpression())
+      val bloom = dim.agg(bloomAgg.as("bf"))
+      // the serialized sketch is a few KB — materialize it as a LITERAL,
+      // which is exactly how Catalyst's InjectRuntimeFilter ships it
+      // (might_contain requires a constant/scalar-subquery bloom side)
+      val bf = bloom.head().getAs[Array[Byte]](0)
+      val pre = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+        .filter(column(BloomFilterMightContain(
+          Literal(bf, org.apache.spark.sql.types.BinaryType),
+          expression(xxhash64(col("l_suppkey"))))))
+      pre.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"))
+        .orderBy("l_suppkey")
+    },
+    Some("""SELECT l_suppkey, count(*) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey = 5
+            GROUP BY l_suppkey ORDER BY l_suppkey"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q51_join_right, q52_udf_scalar, q53_udaf_argmax, q83_bloom_prefilter)
 }

@@ -582,6 +582,32 @@ object Relational extends QueryModule {
             SELECT 'both' AS side, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
             ORDER BY side, nk"""))
 
+  /** Multiset set operations (the ALL variants q22's distinct forms
+    * don't cover): INTERSECT ALL keeps min(multiplicities), EXCEPT ALL
+    * subtracts them — summarized as per-key counts so the multiset
+    * semantics are visible and the output is exact-typed. */
+  val q82_setops_all = QueryDef(
+    "q82_setops_all",
+    (s, dir) => {
+      val a = t(s, dir, "lineitem")
+        .filter(col("l_linenumber") <= 3).select(col("l_suppkey").as("k"))
+      val b = t(s, dir, "lineitem")
+        .filter(col("l_linenumber") >= 3).select(col("l_suppkey").as("k"))
+      val ia = a.intersectAll(b).groupBy("k")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b).groupBy("k")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.unionByName(ea).select("op", "k", "n").orderBy("op", "k")
+    },
+    Some("""WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber <= 3),
+                 b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber >= 3)
+            SELECT 'intersect_all' AS op, k, count(*) AS n
+            FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+            UNION ALL
+            SELECT 'except_all' AS op, k, count(*) AS n
+            FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+            ORDER BY op, k"""))
+
   /** Exact dedup with a deterministic survivor (keep lowest linenumber)
     * — `dropDuplicates` picks an arbitrary row, which can't hash-match
     * an oracle, so the engine's canonical dedup is window-based. */
@@ -744,5 +770,5 @@ object Relational extends QueryModule {
     q20_sort_topk, q21_topk_per_group, q22_setops, q23_dedup_exact,
     q24_distinct, q55_agg_grouping_sets, q56_agg_percentile, q57_agg_stats,
     q64_agg_regression, q66_join_asof_tolerance, q76_agg_approx_quantile,
-    q77_window_distribution)
+    q77_window_distribution, q82_setops_all)
 }
