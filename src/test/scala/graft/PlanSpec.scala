@@ -105,6 +105,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"not an all-pairs comparison, got:\n${p.take(3000)}")
   }
 
+  test("bloom prefilter reaches the fact scan side before the join (q83)") {
+    val p = plan(ExtensionOps.q83_bloom_prefilter)
+    assert(p.contains("might_contain"),
+      s"the bloom membership test must be in the plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("SimHash candidates come from the band equi-join, never all-pairs (q45)") {
     val p = plan(DedupOps.q45_dedup_simhash)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
