@@ -301,8 +301,51 @@ object TextOps extends QueryModule {
                     ORDER BY tfidf DESC, token) AS rk FROM scored)
             WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
+  /** Unigram language-model scoring — the perplexity-filter family of
+    * corpus cleaning: train a unigram model on the corpus itself
+    * (P(w) = tf_w / total), score each doc by its negative log
+    * likelihood, and gate on NLL per token. Per-token log-probs are
+    * quantized floor(ln P · 1e6) and summed as BIGINT (the q75
+    * fixed-point pattern: floor has no rounding mode and integer sums
+    * are accumulation-order-free, so a 1000-executor sum matches the
+    * single-threaded oracle bit-for-bit); the keep gate compares in
+    * pure integer arithmetic. Two aggregations + one token join —
+    * the same linear shapes as q38/q81 at any scale. */
+  val q84_unigram_nll = QueryDef(
+    "q84_unigram_nll",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val total = toks.count() // scalar model constant (as in q81's N)
+      val tf = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      toks.join(tf, "token")
+        .withColumn("lp_scaled",
+          floor(log(col("tf").cast("double") / lit(total.toDouble)) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          (-sum(col("lp_scaled"))).cast("long").as("nll_scaled"))
+        // gate: NLL per token < 3.402 nats (the corpus median — both
+        // classes populated) ⟺ nll_scaled < 3_402_000 · n_tok
+        .withColumn("keep", col("nll_scaled") < col("n_tok") * 3402000L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            tf AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+            total AS (SELECT count(*) AS n FROM toks),
+            lp AS (
+              SELECT t.doc_id,
+                     CAST(floor(ln(CAST(f.tf AS DOUBLE) / CAST(total.n AS DOUBLE)) * 1e6) AS BIGINT) AS lp_scaled
+              FROM toks t JOIN tf f ON t.token = f.token CROSS JOIN total)
+            SELECT doc_id,
+                   count(*) AS n_tok,
+                   CAST(-sum(lp_scaled) AS BIGINT) AS nll_scaled,
+                   CAST(-sum(lp_scaled) AS BIGINT) < count(*) * 3402000 AS keep
+            FROM lp GROUP BY doc_id ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q37_text_stats, q38_token_tf, q39_text_quality, q40_text_langid,
     q41_text_fingerprint, q63_token_bpe, q65_split_train_val,
-    q79_heavy_hitters, q81_tfidf)
+    q79_heavy_hitters, q81_tfidf, q84_unigram_nll)
 }
