@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM, and the dedup/vector
+  // queries cache signature tables: 8g GC-thrashed exactly the heavy
+  // queries (the round-3 driver bench showed small queries flat but
+  // cache-heavy ones 3-8x slower than isolated runs). The box has
+  // 128 GiB; give the forked run a real share of it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

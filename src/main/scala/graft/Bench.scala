@@ -65,14 +65,19 @@ object Bench {
     failed = failed.distinct
     val replay = streamReplaySeconds(spark, sfDir)
     val all = results :+ ("stream_replay" -> replay)
-    // 3-decimal rounding keeps the line SHORT: the driver parses this
-    // from a bounded tail of the sbt output, and round 1's full-precision
-    // line was long enough to be truncated (BENCH_r01 "parsed": null).
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    // The driver parses the JSON line out of a bounded 2000-char tail of
+    // the sbt output. Round 3's line (80 full-length query names, 3
+    // decimals) outgrew that window and the driver recorded
+    // "parsed": null — no bench numbers at all. Keep the line compact:
+    // per-query keys are the qNN prefix ("q44_dedup_minhash_lsh" -> "q44"),
+    // 2-decimal values. Full names stay on stderr for humans.
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def short(k: String): String = if (k.startsWith("q")) k.takeWhile(_ != '_') else k
+    val qs = all.map { case (k, v) => "\"" + short(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ > 0).sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.sorted.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    all.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s ${f(v)}%8s s") }
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
