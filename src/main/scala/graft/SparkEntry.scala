@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered operator modules. Order is presentation-only. */
   def modules: Seq[QueryModule] =
     Seq(Relational, Scalars, StreamingBatch, TextOps, DedupOps, VectorOps,
-      MultimodalOps, ExtensionOps, PipelineOps, Reshape, CurationOps)
+      MultimodalOps, ExtensionOps, PipelineOps, Reshape, CurationOps,
+      RetrievalOps, AnalyticsOps)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -337,7 +337,52 @@ object DedupOps extends QueryModule {
             SELECT src AS doc_id, min(dst) AS cluster_id
             FROM reach GROUP BY src ORDER BY doc_id"""))
 
+  /** Duplicate-graph diagnostics: node/edge/triangle counts over the q43
+    * near-dup pair graph — the health report a dedup pipeline emits
+    * before destructive dropping (triangle density says whether clusters
+    * are cliquey true-dup groups or suspicious hub chains).
+    *
+    * Triangle counting is the textbook distributed shape: with edges
+    * oriented a < b, each triangle x<y<z is found exactly once by the
+    * two-hop join e1(x,y)⋈e2(y,z)⋈e3(x,z) — two equi-joins on the
+    * ALREADY-THRESHOLDED edge list, which is tiny relative to the corpus
+    * (the quadratic work happened inside q43's inverted-index+verify
+    * funnel, never here). */
+  val q94_dup_graph_stats = QueryDef(
+    "q94_dup_graph_stats",
+    (s, dir) => {
+      // cache: the edge list feeds four scans (nodes, edges, both sides
+      // of the triangle join); Verify/Bench clearCache() per query.
+      val pairs = q43_dedup_ngram_jaccard.run(s, dir).select("a", "b").cache()
+      val nodes = pairs.select(explode(array(col("a"), col("b"))).as("d"))
+        .distinct().agg(count(lit(1)).cast("long").as("n_nodes"))
+      val edges = pairs.agg(count(lit(1)).cast("long").as("n_edges"))
+      val tris = pairs.select(col("a").as("x"), col("b").as("y"))
+        .join(pairs.select(col("a").as("y"), col("b").as("z")), "y")
+        .join(pairs.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+        .agg(count(lit(1)).cast("long").as("n_triangles"))
+      nodes.crossJoin(edges).crossJoin(tris)
+    },
+    Some(s"""WITH $shinglesSql,
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            pairs AS (
+              SELECT a, b FROM common
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE c / (sa.n + sb.n - c) >= 0.8)
+            SELECT
+              (SELECT CAST(count(DISTINCT d) AS BIGINT)
+               FROM (SELECT a AS d FROM pairs UNION ALL SELECT b AS d FROM pairs)) AS n_nodes,
+              (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+              (SELECT CAST(count(*) AS BIGINT)
+               FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+               JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q42_dedup_exact_stats, q43_dedup_ngram_jaccard, q44_dedup_minhash_lsh,
-    q45_dedup_simhash, q68_dedup_clusters)
+    q45_dedup_simhash, q68_dedup_clusters, q94_dup_graph_stats)
 }

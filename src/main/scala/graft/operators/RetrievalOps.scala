@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-level retrieval / language-model analytics over `documents` —
+  * the scoring side of a training-data pipeline (the reference's storage
+  * events carry the corpus; these are the "which documents do we keep /
+  * surface" operators layered on top, per the builder mandate).
+  *
+  * Scale shapes: every operator is explode → partial-agg → one shuffle
+  * on a bounded key space (tokens / bigrams / langs), then a bounded
+  * join back to per-doc rows. Nothing is quadratic in the corpus; the
+  * only global sort orders the FINAL bounded output (top-k or one row
+  * per doc). All floating-point accumulation routes through the
+  * fixed-point BIGINT pattern (floor(x·10^k) summed as integers) so a
+  * 1000-executor plan hash-matches the single-threaded oracle.
+  */
+object RetrievalOps extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** BM25 (k1 = 1.2, b = 0.75) top-20 for a fixed 3-term query.
+    *
+    * Classic search scoring: idf = ln(1 + (N − df + ½)/(df + ½)),
+    * tf saturation k1, length normalization b against avgdl. The term
+    * filter is applied BEFORE the per-(doc, term) aggregation, so the
+    * expensive path only ever touches rows for the 3 query terms; dl and
+    * the corpus stats are one linear pass each. Per-doc score =
+    * Σ_terms floor(contrib·10⁶) summed as BIGINT (≤ 3 addends, but the
+    * fixed-point sum keeps it associativity-free like the rest). */
+  val q85_bm25 = QueryDef(
+    "q85_bm25",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").cast("long").as("sum_dl"))
+      val tf = toks.filter(col("token").isin("join", "scan", "vector"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      tf.join(df, "token").join(dl, "doc_id").crossJoin(stats)
+        .withColumn("c_fp",
+          floor(log(lit(1.0)
+              + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+                / (col("df").cast("double") + lit(0.5)))
+            * (col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double") + lit(1.2) * (lit(0.25)
+                + lit(0.75) * (col("dl").cast("double") * col("n_docs").cast("double")
+                  / col("sum_dl").cast("double"))))
+            * lit(1e6)).cast("long"))
+        .groupBy("doc_id").agg(sum("c_fp").cast("long").as("bm25_fp"))
+        .orderBy(col("bm25_fp").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                   WHERE token IN ('join','scan','vector') GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+            contrib AS (
+              SELECT tf.doc_id,
+                CAST(floor(ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                       / (CAST(df.df AS DOUBLE) + 0.5))
+                  * (CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+                      + 0.75 * (CAST(dl.dl AS DOUBLE) * CAST(stats.n_docs AS DOUBLE)
+                        / CAST(stats.sum_dl AS DOUBLE))))
+                  * 1e6) AS BIGINT) AS c_fp
+              FROM tf JOIN df USING(token) JOIN dl USING(doc_id) CROSS JOIN stats)
+            SELECT doc_id, CAST(sum(c_fp) AS BIGINT) AS bm25_fp
+            FROM contrib GROUP BY doc_id
+            ORDER BY bm25_fp DESC, doc_id LIMIT 20"""))
+
+  /** Deterministic STRATIFIED SAMPLE: 30 docs per language, chosen by
+    * rank of md5(doc_id) within the stratum — content-addressed like
+    * q65's split, so the sample is reproducible across engines, runs and
+    * cluster sizes (no RNG state). One window per stratum; at corpus
+    * scale the per-stratum rank is a bounded-key shuffle, and only
+    * sampled rows survive. */
+  val q86_sample_stratified = QueryDef(
+    "q86_sample_stratified",
+    (s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), rank().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 30)
+        .orderBy("lang", "rk", "doc_id")
+    },
+    Some("""SELECT doc_id, lang, rk FROM (
+              SELECT doc_id, lang,
+                     CAST(rank() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+              FROM documents)
+            WHERE rk <= 30 ORDER BY lang, rk, doc_id"""))
+
+  /** Bigram language-model surprisal gate (the conditional-probability
+    * step up from q84's unigram NLL): P(w₂|w₁) is the corpus MLE
+    * C(w₁w₂)/C(w₁·), per-doc NLL accumulates floor(ln P·10⁶) as BIGINT,
+    * and the keep gate compares mean NLL against 3.4 nats/bigram (the
+    * corpus median at both fixture scales, so both classes appear).
+    * Every observed bigram has positive probability by construction, so
+    * no smoothing term is needed for the gate to be total. */
+  val q87_bigram_lm = QueryDef(
+    "q87_bigram_lm",
+    (s, dir) => {
+      val ws = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val big = ws.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")).as("bg"))
+      val bgc = big.groupBy("bg").agg(count(lit(1)).as("cb"))
+      val uc = bgc.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+        .agg(sum("cb").cast("long").as("cu"))
+      big.join(bgc, "bg")
+        .join(uc, split(col("bg"), " ").getItem(0) === col("w1"))
+        .withColumn("lp_fp",
+          floor(log(col("cb").cast("double") / col("cu").cast("double")) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"), (-sum("lp_fp")).cast("long").as("nll_fp"))
+        .withColumn("keep", col("nll_fp") < col("n_big") * 3400000L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+            big AS (SELECT doc_id,
+                      unnest(list_transform(range(len(ws)-1), i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+                    FROM w WHERE len(ws) >= 2),
+            bgc AS (SELECT bg, count(*) AS cb FROM big GROUP BY bg),
+            uc AS (SELECT string_split(bg,' ')[1] AS w1, CAST(sum(cb) AS BIGINT) AS cu
+                   FROM bgc GROUP BY 1),
+            lp AS (SELECT b.doc_id,
+                     CAST(floor(ln(CAST(c.cb AS DOUBLE)/CAST(u.cu AS DOUBLE))*1e6) AS BIGINT) AS lp_fp
+                   FROM big b JOIN bgc c USING(bg)
+                   JOIN uc u ON string_split(b.bg,' ')[1] = u.w1)
+            SELECT doc_id, count(*) AS n_big,
+                   CAST(-sum(lp_fp) AS BIGINT) AS nll_fp,
+                   CAST(-sum(lp_fp) AS BIGINT) < count(*) * 3400000 AS keep
+            FROM lp GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Zipf's-law fit of the token rank–frequency curve: least-squares
+    * slope/intercept of ln(freq) on ln(rank) over the top-500 tokens.
+    * The regression moments are fixed-point BIGINT sums (exact, order
+    * free); the closed-form slope divides the two exactly-computed
+    * moments in DOUBLE (identical operands ⇒ identical IEEE results),
+    * rounded to 6 dp for the 1-ulp ln() safety margin (q81's rule).
+    * A healthy natural corpus fits slope ≈ −1; this synthetic word salad
+    * is near-uniform (slope ≈ 0) — exactly what the diagnostic flags. */
+  val q92_zipf_fit = QueryDef(
+    "q92_zipf_fit",
+    (s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+      val ranked = tf
+        .select(col("tf"), row_number().over(
+          Window.orderBy(col("tf").desc, col("token"))).as("rk"))
+        .filter(col("rk") <= 500)
+        .select(
+          floor(log(col("rk").cast("double")) * 1e6).cast("long").as("x"),
+          floor(log(col("tf").cast("double")) * 1e6).cast("long").as("y"))
+      ranked
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(
+          col("n").cast("long").as("n_tokens"),
+          round((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 6).as("slope"),
+          round((col("sy").cast("double") / 1e6
+              - ((col("n").cast("double") * col("sxy").cast("double")
+                  - col("sx").cast("double") * col("sy").cast("double"))
+                / (col("n").cast("double") * col("sxx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double")))
+                * (col("sx").cast("double") / 1e6))
+            / col("n").cast("double"), 6).as("intercept"))
+    },
+    Some("""WITH tf AS (
+              SELECT token, count(*) AS tf
+              FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+              GROUP BY token),
+            ranked AS (
+              SELECT CAST(floor(ln(CAST(rk AS DOUBLE))*1e6) AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(tf AS DOUBLE))*1e6) AS BIGINT) AS y
+              FROM (SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rk FROM tf)
+              WHERE rk <= 500),
+            m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+                  FROM ranked)
+            SELECT CAST(n AS BIGINT) AS n_tokens,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+                   round((CAST(sy AS DOUBLE) / 1e6
+                       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         * (CAST(sx AS DOUBLE) / 1e6))
+                     / CAST(n AS DOUBLE), 6) AS intercept
+            FROM m"""))
+
+  override val defs: Seq[QueryDef] = Seq(
+    q85_bm25, q86_sample_stratified, q87_bigram_lm, q92_zipf_fit)
+}
