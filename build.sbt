@@ -36,4 +36,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cache-heavy ones 3-8x slower than isolated runs). The box has
   // 128 GiB; give the forked run a real share of it.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Commit the heap up front: without -Xms the JVM starts ~2g and grows
+  // toward Xmx through GC-driven expansion, which taxes whichever
+  // queries run first (bench q02-q09 measured 4-6x their isolated-warm
+  // times purely from heap-growth churn).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Bounded GC log for post-hoc diagnosis of driver-run regressions
+  // (distinguishes JVM pauses from host CPU-steal stalls: a 20s wall
+  // spike with <1s of logged pause time is the host, not us).
+  "-Xlog:gc*:file=/tmp/gc.log:time,uptime:filecount=1,filesize=50m",
 )

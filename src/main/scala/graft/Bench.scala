@@ -48,22 +48,61 @@ object Bench {
     // next measurement — round 2's q44 "regression" was exactly this
     // cross-query cache pressure, not the query itself.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to runs).flatMap { _ =>
+    // With the heap pre-committed (-Xms=-Xmx) the JVM may not GC for many
+    // minutes, so ContextCleaner's weak-ref cleanup of shuffle state /
+    // broadcasts / checkpoint blocks never fires and accumulated debris
+    // degrades late queries 2-20x (q68 measured 1.2s on a young heap vs
+    // 26.6s after 67 queries of debris). A periodic-GC timer fixes that
+    // but drops full-GC pauses into whichever query is mid-flight
+    // (stream_replay took +4s from stray pauses). Instead: explicit
+    // System.gc() every few queries, OUTSIDE the timed region, so
+    // cleanup is deterministic and never lands on the clock.
+    var sinceGc = 0
+    def maybeGc(): Unit = { sinceGc += 1; if (sinceGc >= 8) { sinceGc = 0; System.gc() } }
+    // INTERLEAVED rounds (suite pass 1, pass 2, pass 3) rather than
+    // back-to-back triples per query: the host occasionally stalls this
+    // VM for tens of seconds (CPU-steal bursts — GC logs show <1s total
+    // pause while wall time jumps 20s, and the spiked queries change
+    // every run). Back-to-back triples let one such window poison all
+    // three samples of a query (q45 measured 24/17/37s vs 0.5s warm
+    // isolated); interleaving spaces a query's samples minutes apart so
+    // a localized window costs at most one sample, which the median
+    // discards.
+    val qdefs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    (1 to runs).foreach { _ =>
+      qdefs.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => failed ::= name; false }
         spark.catalog.clearCache()
         val sec = (System.nanoTime() - t0) / 1e9
-        if (ok) Some(sec) else None
+        if (ok) samples(name) = sec :: samples(name)
+        maybeGc()
       }
+    }
+    val results = qdefs.map { case (name, _) =>
+      val secs = samples(name)
       val median =
         if (secs.isEmpty) -1.0
         else secs.sorted.apply(secs.size / 2)
+      // All run times on stderr (not just the median): a spike's shape —
+      // one slow run vs all-slow — distinguishes a stray pause from a
+      // systemic slowdown when diagnosing driver-recorded regressions.
+      System.err.println(s"[bench-runs] $name ${secs.reverse.map(x => f"$x%.2f").mkString(" ")}")
       name -> median
     }
     failed = failed.distinct
-    val replay = streamReplaySeconds(spark, sfDir)
+    // Median of N for the replay too — a single sample is as exposed to a
+    // host-steal window as any query, and this row IS the headline
+    // streaming-throughput number.
+    val replaySamples = (1 to runs).map { _ =>
+      System.gc() // clean slate before the latency-sensitive streaming replay
+      streamReplaySeconds(spark, sfDir)
+    }
+    System.err.println(
+      s"[bench-runs] stream_replay ${replaySamples.map(x => f"$x%.2f").mkString(" ")}")
+    val replay = replaySamples.sorted.apply(replaySamples.size / 2)
     val all = results :+ ("stream_replay" -> replay)
     // The driver parses the JSON line out of a bounded 2000-char tail of
     // the sbt output. Round 3's line (80 full-length query names, 3
