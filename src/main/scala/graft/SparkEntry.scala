@@ -15,7 +15,7 @@ object SparkEntry {
   def modules: Seq[QueryModule] =
     Seq(Relational, Scalars, StreamingBatch, TextOps, DedupOps, VectorOps,
       MultimodalOps, ExtensionOps, PipelineOps, Reshape, CurationOps,
-      RetrievalOps, AnalyticsOps)
+      RetrievalOps, AnalyticsOps, TemporalOps, StatsOps, GraphOps)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Time-centric batch operators over the event/TPC-H tables: range
+  * (interval) joins, sessionization, CDC merge/upsert and linear
+  * interpolation over a date spine. These are the batch duals of the
+  * streaming surface (q32-q35): the reference's event log is a
+  * timeline, and a 100 TB corpus is queried along it constantly.
+  *
+  * Scale shapes: the range join is re-expressed as a day-bucket
+  * EQUI-join (never a BNLJ — the bucket key carries the interval
+  * resolution, so Catalyst shuffles both sides on a key instead of
+  * nested-looping); sessionization and interpolation are single-pass
+  * per-key window scans (one shuffle on user_id); the merge is one
+  * full-outer join on the natural key. Timestamp arithmetic runs on
+  * exact integer epoch micros/days (QueryDef determinism rules).
+  */
+object TemporalOps extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Range join (point-in-interval) via day-bucketing: urgent 1995
+    * "campaign" windows [orderdate, orderdate+10d] joined to heavy
+    * shipments by calendar day. The interval side EXPLODES to its
+    * covered days (≤ 11 rows each, bounded by the window length) and the
+    * join becomes a plain shuffled equi-join on the day key — the Spark
+    * shape of an interval join. At 100 TB both sides partition by day;
+    * a theta `BETWEEN` join (the oracle's formulation) would be a
+    * broadcast-nested-loop over the full cross space. Day granularity is
+    * exact here because both bounds and points are date-resolution. */
+  val q95_interval_join = QueryDef(
+    "q95_interval_join",
+    (s, dir) => {
+      val camp = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("c_start"))
+      val pts = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(to_date(col("l_shipdate")).as("p_day"))
+      camp
+        .select(col("o_orderkey"),
+          explode(expr("sequence(c_start, date_add(c_start, 10), interval 1 day)")).as("p_day"))
+        .join(pts, "p_day")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH camp AS (
+              SELECT o_orderkey, o_orderdate::DATE AS c_start
+              FROM orders
+              WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995),
+            pts AS (SELECT l_shipdate::DATE AS p_day FROM lineitem WHERE l_quantity >= 45)
+            SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_hits
+            FROM camp JOIN pts ON p_day BETWEEN c_start AND c_start + 10
+            GROUP BY o_orderkey ORDER BY o_orderkey"""))
+
+  /** Sessionization with explicit session-id ASSIGNMENT (q34 aggregates
+    * per session window; this returns the labeled sessions themselves —
+    * the id a downstream join needs): a 6 h inactivity gap starts a new
+    * session, ids are the running count of session starts per user.
+    * Gap math runs on exact epoch MICROS (ts is ns-precision parquet
+    * with zero sub-µs components — FIXTURES.md), so both engines compare
+    * identical integers. One shuffle on user_id; both window passes and
+    * the final aggregation reuse that partitioning. */
+  val q96_sessionize = QueryDef(
+    "q96_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_s",
+          when(lag("us", 1).over(w).isNull
+            || col("us") - lag("us", 1).over(w) > 21600L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          min("us").as("start_us"), max("us").as("end_us"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          expr("start_us div 1000000").as("start_sec"),
+          expr("(end_us - start_us) div 1000000").as("dur_sec"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+            f AS (SELECT user_id, event_id, us,
+                    CASE WHEN lag(us) OVER w IS NULL
+                           OR us - lag(us) OVER w > CAST(21600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS new_s
+                  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (SELECT user_id, us,
+                    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                  FROM f)
+            SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(us) // 1000000 AS BIGINT) AS start_sec,
+                   CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS dur_sec
+            FROM g GROUP BY user_id, session_id
+            ORDER BY user_id, session_id"""))
+
+  /** CDC MERGE (upsert) semantics as one full-outer join: the "target"
+    * dimension is each user's latest state before 2024-01-15, the
+    * "source" is the latest event at-or-after it; matched rows update,
+    * source-only rows insert, target-only rows carry over — with the op
+    * tagged per row, which is exactly what a MERGE INTO audit needs.
+    * Latest-per-key is an argmax window (one shuffle on user_id shared
+    * by both sides); the join itself is key-partitioned. No sort-order
+    * dependence: the (ts, event_id) tiebreak is total. */
+  val q101_merge_upsert = QueryDef(
+    "q101_merge_upsert",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: DataFrame, pfx: String) =
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("value").as(s"${pfx}_value"),
+            col("event_type").as(s"${pfx}_type"))
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val base = latest(ev.filter(col("ts") < cutoff), "b")
+      val chg = latest(ev.filter(col("ts") >= cutoff), "c")
+      base.join(chg, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("b_value").isNotNull && col("c_value").isNotNull, "update")
+            .when(col("c_value").isNotNull, "insert").otherwise("keep").as("op"),
+          coalesce(col("c_value"), col("b_value")).as("val"),
+          coalesce(col("c_type"), col("b_type")).as("last_type"))
+        .orderBy("user_id")
+    },
+    Some("""WITH base AS (
+              SELECT user_id, value AS b_value, event_type AS b_type FROM (
+                SELECT user_id, value, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+            chg AS (
+              SELECT user_id, value AS c_value, event_type AS c_type FROM (
+                SELECT user_id, value, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1)
+            SELECT coalesce(b.user_id, c.user_id) AS user_id,
+                   CASE WHEN b_value IS NOT NULL AND c_value IS NOT NULL THEN 'update'
+                        WHEN c_value IS NOT NULL THEN 'insert' ELSE 'keep' END AS op,
+                   coalesce(c_value, b_value) AS val,
+                   coalesce(c_type, b_type) AS last_type
+            FROM base b FULL JOIN chg c USING (user_id)
+            ORDER BY user_id"""))
+
+  /** Linear interpolation of missing daily per-user amounts (the step up
+    * from q91's forward fill): gaps take
+    * prev + (next − prev) · days_since/gap_days from the nearest
+    * observed days on each side (IGNORE NULLS window lookups, exact
+    * integer day distances). Daily amounts aggregate through DECIMAL
+    * first, so the doubles being interpolated are bit-identical across
+    * engines, and the interpolation expression is written with the same
+    * operation order in both. Leading/trailing gaps (no anchor on one
+    * side) stay NULL, distinguishing "unknown" from "zero". */
+  val q102_interpolate = QueryDef(
+    "q102_interpolate",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 30)
+        .withColumn("dt", to_date(col("ts")))
+      val bounds = ev.agg(min("dt").as("d0"), max("dt").as("d1"))
+      val spine = ev.select("user_id").distinct().crossJoin(bounds)
+        .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("dt"))
+      val daily = ev.groupBy("user_id", "dt")
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("amt"))
+      val w = Window.partitionBy("user_id").orderBy("dt")
+      val before = w.rowsBetween(Window.unboundedPreceding, -1)
+      val after = w.rowsBetween(1, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "dt"), "left")
+        .withColumn("prev_amt", last(col("amt"), ignoreNulls = true).over(before))
+        .withColumn("prev_dt",
+          last(when(col("amt").isNotNull, col("dt")), ignoreNulls = true).over(before))
+        .withColumn("next_amt", first(col("amt"), ignoreNulls = true).over(after))
+        .withColumn("next_dt",
+          first(when(col("amt").isNotNull, col("dt")), ignoreNulls = true).over(after))
+        .select(col("user_id"), col("dt"),
+          when(col("amt").isNotNull, col("amt"))
+            .when(col("prev_amt").isNotNull && col("next_amt").isNotNull,
+              col("prev_amt") + (col("next_amt") - col("prev_amt"))
+                * (datediff(col("dt"), col("prev_dt")).cast("double")
+                  / datediff(col("next_dt"), col("prev_dt")).cast("double")))
+            .as("amount"),
+          when(col("amt").isNotNull, "observed")
+            .when(col("prev_amt").isNotNull && col("next_amt").isNotNull, "interpolated")
+            .otherwise("edge").as("kind"))
+        .orderBy("user_id", "dt")
+    },
+    Some("""WITH ev AS (SELECT user_id, ts::DATE AS dt, value FROM events WHERE user_id < 30),
+            bounds AS (SELECT min(dt) AS d0, max(dt) AS d1 FROM ev),
+            spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS dt
+                      FROM (SELECT DISTINCT user_id FROM ev) CROSS JOIN bounds),
+            daily AS (SELECT user_id, dt,
+                             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amt
+                      FROM ev GROUP BY 1, 2),
+            j AS (SELECT s.user_id, s.dt, d.amt,
+                    last_value(d.amt IGNORE NULLS) OVER wb AS prev_amt,
+                    last_value(CASE WHEN d.amt IS NOT NULL THEN s.dt END IGNORE NULLS)
+                      OVER wb AS prev_dt,
+                    first_value(d.amt IGNORE NULLS) OVER wa AS next_amt,
+                    first_value(CASE WHEN d.amt IS NOT NULL THEN s.dt END IGNORE NULLS)
+                      OVER wa AS next_dt
+                  FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.dt = s.dt
+                  WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.dt
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         wa AS (PARTITION BY s.user_id ORDER BY s.dt
+                                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+            SELECT user_id, dt,
+                   CASE WHEN amt IS NOT NULL THEN amt
+                        WHEN prev_amt IS NOT NULL AND next_amt IS NOT NULL THEN
+                          prev_amt + (next_amt - prev_amt)
+                            * (CAST(dt - prev_dt AS DOUBLE) / CAST(next_dt - prev_dt AS DOUBLE))
+                   END AS amount,
+                   CASE WHEN amt IS NOT NULL THEN 'observed'
+                        WHEN prev_amt IS NOT NULL AND next_amt IS NOT NULL THEN 'interpolated'
+                        ELSE 'edge' END AS kind
+            FROM j ORDER BY user_id, dt"""))
+
+  def defs: Seq[QueryDef] =
+    Seq(q95_interval_join, q96_sessionize, q101_merge_upsert, q102_interpolate)
+}

@@ -344,8 +344,44 @@ object TextOps extends QueryModule {
                    CAST(-sum(lp_scaled) AS BIGINT) < count(*) * 3402000 AS keep
             FROM lp GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** One BPE merge-LEARNING iteration (q63 applies a fixed
+    * pre-tokenizer; this is the step that builds the vocabulary): count
+    * every adjacent character pair across the corpus, weighted by word
+    * frequency, and surface the top-20 merge candidates. The corpus
+    * collapses to its distinct-word frequency table FIRST (the classic
+    * BPE trick — pair counting is O(|vocab|·|word|), not O(corpus)),
+    * then pairs explode per distinct word and one bounded aggregation
+    * ranks them. `cl` is sliced to exactly length(w) chars because
+    * Spark's regex split keeps a trailing empty element that DuckDB's
+    * string_split drops. */
+  val q100_bpe_merge = QueryDef(
+    "q100_bpe_merge",
+    (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val wf = words.filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).cast("long").as("f"))
+      wf.withColumn("cl", expr("slice(split(w, ''), 1, length(w))"))
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(cl) - 1), i -> concat(element_at(cl, i), element_at(cl, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair")
+        .agg(sum("f").cast("long").as("total"))
+        .orderBy(col("total").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+            wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+                   FROM words WHERE len(w) >= 2 GROUP BY w),
+            cs AS (SELECT f, string_split(w, '') AS cl FROM wf),
+            pairs AS (SELECT f, cl[i] || cl[i + 1] AS pair
+                      FROM cs, unnest(range(1, len(cl))) AS t(i))
+            SELECT pair, CAST(sum(f) AS BIGINT) AS total
+            FROM pairs GROUP BY pair
+            ORDER BY total DESC, pair LIMIT 20"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q37_text_stats, q38_token_tf, q39_text_quality, q40_text_langid,
     q41_text_fingerprint, q63_token_bpe, q65_split_train_val,
-    q79_heavy_hitters, q81_tfidf, q84_unigram_nll)
+    q79_heavy_hitters, q81_tfidf, q84_unigram_nll, q100_bpe_merge)
 }

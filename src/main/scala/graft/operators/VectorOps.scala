@@ -366,7 +366,66 @@ object VectorOps extends QueryModule {
           FROM expl GROUP BY 1, 2 ORDER BY cluster, dim"""
     })
 
+  /** Per-label centroid + top-5 outliers: squared distance of every
+    * vector to its label centroid, ranked within the label. Centroid
+    * components come from fixed-point BIGINT sums (order-independent);
+    * the per-dimension distance terms floor to BIGINT before the per-row
+    * sum, so both the centroid and the distances are exact across any
+    * aggregation tree. The (label, dim) key space is bounded (labels ×
+    * 64), so the centroid join back to components is a broadcast at any
+    * corpus size — cluster-quality diagnostics with one shuffle over
+    * the components. */
+  val q104_centroid_outliers = QueryDef(
+    "q104_centroid_outliers",
+    (s, dir) => {
+      val comps = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").as("i"),
+          col("col").cast("double").as("x"))
+      val cent = comps.groupBy("label", "i")
+        .agg(sum(floor(col("x") * lit(1e7)).cast("long")).cast("long").as("s_fp"),
+          count(lit(1)).cast("long").as("n"))
+        .select(col("label"), col("i"),
+          (col("s_fp").cast("double") / (col("n").cast("double") * lit(1e7))).as("c"))
+      val dist = comps.join(cent, Seq("label", "i"))
+        .select(col("vec_id"), col("label"),
+          floor((col("x") - col("c")) * (col("x") - col("c")) * lit(1e9))
+            .cast("long").as("t_fp"))
+        .groupBy("vec_id", "label")
+        .agg(sum("t_fp").cast("long").as("dist_fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("dist_fp").desc, col("vec_id"))
+      dist.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("label"), col("vec_id"), col("dist_fp"), col("rn"))
+        .orderBy("label", "rn")
+    },
+    Some("""WITH comps AS (
+              SELECT vec_id, label, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+              FROM embeddings, range(0, 64) AS t(i)),
+            cent AS (
+              SELECT label, i,
+                     CAST(sum(CAST(floor(x * 10000000.0) AS BIGINT)) AS BIGINT) AS s_fp,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM comps GROUP BY label, i),
+            cent2 AS (
+              SELECT label, i,
+                     CAST(s_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 10000000.0) AS c
+              FROM cent),
+            dist AS (
+              SELECT vec_id, label,
+                     CAST(sum(CAST(floor((x - c) * (x - c) * 1000000000.0) AS BIGINT))
+                       AS BIGINT) AS dist_fp
+              FROM comps JOIN cent2 USING (label, i) GROUP BY vec_id, label),
+            ranked AS (
+              SELECT label, vec_id, dist_fp,
+                     CAST(row_number() OVER (PARTITION BY label
+                       ORDER BY dist_fp DESC, vec_id) AS BIGINT) AS rn
+              FROM dist)
+            SELECT label, vec_id, dist_fp, rn
+            FROM ranked WHERE rn <= 5 ORDER BY label, rn"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
-    q62_dedup_embedding, q75_kmeans_step)
+    q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers)
 }

@@ -125,4 +125,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "decimal moment sums must combine map-side — shipping raw rows to the " +
         "reducer breaks at 100 TB")
   }
+
+  test("the interval join runs on the day-bucket equi key, never BETWEEN-nested-loop (q95)") {
+    val p = plan(TemporalOps.q95_interval_join)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the exploded day buckets must turn the range predicate into an equi-join " +
+        s"— a theta BETWEEN join is O(intervals x points) at 100 TB:\n${p.take(1500)}")
+  }
+
+  test("centroid join-back is a bounded-key equi-join, never all-pairs (q104)") {
+    val p = plan(VectorOps.q104_centroid_outliers)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "component-to-centroid attachment must join on (label, dim)")
+  }
+
+  test("pagerank rounds join the bounded adjacency, never the raw fact table (q99)") {
+    val p = plan(GraphOps.q99_pagerank)
+    assert(!p.contains("CartesianProduct"), "rank propagation must stay an equi-join")
+    // The 4-way fact join builds the edge list; each round must reuse the
+    // cached adjacency, not re-run the lineitem join per iteration.
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "edges must come from the cached bounded adjacency in the iteration subplans")
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
+
+/** Semantic invariants for the round-4 operators (TemporalOps,
+  * StatsOps, GraphOps, q100/q104). Exact-value correctness is the
+  * DuckDB oracle's job (Verify); these assert the properties that must
+  * hold at ANY scale — conservation laws, partition-totality, bound
+  * shapes — i.e. the things that catch a wrong rewrite even when the
+  * oracle is rewritten in lockstep.
+  */
+class TemporalStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-temporal-stats-spec")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("sessionize partitions the event stream: per-session counts sum to the table (q96)") {
+    val sessions = TemporalOps.q96_sessionize.run(spark, dir).cache()
+    val total = Tables.load(spark, dir, "events").count()
+    assert(sessions.agg(sum("n_events")).head.getLong(0) == total,
+      "every event must land in exactly one session")
+    // ids are dense 1..k per user — a running sum can't skip
+    val gaps = sessions.groupBy("user_id")
+      .agg(max("session_id").as("mx"), count(lit(1)).as("k"))
+      .filter(col("mx") =!= col("k")).count()
+    assert(gaps == 0, "session ids must be dense per user")
+    sessions.unpersist()
+  }
+
+  test("histogram bins partition the rows (q97)") {
+    val h = StatsOps.q97_histogram.run(spark, dir).cache()
+    assert(h.agg(sum("n")).head.getLong(0) == Tables.load(spark, dir, "lineitem").count())
+    assert(h.filter(col("bin") < 0 || col("bin") > 19).count() == 0)
+    h.unpersist()
+  }
+
+  test("pagerank mass stays within teleport floor and total (q99)") {
+    val r = GraphOps.q99_pagerank.run(spark, dir).cache()
+    assert(r.count() == 25, "every nation keeps a rank row")
+    assert(r.filter(col("pr_fp") < 6000000000L).count() == 0,
+      "teleport term is a hard floor per node")
+    val mass = r.agg(sum("pr_fp")).head.getLong(0)
+    // fixed-point flooring only ever loses mass vs the exact 10^12
+    assert(mass <= 1000000000000L && mass > 900000000000L,
+      s"rank mass must stay ~conserved, got $mass")
+    r.unpersist()
+  }
+
+  test("merge tags every surviving key exactly once (q101)") {
+    val m = TemporalOps.q101_merge_upsert.run(spark, dir).cache()
+    val users = Tables.load(spark, dir, "events").select("user_id").distinct().count()
+    assert(m.count() == users, "one output row per user ever seen")
+    assert(m.select("op").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("insert", "update", "keep")))
+    m.unpersist()
+  }
+
+  test("interpolation preserves observed points and only fills interior gaps (q102)") {
+    val out = TemporalOps.q102_interpolate.run(spark, dir).cache()
+    assert(out.filter(col("kind") === "observed" && col("amount").isNull).count() == 0)
+    assert(out.filter(col("kind") === "edge" && col("amount").isNotNull).count() == 0)
+    assert(out.filter(col("kind") === "interpolated").count() > 0,
+      "fixture has gaps to fill")
+    out.unpersist()
+  }
+
+  test("BPE merge candidates are 2-grams weighted by corpus frequency (q100)") {
+    val p = TextOps.q100_bpe_merge.run(spark, dir).cache()
+    assert(p.count() == 20)
+    assert(p.filter(length(col("pair")) =!= 2).count() == 0,
+      "adjacent char pairs only — the trailing-empty-split artifact must not leak")
+    p.unpersist()
+  }
+
+  test("centroid outliers: at most 5 per label, ranked by distance (q104)") {
+    val o = VectorOps.q104_centroid_outliers.run(spark, dir).cache()
+    assert(o.groupBy("label").count().filter(col("count") > 5).count() == 0)
+    assert(o.filter(col("rn") < 1 || col("rn") > 5).count() == 0)
+    o.unpersist()
+  }
+}
