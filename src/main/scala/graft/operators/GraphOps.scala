@@ -22,6 +22,25 @@ import graft.sources.Tables
 object GraphOps extends QueryModule {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
+  /** The weighted trade adjacency: customer-nation → supplier-nation,
+    * w = lineitem count. The 4-way fact join collapses to ≤ |nations|²
+    * rows — the bounded graph every operator here iterates on. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+
+  private val edgesSql: String =
+    """SELECT c_nationkey AS src, s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY 1, 2"""
+
   /** 3 weighted-PageRank rounds (damping 0.85) over the trade graph:
     * nodes = nations, edges customer-nation → supplier-nation weighted
     * by lineitem count. The edge aggregation collapses the 100 TB fact
@@ -32,13 +51,7 @@ object GraphOps extends QueryModule {
   val q99_pagerank = QueryDef(
     "q99_pagerank",
     (s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).cast("long").as("w"))
-        .cache()
+      val edges = tradeEdges(s, dir).cache()
       val outw = edges.groupBy("src").agg(sum("w").cast("long").as("ow"))
       val ew = edges.join(outw, "src")
       val nodes = t(s, dir, "nation").select(col("n_nationkey").as("id"))
@@ -64,13 +77,7 @@ object GraphOps extends QueryModule {
                          / CAST(o.ow AS DOUBLE)) AS BIGINT)) AS BIGINT) AS m
                 FROM edges e JOIN r${k - 1} r ON r.id = e.src JOIN outw o ON o.src = e.src
                 GROUP BY e.dst) s ON s.id = n.id)"""
-      s"""WITH edges AS (
-            SELECT c_nationkey AS src, s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            GROUP BY 1, 2),
+      s"""WITH edges AS ($edgesSql),
           outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
           nodes AS (SELECT n_nationkey AS id FROM nation),
           r0 AS (SELECT id, CAST(40000000000 AS BIGINT) AS r FROM nodes),
@@ -80,5 +87,30 @@ object GraphOps extends QueryModule {
           SELECT id AS nation_id, r AS pr_fp FROM r3 ORDER BY nation_id"""
     })
 
-  def defs: Seq[QueryDef] = Seq(q99_pagerank)
+  /** 2-hop reachability profile: for each source nation, the number of
+    * distinct nations reachable in exactly two trade hops and the total
+    * 2-path weight Σ w₁·w₂. One self-join of the bounded adjacency on
+    * the mid vertex — the multi-hop traversal shape (edges⋈edges on the
+    * shared vertex, re-aggregate), which at 100 TB is the standard
+    * distributed triangle/path-counting join, partition key = mid. */
+  val q109_graph_2hop = QueryDef(
+    "q109_graph_2hop",
+    (s, dir) => {
+      val edges = tradeEdges(s, dir).cache()
+      val e1 = edges.select(col("src"), col("dst").as("mid"), col("w").as("w1"))
+      val e2 = edges.select(col("src").as("mid"), col("dst"), col("w").as("w2"))
+      e1.join(e2, "mid")
+        .groupBy("src")
+        .agg(countDistinct("dst").cast("long").as("n_2hop"),
+          sum(col("w1") * col("w2")).cast("long").as("paths_w"))
+        .orderBy("src")
+    },
+    Some(s"""WITH edges AS ($edgesSql)
+            SELECT e1.src AS src,
+                   CAST(count(DISTINCT e2.dst) AS BIGINT) AS n_2hop,
+                   CAST(sum(e1.w * e2.w) AS BIGINT) AS paths_w
+            FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+            GROUP BY e1.src ORDER BY src"""))
+
+  def defs: Seq[QueryDef] = Seq(q99_pagerank, q109_graph_2hop)
 }

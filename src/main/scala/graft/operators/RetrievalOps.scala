@@ -203,6 +203,68 @@ object RetrievalOps extends QueryModule {
                      / CAST(n AS DOUBLE), 6) AS intercept
             FROM m"""))
 
+  /** Skip-bigram co-occurrence PMI (word2vec-style window ±2): pairs
+    * form ARRAY-SIDE per document (two linear transforms over the token
+    * array — never a positional self-join, which would be O(doclen²)
+    * rows per doc), then one bounded-key aggregation per pair and a
+    * broadcast join back to the unigram counts. PMI =
+    * ln(c_ab·N / (c_a·c_b)) on doubles derived from exact BIGINT counts
+    * with identical operation order in both engines, floored to
+    * fixed-point. Support floor c_ab ≥ 20 keeps the output the
+    * high-signal head. */
+  val q105_cooccur_pmi = QueryDef(
+    "q105_cooccur_pmi",
+    (s, dir) => {
+      // ≥3 tokens so both skip-distances exist (Spark's sequence() turns
+      // DESCENDING when start > stop — an empty range must never occur)
+      val docs = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+      val pairs = docs.select(explode(concat(
+        expr("transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"),
+        expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 2)))")))
+        .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).cast("long").as("c_ab"))
+        .withColumn("w1", expr("split(pair, ' ')[0]"))
+        .withColumn("w2", expr("split(pair, ' ')[1]"))
+      val uni = docs.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      val n = pairs.agg(sum("c_ab").cast("long").as("n_pairs"))
+      pairs.filter(col("c_ab") >= 20)
+        .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(n)
+        .withColumn("pmi_fp",
+          floor(log(col("c_ab").cast("double") * col("n_pairs").cast("double")
+            / (col("c_a").cast("double") * col("c_b").cast("double"))) * lit(1e6))
+            .cast("long"))
+        .select(col("pair"), col("c_ab"), col("pmi_fp"))
+        .orderBy(col("pmi_fp").desc, col("pair"))
+        .limit(30)
+    },
+    Some("""WITH docs AS (SELECT string_split(text, ' ') AS ws FROM documents
+                          WHERE len(string_split(text, ' ')) >= 3),
+            p1 AS (SELECT ws[i] || ' ' || ws[i + 1] AS pair
+                   FROM docs, unnest(range(1, len(ws))) AS t(i)),
+            p2 AS (SELECT ws[i] || ' ' || ws[i + 2] AS pair
+                   FROM docs, unnest(range(1, len(ws) - 1)) AS t(i)),
+            pairs AS (SELECT pair, CAST(count(*) AS BIGINT) AS c_ab
+                      FROM (SELECT pair FROM p1 UNION ALL SELECT pair FROM p2)
+                      GROUP BY pair),
+            uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                    FROM (SELECT unnest(ws) AS w FROM docs) GROUP BY w),
+            n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_pairs FROM pairs)
+            SELECT pair, c_ab,
+                   CAST(floor(ln(CAST(c_ab AS DOUBLE) * CAST(n_pairs AS DOUBLE)
+                     / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))) * 1e6) AS BIGINT) AS pmi_fp
+            FROM pairs
+            JOIN uni a ON a.w = string_split(pair, ' ')[1]
+            JOIN uni b ON b.w = string_split(pair, ' ')[2]
+            CROSS JOIN n
+            WHERE c_ab >= 20
+            ORDER BY pmi_fp DESC, pair LIMIT 30"""))
+
   override val defs: Seq[QueryDef] = Seq(
-    q85_bm25, q86_sample_stratified, q87_bigram_lm, q92_zipf_fit)
+    q85_bm25, q86_sample_stratified, q87_bigram_lm, q92_zipf_fit,
+    q105_cooccur_pmi)
 }

@@ -115,5 +115,150 @@ object StatsOps extends QueryModule {
             FROM ranked WHERE pr >= 0.75
             ORDER BY lang, score_fp, doc_id"""))
 
-  def defs: Seq[QueryDef] = Seq(q97_histogram, q98_mode_per_group, q103_percentile_gate)
+  /** Skewness / excess kurtosis per return flag from EXACT raw moments —
+    * the 3rd/4th-moment extension of q64's regression pattern: power
+    * sums accumulate as DECIMAL(38,6) (order-independent; the powers of
+    * the integral quantities are exact in double before the cast), the
+    * shape statistics then derive with identical double operation order
+    * in both engines, rounded one decimal short of the ulp where the
+    * Σx⁴ magnitude can drift. One partial-aggregated pass. */
+  val q106_moments = QueryDef(
+    "q106_moments",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def m(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+      val x = col("l_quantity")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          m(x).as("s1"), m(x * x).as("s2"),
+          m(x * x * x).as("s3"), m(x * x * x * x).as("s4"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("mean", col("s1") / col("nd"))
+        .withColumn("v", col("s2") / col("nd") - col("mean") * col("mean"))
+        .withColumn("skew",
+          round((col("s3") / col("nd") - lit(3.0) * col("mean") * (col("s2") / col("nd"))
+            + lit(2.0) * col("mean") * col("mean") * col("mean")) / pow(col("v"), 1.5), 10))
+        .withColumn("kurt",
+          round((col("s4") / col("nd") - lit(4.0) * col("mean") * (col("s3") / col("nd"))
+            + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("nd"))
+            - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+            / (col("v") * col("v")) - lit(3.0), 10))
+        .select(col("l_returnflag"), col("n"), round(col("mean"), 10).as("mean"),
+          round(col("v"), 10).as("variance"), col("skew"), col("kurt"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH m AS (
+              SELECT l_returnflag, count(*) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                     CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+                     CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+                     CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s4
+              FROM lineitem GROUP BY l_returnflag),
+            d AS (
+              SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+                     s1 / CAST(n AS DOUBLE) AS mean,
+                     s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS v,
+                     s1, s2, s3, s4
+              FROM m)
+            SELECT l_returnflag, n,
+                   round(mean, 10) AS mean,
+                   round(v, 10) AS variance,
+                   round((s3 / nd - 3.0 * mean * (s2 / nd)
+                     + 2.0 * mean * mean * mean) / pow(v, 1.5), 10) AS skew,
+                   round((s4 / nd - 4.0 * mean * (s3 / nd)
+                     + 6.0 * mean * mean * (s2 / nd)
+                     - 3.0 * mean * mean * mean * mean) / (v * v) - 3.0, 10) AS kurt
+            FROM d ORDER BY l_returnflag"""))
+
+  /** Two-sample Kolmogorov–Smirnov statistic (purchase vs error event
+    * values) kept ENTIRELY in integers: KS = max |F₁−F₂| is computed as
+    * max |cum₁·n₂ − cum₂·n₁| over the merged support, deferring the
+    * division to a final ratio of exact BIGINTs — no per-row floating
+    * point at all. The merged support is one bounded global-ordered
+    * window (distinct values only); at corpus scale this windows over
+    * the value QUANTIZATION (bin first), which changes one projection,
+    * not the shape. */
+  val q107_ks_test = QueryDef(
+    "q107_ks_test",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "error"))
+      val per = ev.groupBy("value")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per
+        .withColumn("cum1", sum("c1").over(w))
+        .withColumn("cum2", sum("c2").over(w))
+        .crossJoin(per.agg(sum("c1").cast("long").as("n1"), sum("c2").cast("long").as("n2")))
+        .select(abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("d"),
+          col("n1"), col("n2"))
+        .groupBy("n1", "n2")
+        .agg(max("d").cast("long").as("ks_num"))
+        .select(col("n1"), col("n2"), col("ks_num"),
+          round(col("ks_num").cast("double") / (col("n1").cast("double") * col("n2").cast("double")), 10).as("ks"))
+        .orderBy("n1")
+    },
+    Some("""WITH ev AS (SELECT event_type, value FROM events
+                        WHERE event_type IN ('purchase', 'error')),
+            per AS (SELECT value,
+                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                    FROM ev GROUP BY value),
+            tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM per),
+            cum AS (SELECT
+                      sum(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum1,
+                      sum(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum2
+                    FROM per)
+            SELECT n1, n2,
+                   CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+                   round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 10) AS ks
+            FROM cum CROSS JOIN tot
+            GROUP BY n1, n2 ORDER BY n1"""))
+
+  /** Chi-square contingency cells (event type × day-of-week): observed
+    * counts vs independence expectation rt·ct/N, per-cell contribution
+    * floored to fixed-point. Everything derives from three bounded
+    * aggregations of the same pass (cells, row totals, column totals —
+    * the totals join back by key, no second scan of the fact table at
+    * scale since Spark reuses the shuffled cells). Spark's dayofweek is
+    * 1-based Sunday; DuckDB's 0-based — the projection aligns them. */
+  val q110_chi_square = QueryDef(
+    "q110_chi_square",
+    (s, dir) => {
+      val cells = t(s, dir, "events")
+        .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).cast("long").as("o"))
+      val rt = cells.groupBy("event_type").agg(sum("o").cast("long").as("rt"))
+      val ct = cells.groupBy("dow").agg(sum("o").cast("long").as("ct"))
+      val n = cells.agg(sum("o").cast("long").as("n"))
+      cells.join(rt, "event_type").join(ct, "dow").crossJoin(n)
+        .withColumn("e",
+          col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double"))
+        .withColumn("chi_fp",
+          floor((col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+            / col("e") * lit(1e6)).cast("long"))
+        .select(col("event_type"), col("dow").cast("long").as("dow"), col("o"),
+          round(col("e"), 10).as("e"), col("chi_fp"))
+        .orderBy("event_type", "dow")
+    },
+    Some("""WITH cells AS (
+              SELECT event_type, dayofweek(ts) AS dow, CAST(count(*) AS BIGINT) AS o
+              FROM events GROUP BY 1, 2),
+            rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+            ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+            n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+            SELECT event_type, CAST(dow AS BIGINT) AS dow, o,
+                   round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 10) AS e,
+                   CAST(floor((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS chi_fp
+            FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+            ORDER BY event_type, dow"""))
+
+  def defs: Seq[QueryDef] = Seq(q97_histogram, q98_mode_per_group, q103_percentile_gate,
+    q106_moments, q107_ks_test, q110_chi_square)
 }

@@ -219,6 +219,41 @@ object TemporalOps extends QueryModule {
                         ELSE 'edge' END AS kind
             FROM j ORDER BY user_id, dt"""))
 
+  /** Decay-weighted rolling signal (EMA-style, exact): per user, the
+    * sum of the last 8 event values under halving weights 2⁻ᵏ. True
+    * recursive EMA is order-dependent float accumulation — impossible to
+    * hash-match across aggregation trees — so the FIXED-lag form is the
+    * deterministic formulation: each term floors to fixed-point
+    * independently (the 2⁻ᵏ weights are exact binary doubles) and the 8
+    * integer terms add associatively. One window pass per user; rows
+    * without full history are excluded rather than silently
+    * renormalized. */
+  val q108_ema_lags = QueryDef(
+    "q108_ema_lags",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val terms = (0 to 7).map(k =>
+        floor(lag(col("value"), k).over(w) * lit(math.pow(0.5, k)) * lit(1e6)).cast("long"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("ema_fp", terms.reduce(_ + _))
+        .filter(col("ema_fp").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ema_fp"))
+        .orderBy("user_id", "event_id")
+    },
+    Some {
+      val terms = (0 to 7).map(k =>
+        s"CAST(floor(lag(value, $k) OVER w * ${math.pow(0.5, k)} * 1e6) AS BIGINT)")
+        .mkString(" + ")
+      s"""SELECT user_id, event_id, ema_fp FROM (
+            SELECT user_id, event_id, $terms AS ema_fp
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          WHERE ema_fp IS NOT NULL
+          ORDER BY user_id, event_id"""
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q95_interval_join, q96_sessionize, q101_merge_upsert, q102_interpolate)
+    Seq(q95_interval_join, q96_sessionize, q101_merge_upsert, q102_interpolate,
+      q108_ema_lags)
 }

@@ -86,6 +86,38 @@ class TemporalStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     p.unpersist()
   }
 
+  test("chi-square cells partition the events; contributions are non-negative (q110)") {
+    val c = StatsOps.q110_chi_square.run(spark, dir).cache()
+    assert(c.agg(sum("o")).head.getLong(0) == Tables.load(spark, dir, "events").count())
+    assert(c.filter(col("chi_fp") < 0).count() == 0)
+    c.unpersist()
+  }
+
+  test("KS statistic is a valid probability distance (q107)") {
+    val k = StatsOps.q107_ks_test.run(spark, dir).head()
+    val (n1, n2, num) = (k.getLong(0), k.getLong(1), k.getLong(2))
+    assert(num >= 0 && num <= n1 * n2, "0 <= KS <= 1 in integer form")
+  }
+
+  test("2-hop weights dominate any single path; sources come from the edge set (q109)") {
+    val h = GraphOps.q109_graph_2hop.run(spark, dir).cache()
+    assert(h.count() > 0)
+    assert(h.filter(col("n_2hop") < 1 || col("n_2hop") > 25).count() == 0,
+      "2-hop fan-out is bounded by the node count")
+    h.unpersist()
+  }
+
+  test("EMA terms exclude incomplete history (q108)") {
+    val e = TemporalOps.q108_ema_lags.run(spark, dir)
+    val perUser = e.groupBy("user_id").count()
+    val events = Tables.load(spark, dir, "events")
+      .groupBy("user_id").count().withColumnRenamed("count", "n_ev")
+    // each user loses exactly the 7 warm-up rows (users with <8 events vanish)
+    val bad = perUser.join(events, "user_id")
+      .filter(col("count") =!= col("n_ev") - 7).count()
+    assert(bad == 0)
+  }
+
   test("centroid outliers: at most 5 per label, ranked by distance (q104)") {
     val o = VectorOps.q104_centroid_outliers.run(spark, dir).cache()
     assert(o.groupBy("label").count().filter(col("count") > 5).count() == 0)
