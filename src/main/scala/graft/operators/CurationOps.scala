@@ -230,7 +230,43 @@ object CurationOps extends QueryModule {
                    CAST(sum(least(cum, (seq_id + 1) * 256) - greatest(tok_start, seq_id * 256)) AS BIGINT) AS n_tokens
             FROM spans GROUP BY 1, 2 ORDER BY shard, seq_id"""))
 
+  /** Distributed batch model inference, linear-scorer form: every doc
+    * scores against FIXED published weights (a distilled quality
+    * classifier's linear head) over cheap lexical features, gated at
+    * the decision boundary. No transcendentals — the sigmoid is
+    * monotone, so gating on z > 0 is gating on p > 0.5, and the score
+    * ships as fixed-point z rather than an exp() whose last ulp can
+    * differ between libm implementations. The shape of classifier-based
+    * corpus filtering at 100 TB: embarrassingly parallel projection,
+    * zero shuffles before the final order. */
+  val q111_model_gate = QueryDef(
+    "q111_model_gate",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("size(split(text, ' '))").cast("long").as("n_tok"), col("n_chars"))
+        .withColumn("mean_wlen",
+          col("n_chars").cast("double") / col("n_tok").cast("double"))
+        .withColumn("z_fp",
+          floor((lit(0.8) * col("mean_wlen")
+            - lit(0.002) * col("n_tok").cast("double") - lit(3.0)) * lit(1e6)).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("z_fp"),
+          (col("z_fp") > 0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                     n_chars
+              FROM documents)
+            SELECT doc_id, lang, n_tok,
+                   CAST(floor((0.8 * (CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                     - 0.002 * CAST(n_tok AS DOUBLE) - 3.0) * 1e6) AS BIGINT) AS z_fp,
+                   CAST(floor((0.8 * (CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                     - 0.002 * CAST(n_tok AS DOUBLE) - 3.0) * 1e6) AS BIGINT) > 0 AS keep
+            FROM f ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q70_decontaminate, q71_pii_scrub, q72_quality_repetition, q73_domain_mix,
-    q74_sequence_pack)
+    q74_sequence_pack, q111_model_gate)
 }

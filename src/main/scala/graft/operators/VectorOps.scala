@@ -425,7 +425,71 @@ object VectorOps extends QueryModule {
             SELECT label, vec_id, dist_fp, rn
             FROM ranked WHERE rn <= 5 ORDER BY label, rn"""))
 
+  /** Hybrid retrieval via reciprocal-rank fusion: a LEXICAL ranking
+    * (tf-density of the query term over `documents`) and a VECTOR
+    * ranking (cosine against query vector 1 over `embeddings`) fuse as
+    * RRF = Σ 1/(60 + rankᵢ) — the standard two-tower merge. Fusion
+    * arithmetic stays integer: each reciprocal term is 10⁹ div (60+r)
+    * and the sum is exact BIGINT, so engine-order effects can't move
+    * the final ranking. Ranks join full-outer on the shared id space
+    * (a doc missing from one tower contributes only the other's term —
+    * coalesce(0), not a renormalization). Both rank windows are
+    * top-k-bounded before the join at scale. */
+  val q112_rrf_fusion = QueryDef(
+    "q112_rrf_fusion",
+    (s, dir) => {
+      val lexw = Window.orderBy(col("lex_fp").desc, col("doc_id"))
+      val lex = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("size(filter(split(text, ' '), w -> w = 'vector'))").cast("long").as("hits"),
+          expr("size(split(text, ' '))").cast("long").as("n_tok"))
+        .filter(col("hits") > 0)
+        .withColumn("lex_fp", expr("hits * 1000000 div n_tok"))
+        .withColumn("r_lex", row_number().over(lexw).cast("long"))
+        .select(col("doc_id").as("id"), col("r_lex"))
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("embedding").as("qv"), sqrt(norm2(col("embedding"))).as("qn"))
+      val cosw = Window.orderBy(col("cos").desc, col("cid"))
+      val vec = e.filter(col("vec_id") =!= 1)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          sqrt(norm2(col("embedding"))).as("cn"))
+        .crossJoin(broadcast(q))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("r_vec", row_number().over(cosw).cast("long"))
+        .select(col("cid").as("id"), col("r_vec"))
+      lex.join(vec, Seq("id"), "full_outer")
+        .withColumn("rrf_fp",
+          coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L))
+            + coalesce(expr("1000000000 div (60 + r_vec)"), lit(0L)))
+        .select(col("id"), col("r_lex"), col("r_vec"), col("rrf_fp"))
+        .orderBy(col("rrf_fp").desc, col("id"))
+        .limit(20)
+    },
+    Some(s"""WITH lex0 AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '), w -> w = 'vector')) AS BIGINT) AS hits,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            lex AS (
+              SELECT doc_id AS id,
+                     CAST(row_number() OVER (ORDER BY hits * 1000000 // n_tok DESC, doc_id) AS BIGINT) AS r_lex
+              FROM lex0 WHERE hits > 0),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+            vec AS (
+              SELECT cid AS id, CAST(row_number() OVER (ORDER BY cos DESC, cid) AS BIGINT) AS r_vec
+              FROM (
+                SELECT vec_id AS cid,
+                       ${dotSql("embedding", "qv")}
+                         / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("embedding", "embedding")})) AS cos
+                FROM embeddings CROSS JOIN q WHERE vec_id <> 1))
+            SELECT coalesce(lex.id, vec.id) AS id, r_lex, r_vec,
+                   coalesce(1000000000 // (60 + r_lex), 0)
+                     + coalesce(1000000000 // (60 + r_vec), 0) AS rrf_fp
+            FROM lex FULL JOIN vec ON lex.id = vec.id
+            ORDER BY rrf_fp DESC, id LIMIT 20"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
-    q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers)
+    q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers, q112_rrf_fusion)
 }
