@@ -561,6 +561,39 @@ object Relational extends QueryModule {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
             WHERE rn <= 3 ORDER BY o_custkey, rn"""))
 
+  /** q21's top-k-per-group through the engine's custom PARTIAL-PRUNE
+    * operator (`graft.plans.TopKPerKey` — LogicalPlan + SparkStrategy +
+    * SparkPlan via the extension points): a bounded per-partition
+    * top-3-per-customer heap runs BEFORE the window's exchange, capping
+    * shuffle volume at k·|keys| rows per partition; the exact window
+    * after the shuffle restores precise rank semantics. Identical
+    * output to q21 (same oracle) — the prune order is total
+    * (totalprice desc, orderkey), so the partial pass provably keeps a
+    * superset of the true top-k. TopKPruneSpec asserts plan shape,
+    * row-reduction metrics and result equality with the unpruned
+    * plan. */
+  val q113_topk_pruned = QueryDef(
+    "q113_topk_pruned",
+    (s, dir) => {
+      val pruned = graft.plans.TopKPerKey.prune(
+        t(s, dir, "orders"),
+        keys = Seq("o_custkey"),
+        order = Seq(("o_totalprice", true), ("o_orderkey", false)),
+        k = 3)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      pruned
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
   val q22_setops = QueryDef(
     "q22_setops",
     (s, dir) => {
@@ -770,5 +803,5 @@ object Relational extends QueryModule {
     q20_sort_topk, q21_topk_per_group, q22_setops, q23_dedup_exact,
     q24_distinct, q55_agg_grouping_sets, q56_agg_percentile, q57_agg_stats,
     q64_agg_regression, q66_join_asof_tolerance, q76_agg_approx_quantile,
-    q77_window_distribution, q82_setops_all)
+    q77_window_distribution, q82_setops_all, q113_topk_pruned)
 }

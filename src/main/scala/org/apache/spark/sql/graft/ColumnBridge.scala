@@ -13,6 +13,20 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bridge into the private[sql] Dataset<->LogicalPlan conversion — what
+  * a library needs to wrap a DataFrame's plan in its own logical node
+  * and hand the result back as a DataFrame (the extension-operator
+  * pattern; physical planning happens via an injected SparkStrategy). */
+object PlanBridge {
+  import org.apache.spark.sql.{DataFrame, SparkSession, classic}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  def logical(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
+
 /** Runtime function registration against an existing session (the
   * builder-time path is graft.GraftExtensions via
   * spark.sql.extensions). */
