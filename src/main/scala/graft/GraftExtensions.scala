@@ -15,12 +15,17 @@ import graft.functions.DotProductFF
   * Functions:
   *  - `graft_dot(array<float>, array<float>) -> double` — exact
   *    left-to-right dot product (graft.functions.DotProductFF).
+  *
+  * Planner strategies:
+  *  - [[graft.plans.TopKStrategy]] — plans the custom partial
+  *    top-k-per-key prune node (graft.plans.PartialTopKPerKey).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFF].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductFF(children.head, children(1))))
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

@@ -27,6 +27,17 @@ object PlanBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
 
+/** Test-surface into private[sql] SparkSessionExtensions accessors:
+  * verifies what an extensions object WOULD wire at builder time
+  * without tearing down the shared test session (getOrCreate ignores
+  * spark.sql.extensions once a session exists). */
+object ExtensionsBridge {
+  import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, classic}
+
+  def plannerStrategies(ext: SparkSessionExtensions, spark: SparkSession): Seq[AnyRef] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+}
+
 /** Runtime function registration against an existing session (the
   * builder-time path is graft.GraftExtensions via
   * spark.sql.extensions). */

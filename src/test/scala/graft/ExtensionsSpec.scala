@@ -40,6 +40,18 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"analysis-time type error expected, got: ${e.getMessage.take(200)}")
   }
 
+  test("builder-time extensions wire the planner strategy") {
+    // what spark.sql.extensions=graft.GraftExtensions would inject
+    // (asserted through the extensions object itself — getOrCreate
+    // ignores the conf once the shared test session exists)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val strategies = org.apache.spark.sql.graft.ExtensionsBridge
+      .plannerStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.TopKStrategy),
+      s"injectPlannerStrategy must surface TopKStrategy, got: $strategies")
+  }
+
   test("Graft facade: session + registered analytics views + SQL native function") {
     spark // force this suite's session so the facade adopts it
     val s = graft.Graft.session()
