@@ -594,6 +594,80 @@ object Relational extends QueryModule {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
             WHERE rn <= 3 ORDER BY o_custkey, rn"""))
 
+  /** TPC-H Q5 shape (local supplier volume): the 6-way star-plus-snowflake
+    * join — lineitem⋈orders⋈customer⋈supplier⋈nation⋈region with the
+    * customer-nation = supplier-nation colocation predicate, region
+    * filter and a one-year date slice. This is the join-ORDERING
+    * benchmark: Catalyst pushes the region/date filters below the
+    * joins, broadcasts the pruned dimension chain
+    * (region→nation→…) and leaves only the fact-side equi-joins as
+    * exchanges. Revenue sums through DECIMAL (order-independent). */
+  val q114_tpch_q5 = QueryDef(
+    "q114_tpch_q5",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"
+          && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(38, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  /** TPC-H Q3 shape (shipping priority): 3-way join, pre-join filters
+    * on both fact sides, grouped revenue, top-10 by revenue — the
+    * "filter early, aggregate late" pattern with a bounded final
+    * sort. */
+  val q115_tpch_q3 = QueryDef(
+    "q115_tpch_q3",
+    (s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= cutoff)
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(38, 6))).cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("odate_sec"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate_sec,
+                   o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate >= TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
   val q22_setops = QueryDef(
     "q22_setops",
     (s, dir) => {
@@ -803,5 +877,5 @@ object Relational extends QueryModule {
     q20_sort_topk, q21_topk_per_group, q22_setops, q23_dedup_exact,
     q24_distinct, q55_agg_grouping_sets, q56_agg_percentile, q57_agg_stats,
     q64_agg_regression, q66_join_asof_tolerance, q76_agg_approx_quantile,
-    q77_window_distribution, q82_setops_all, q113_topk_pruned)
+    q77_window_distribution, q82_setops_all, q113_topk_pruned, q114_tpch_q5, q115_tpch_q3)
 }

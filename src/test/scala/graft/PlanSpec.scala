@@ -126,6 +126,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "reducer breaks at 100 TB")
   }
 
+  test("TPC-H Q5: filters reach the scans and the join tree stays equi (q114)") {
+    val p = plan(Relational.q114_tpch_q5)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the 6-way join must remain a pure equi-join tree")
+    assert(p.contains("BroadcastHashJoin"),
+      "the pruned dimension chain must broadcast, not shuffle")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*r_name.*") ||
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*IsNotNull\\(r_regionkey.*"),
+      "the region filter must reach the region scan")
+  }
+
   test("the interval join runs on the day-bucket equi key, never BETWEEN-nested-loop (q95)") {
     val p = plan(TemporalOps.q95_interval_join)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
