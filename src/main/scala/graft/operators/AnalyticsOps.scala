@@ -214,7 +214,43 @@ object AnalyticsOps extends QueryModule {
                    CAST(props->>'$.k' AS BIGINT) >= 50 AS is_big
             FROM events ORDER BY event_id"""))
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: lead() pairs consecutive event types per user (one
+    * window pass, partitioned on user_id), then a bounded aggregation
+    * over the |types|² matrix with integer-exact conditional
+    * probabilities (c·10⁶ div row-total). The behavioral-model shape:
+    * the fact table is touched once; everything after is bounded. */
+  val q117_transition_matrix = QueryDef(
+    "q117_transition_matrix",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val counts = pairs.groupBy("event_type", "nxt")
+        .agg(count(lit(1)).cast("long").as("c"))
+      val totals = counts.groupBy("event_type").agg(sum("c").cast("long").as("rt"))
+      counts.join(totals, "event_type")
+        .select(col("event_type"), col("nxt"), col("c"),
+          expr("c * 1000000 div rt").as("p_fp"))
+        .orderBy("event_type", "nxt")
+    },
+    Some("""WITH pairs AS (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+              FROM events),
+            counts AS (
+              SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS c
+              FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            totals AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS rt
+                       FROM counts GROUP BY 1)
+            SELECT event_type, nxt, c, CAST(c * 1000000 // rt AS BIGINT) AS p_fp
+            FROM counts JOIN totals USING (event_type)
+            ORDER BY event_type, nxt"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q88_entity_resolution, q89_embedding_quantize, q90_anomaly_zscore,
-    q91_timeseries_gapfill, q93_variant_ingest)
+    q91_timeseries_gapfill, q93_variant_ingest, q117_transition_matrix)
 }

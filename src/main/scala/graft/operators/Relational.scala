@@ -668,6 +668,35 @@ object Relational extends QueryModule {
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
 
+  /** Weighted average (price-weighted mean discount per supplier
+    * nation): both the weighted sum and the weight total accumulate as
+    * DECIMAL, so the final ratio divides two bit-identical doubles —
+    * the weighted-mean aggregate no engine ships natively, built
+    * partial-aggregable from two exact sums. */
+  val q119_weighted_avg = QueryDef(
+    "q119_weighted_avg",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(38, 8)))
+            .cast("double").as("wsum"),
+          sum(col("l_extendedprice").cast(DecimalType(38, 8))).cast("double").as("wtot"))
+        .select(col("n_name"), round(col("wsum") / col("wtot"), 10).as("wavg_discount"),
+          col("wtot"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+                   round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 10) AS wavg_discount,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS wtot
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
   val q22_setops = QueryDef(
     "q22_setops",
     (s, dir) => {
@@ -877,5 +906,5 @@ object Relational extends QueryModule {
     q20_sort_topk, q21_topk_per_group, q22_setops, q23_dedup_exact,
     q24_distinct, q55_agg_grouping_sets, q56_agg_percentile, q57_agg_stats,
     q64_agg_regression, q66_join_asof_tolerance, q76_agg_approx_quantile,
-    q77_window_distribution, q82_setops_all, q113_topk_pruned, q114_tpch_q5, q115_tpch_q3)
+    q77_window_distribution, q82_setops_all, q113_topk_pruned, q114_tpch_q5, q115_tpch_q3, q119_weighted_avg)
 }

@@ -259,6 +259,46 @@ object StatsOps extends QueryModule {
             FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
             ORDER BY event_type, dow"""))
 
+  /** Tukey-fence outlier accounting after a join: quartiles of
+    * l_quantity per order priority (exact percentiles — integral
+    * quantities, so the 0.25-step interpolation is exact in binary),
+    * fences at 1.5·IQR, then one pass counting rows outside. The
+    * quartile table is bounded (one row per priority) and broadcasts
+    * into the counting scan; the fact table is never shuffled twice. */
+  val q118_iqr_outliers = QueryDef(
+    "q118_iqr_outliers",
+    (s, dir) => {
+      val joined = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), col("l_quantity"))
+      val q = joined.groupBy("o_orderpriority")
+        .agg(expr("percentile(l_quantity, 0.25)").as("q1"),
+          expr("percentile(l_quantity, 0.75)").as("q3"))
+      joined.join(q, "o_orderpriority")
+        .withColumn("out_lo", col("l_quantity") < col("q1") - lit(1.5) * (col("q3") - col("q1")))
+        .withColumn("out_hi", col("l_quantity") > col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("out_lo") || col("out_hi"), 1L).otherwise(0L)).cast("long").as("n_outliers"),
+          max("q1").as("q1"), max("q3").as("q3"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH joined AS (
+              SELECT o_orderpriority, l_quantity
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            q AS (
+              SELECT o_orderpriority,
+                     quantile_cont(l_quantity, 0.25) AS q1,
+                     quantile_cont(l_quantity, 0.75) AS q3
+              FROM joined GROUP BY o_orderpriority)
+            SELECT j.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN l_quantity < q1 - 1.5 * (q3 - q1)
+                                   OR l_quantity > q3 + 1.5 * (q3 - q1)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   max(q1) AS q1, max(q3) AS q3
+            FROM joined j JOIN q USING (o_orderpriority)
+            GROUP BY j.o_orderpriority ORDER BY o_orderpriority"""))
+
   def defs: Seq[QueryDef] = Seq(q97_histogram, q98_mode_per_group, q103_percentile_gate,
-    q106_moments, q107_ks_test, q110_chi_square)
+    q106_moments, q107_ks_test, q110_chi_square, q118_iqr_outliers)
 }

@@ -253,7 +253,73 @@ object TemporalOps extends QueryModule {
           ORDER BY user_id, event_id"""
     })
 
+  /** Month-over-month revenue growth per nation: monthly DECIMAL-exact
+    * revenue, then one lag window per nation over the bounded
+    * (nation × month) grid. The growth ratio divides two bit-identical
+    * doubles with the same operation order in both engines (rounded one
+    * digit short of the ulp). First month per nation stays NULL —
+    * "no prior period" is not zero growth. */
+  val q116_growth_mom = QueryDef(
+    "q116_growth_mom",
+    (s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("rev"))
+      val w = Window.partitionBy("n_name").orderBy("mon")
+      monthly
+        .withColumn("prev", lag("rev", 1).over(w))
+        .select(col("n_name"), unix_timestamp(col("mon")).as("mon_sec"), col("rev"),
+          round((col("rev") - col("prev")) / col("prev"), 10).as("growth"))
+        .orderBy("n_name", "mon_sec")
+    },
+    Some("""WITH monthly AS (
+              SELECT n_name, date_trunc('month', o_orderdate) AS mon,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2)
+            SELECT n_name, CAST(floor(epoch(mon)) AS BIGINT) AS mon_sec, rev,
+                   round((rev - lag(rev) OVER w) / lag(rev) OVER w, 10) AS growth
+            FROM monthly
+            WINDOW w AS (PARTITION BY n_name ORDER BY mon)
+            ORDER BY n_name, mon_sec"""))
+
+  /** Trailing 7-day DISTINCT active users per day, exactly — the
+    * sliding-distinct window Spark's frames can't express (no DISTINCT
+    * in window functions). Each (user, active-day) pair EXPLODES to the
+    * ≤ 7 window-days it contributes to and a plain count-distinct per
+    * window-day finishes it: linear in active pairs × window length,
+    * shuffles once on the day key — the standard rewrite at any
+    * scale. */
+  val q120_rolling_distinct = QueryDef(
+    "q120_rolling_distinct",
+    (s, dir) => {
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("dt")).distinct()
+      val maxDay = pairs.agg(max("dt").as("mx"))
+      pairs
+        .select(col("user_id"),
+          explode(expr("sequence(dt, date_add(dt, 6), interval 1 day)")).as("wd"))
+        .crossJoin(maxDay)
+        .filter(col("wd") <= col("mx"))
+        .groupBy("wd")
+        .agg(countDistinct("user_id").cast("long").as("u7"))
+        .orderBy("wd")
+    },
+    Some("""WITH pairs AS (SELECT DISTINCT user_id, ts::DATE AS dt FROM events),
+            mx AS (SELECT max(dt) AS mx FROM pairs),
+            contrib AS (
+              SELECT user_id, unnest(generate_series(dt, dt + 6, INTERVAL 1 DAY))::DATE AS wd
+              FROM pairs)
+            SELECT wd, CAST(count(DISTINCT user_id) AS BIGINT) AS u7
+            FROM contrib CROSS JOIN mx
+            WHERE wd <= mx
+            GROUP BY wd ORDER BY wd"""))
+
   def defs: Seq[QueryDef] =
     Seq(q95_interval_join, q96_sessionize, q101_merge_upsert, q102_interpolate,
-      q108_ema_lags)
+      q108_ema_lags, q116_growth_mom, q120_rolling_distinct)
 }
