@@ -15,7 +15,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] =
     Seq(Relational, Scalars, StreamingBatch, TextOps, DedupOps, VectorOps,
       MultimodalOps, ExtensionOps, PipelineOps, Reshape, CurationOps,
-      RetrievalOps, AnalyticsOps, TemporalOps, StatsOps, GraphOps)
+      RetrievalOps, AnalyticsOps, TemporalOps, StatsOps, GraphOps,
+      CorpusOps, WarehouseOps)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

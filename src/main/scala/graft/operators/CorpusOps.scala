@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-preparation operators that slice documents and embeddings into
+  * the shapes a training pipeline feeds downstream: fixed-size chunking
+  * with overlap (the RAG/context-window splitter), per-dimension
+  * embedding statistics (the "is this embedding column healthy" check),
+  * and regex span extraction.
+  *
+  * Scale shapes: chunking is a generator (one `posexplode` per document,
+  * output ∝ corpus size — no shuffle at all until the caller aggregates);
+  * dimension stats shuffle exactly 64 keys regardless of corpus size;
+  * span extraction is a linear scan. All arithmetic that crosses the
+  * engine boundary is integer fixed-point (QueryDef determinism rules).
+  */
+object CorpusOps extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Fixed-size document chunking with overlap (chunk 200 chars, stride
+    * 150 ⇒ 50-char overlap): the canonical pre-embedding splitter. The
+    * chunk set is a pure per-row generator — `sequence` builds the
+    * start offsets, `posexplode` emits them — so the operator is
+    * embarrassingly parallel and produces no exchange; chunk identity
+    * travels as md5 so downstream dedup can run on fixed-width keys
+    * instead of raw text. */
+  val q121_doc_chunk = QueryDef(
+    "q121_doc_chunk",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      d.select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), length(col("text")) - 1, lit(150))))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "off")
+        .withColumn("chunk", expr("substring(text, off + 1, 200)"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("off").cast("long").as("off"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH starts AS (
+              SELECT doc_id, text, unnest(range(0, length(text), 150)) AS i
+              FROM documents WHERE length(text) > 0)
+            SELECT doc_id, CAST(i // 150 AS BIGINT) AS chunk_idx,
+                   CAST(i AS BIGINT) AS off,
+                   CAST(length(substr(text, i + 1, 200)) AS BIGINT) AS chunk_len,
+                   md5(substr(text, i + 1, 200)) AS chunk_md5
+            FROM starts ORDER BY doc_id, chunk_idx"""))
+
+  /** Per-dimension embedding statistics over the 64-dim column: count,
+    * fixed-point sum/min/max/mean of each coordinate. The shuffle key
+    * space is exactly the dimensionality (64 keys at any corpus size),
+    * so the aggregation is a map-side partial combine into a constant
+    * number of reducers. float→double is exact per element and
+    * `floor(v·10⁶)` is rounding-mode-free, so the BIGINT moments are
+    * bit-identical across engines. */
+  val q122_embed_dimstats = QueryDef(
+    "q122_embed_dimstats",
+    (s, dir) => {
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")))
+        .select(col("pos").cast("long").as("dim"),
+          floor(col("col").cast("double") * lit(1e6)).cast("long").as("fp"))
+        .groupBy("dim")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("fp").cast("long").as("sum_fp"),
+          min("fp").as("min_fp"), max("fp").as("max_fp"))
+        .withColumn("mean_fp", expr("sum_fp div n"))
+        .orderBy("dim")
+    },
+    Some("""WITH ex AS (
+              SELECT i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS fp
+              FROM (SELECT embedding,
+                           unnest(generate_series(1, len(embedding))) AS i
+                    FROM embeddings)),
+            agg AS (
+              SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(fp) AS BIGINT) AS sum_fp,
+                     min(fp) AS min_fp, max(fp) AS max_fp
+              FROM ex GROUP BY i)
+            SELECT dim, n, sum_fp, min_fp, max_fp,
+                   CAST(sum_fp // n AS BIGINT) AS mean_fp
+            FROM agg ORDER BY dim"""))
+
+  /** Regex span extraction (all matches, not just the first): count of
+    * long alphabetic tokens per document plus the first such span — the
+    * shape of PII/pattern scanners that tag rather than redact (q71 is
+    * the redacting form). Pure linear scan, no shuffle; the pattern
+    * stays in RE2-compatible syntax so broker-side and Spark-side
+    * semantics agree. */
+  val q126_regex_spans = QueryDef(
+    "q126_regex_spans",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(regexp_extract_all(text, '[a-z]{7,}', 0)) AS BIGINT)").as("n_long"),
+          coalesce(expr("regexp_extract(text, '([a-z]{7,})', 1)"), lit("")).as("first_long"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT) AS n_long,
+                   COALESCE(regexp_extract(text, '([a-z]{7,})', 1), '') AS first_long
+            FROM documents ORDER BY doc_id"""))
+
+  def defs: Seq[QueryDef] = Seq(q121_doc_chunk, q122_embed_dimstats, q126_regex_spans)
+}

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Reporting-layer operators: ordered string aggregation, boolean /
+  * filtered aggregates, dense grid zero-fill, the TPC-H Q18 and Q7
+  * join-aggregation shapes, gaps-and-islands activity streaks, and a
+  * winsorized (clamped-percentile) robust mean.
+  *
+  * Scale notes per operator are on each def; the common theme is that
+  * every grid / quartile / threshold side is BOUNDED (dimension-sized or
+  * one row per group) and broadcasts, so the fact table is scanned once
+  * and shuffled at most once on its natural key.
+  */
+object WarehouseOps extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Ordered string aggregation (LISTAGG/string_agg): supplier roster
+    * per nation as one comma-joined, lexically sorted string. Spark has
+    * no ordered string_agg built-in — `array_join(array_sort(
+    * collect_list(…)))` is the idiomatic equivalent and keeps the
+    * determinism the SQL `ORDER BY` inside the aggregate provides.
+    * Group count is nation-bounded, collect size supplier-bounded. */
+  val q123_string_agg = QueryDef(
+    "q123_string_agg",
+    (s, dir) => {
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).cast("long").as("n_suppliers"),
+          array_join(array_sort(collect_list(col("s_name"))), ",").as("roster"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   string_agg(s_name, ',' ORDER BY s_name) AS roster
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  /** Boolean and filtered aggregates (count_if / bool_and / bool_or —
+    * SQL FILTER clause semantics): per-priority order health check.
+    * Single partial-aggregated pass; the conditionals fold into the
+    * map-side combine like any other aggregate. */
+  val q124_bool_aggs = QueryDef(
+    "q124_bool_aggs",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("n"),
+          expr("CAST(count_if(o_totalprice > 100000.0) AS BIGINT)").as("n_big"),
+          expr("bool_and(o_totalprice > 0.0)").as("all_positive"),
+          expr("bool_or(o_orderstatus = 'F')").as("has_final"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE o_totalprice > 100000.0) AS BIGINT) AS n_big,
+                   bool_and(o_totalprice > 0.0) AS all_positive,
+                   bool_or(o_orderstatus = 'F') AS has_final
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Dense-grid zero-fill: every (region, order-status) cell reported
+    * even when no orders exist — the cross join is dimension×dimension
+    * (bounded: |region|·|status|), the fact-side counts aggregate before
+    * the left join, so the grid never touches fact-table cardinality.
+    * The canonical "report must show empty cells" reporting shape. */
+  val q125_grid_zerofill = QueryDef(
+    "q125_grid_zerofill",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val grid = t(s, dir, "region").select(col("r_name"))
+        .crossJoin(orders.select(col("o_orderstatus")).distinct())
+      val counts = orders
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n"))
+      grid.join(counts, Seq("r_name", "o_orderstatus"), "left")
+        .select(col("r_name"), col("o_orderstatus"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("r_name", "o_orderstatus")
+    },
+    Some("""WITH grid AS (
+              SELECT r_name, o_orderstatus
+              FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)),
+            counts AS (
+              SELECT r_name, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2)
+            SELECT g.r_name, g.o_orderstatus, COALESCE(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON g.r_name = c.r_name AND g.o_orderstatus = c.o_orderstatus
+            ORDER BY g.r_name, g.o_orderstatus"""))
+
+  /** TPC-H Q18 shape (large-volume customers): the HAVING-filtered
+    * semi-aggregate — per-order quantity totals filtered to the extreme
+    * tail, joined back to orders and customers. The aggregate runs
+    * BEFORE the joins, so only the ~1% surviving orders reach the join
+    * stage; quantity totals go through DECIMAL so the filter threshold
+    * and output hash are accumulation-order-independent. */
+  val q127_tpch_q18 = QueryDef(
+    "q127_tpch_q18",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      big
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""WITH big AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  /** Gaps-and-islands: per-user consecutive-day activity streaks from
+    * the event log. The island key is the classic `day_number − row_
+    * number` invariant — pure integer arithmetic after one per-user
+    * window pass over DISTINCT user-days (which aggregate the raw log
+    * down before any window runs). */
+  val q128_islands = QueryDef(
+    "q128_islands",
+    (s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      days
+        .withColumn("rn", row_number().over(w))
+        .withColumn("grp", datediff(col("d"), lit("2024-01-01").cast("date")) - col("rn"))
+        .groupBy("user_id", "grp")
+        .agg(min("d").as("start_day"), max("d").as("end_day"),
+          count(lit(1)).cast("long").as("len_days"))
+        .select(col("user_id"), col("start_day"), col("end_day"), col("len_days"))
+        .orderBy("user_id", "start_day")
+    },
+    Some("""WITH days AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+            numbered AS (
+              SELECT user_id, d,
+                     datediff('day', DATE '2024-01-01', d)
+                       - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+              FROM days)
+            SELECT user_id, min(d) AS start_day, max(d) AS end_day,
+                   CAST(count(*) AS BIGINT) AS len_days
+            FROM numbered GROUP BY user_id, grp
+            ORDER BY user_id, start_day"""))
+
+  /** Winsorized mean: clamp l_quantity to its per-priority [P5, P95]
+    * fences before averaging — the robust-mean complement of q118's
+    * outlier COUNT. All post-percentile arithmetic is integer
+    * fixed-point (quantities are integral, fences floor to the 10⁻⁶
+    * grid), so the clamped sum is exact BIGINT in both engines. The
+    * fence table is one row per priority and broadcasts into the
+    * clamping scan. */
+  val q129_winsorized_mean = QueryDef(
+    "q129_winsorized_mean",
+    (s, dir) => {
+      val joined = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          (col("l_quantity").cast("long") * lit(1000000L)).as("q_fp"))
+      val fences = joined.groupBy("o_orderpriority")
+        .agg(floor(expr("percentile(q_fp, 0.05)")).cast("long").as("lo_fp"),
+          floor(expr("percentile(q_fp, 0.95)")).cast("long").as("hi_fp"))
+      joined.join(fences, "o_orderpriority")
+        .withColumn("c_fp", least(greatest(col("q_fp"), col("lo_fp")), col("hi_fp")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("c_fp").cast("long").as("sum_fp"),
+          max("lo_fp").as("lo_fp"), max("hi_fp").as("hi_fp"))
+        .withColumn("wmean_fp", expr("sum_fp div n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH joined AS (
+              SELECT o_orderpriority, CAST(l_quantity AS BIGINT) * 1000000 AS q_fp
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            fences AS (
+              SELECT o_orderpriority,
+                     CAST(floor(quantile_cont(q_fp, 0.05)) AS BIGINT) AS lo_fp,
+                     CAST(floor(quantile_cont(q_fp, 0.95)) AS BIGINT) AS hi_fp
+              FROM joined GROUP BY o_orderpriority)
+            SELECT j.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(least(greatest(q_fp, lo_fp), hi_fp)) AS BIGINT) AS sum_fp,
+                   max(lo_fp) AS lo_fp, max(hi_fp) AS hi_fp,
+                   CAST(sum(least(greatest(q_fp, lo_fp), hi_fp)) // count(*) AS BIGINT) AS wmean_fp
+            FROM joined j JOIN fences USING (o_orderpriority)
+            GROUP BY j.o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q7 shape (volume shipping between nation pairs): a five-way
+    * join where BOTH ends of the fact row bind to a (different) copy of
+    * the nation dimension, grouped by the pair and ship year. Both
+    * nation sides broadcast; revenue goes through DECIMAL. The pair
+    * filter (distinct nations among the first three) keeps the output
+    * bounded while exercising the self-aliased-dimension shape. */
+  val q130_tpch_q7 = QueryDef(
+    "q130_tpch_q7",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter(col("sk") < 3 && col("ck") < 3 && col("sk") =!= col("ck"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+              AND n1.n_nationkey <> n2.n_nationkey
+            GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"""))
+
+  def defs: Seq[QueryDef] = Seq(q123_string_agg, q124_bool_aggs, q125_grid_zerofill,
+    q127_tpch_q18, q128_islands, q129_winsorized_mean, q130_tpch_q7)
+}
