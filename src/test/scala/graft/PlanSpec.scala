@@ -150,6 +150,48 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "component-to-centroid attachment must join on (label, dim)")
   }
 
+  test("document chunking is a pure generator: no shuffle before presentation (q121)") {
+    val p = plan(CorpusOps.q121_doc_chunk)
+    assert(p.contains("Generate"), "chunk offsets must come from a generator (posexplode)")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1,
+      s"chunking must not shuffle (only the presentation sort may exchange), got $exchanges:\n${p.take(1500)}")
+  }
+
+  test("embedding dimension stats combine map-side into 64 reducer keys (q122)") {
+    val p = plan(CorpusOps.q122_embed_dimstats)
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      "per-dimension moments must partial-aggregate before the shuffle — the " +
+        "reducer key space is the dimensionality, not the corpus")
+  }
+
+  test("TPC-H Q18: the quantity HAVING-aggregate runs before any join (q127)") {
+    val p = plan(WarehouseOps.q127_tpch_q18)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"),
+      "per-order quantity totals must combine map-side; only the ~1% " +
+        "surviving orders may reach the join stage")
+  }
+
+  test("TPC-H Q7: both nation ends broadcast; the tree stays equi (q130)") {
+    val p = plan(WarehouseOps.q130_tpch_q7)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the self-aliased dimension pair must not degrade to all-pairs")
+    assert(p.contains("BroadcastHashJoin"), "nation copies must broadcast, not shuffle")
+  }
+
+  test("grid zero-fill: only the dimension grid may cross-join; facts pre-aggregate (q125)") {
+    val p = plan(WarehouseOps.q125_grid_zerofill)
+    // count node HEADERS only — formatted explain prints every node twice
+    // (tree line + "(n) NodeName" details line)
+    val quadratic = p.linesIterator.count(l =>
+      l.matches("""\(\d+\) (CartesianProduct|BroadcastNestedLoopJoin).*"""))
+    assert(quadratic <= 1,
+      s"the only allowed product is dimension x dimension (bounded), got $quadratic")
+    assert(p.contains("partial_"),
+      "fact-side counts must aggregate before the left join to the grid")
+  }
+
   test("pagerank rounds join the bounded adjacency, never the raw fact table (q99)") {
     val p = plan(GraphOps.q99_pagerank)
     assert(!p.contains("CartesianProduct"), "rank propagation must stay an equi-join")
