@@ -387,7 +387,44 @@ object DedupOps extends QueryModule {
                FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
                JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"""))
 
+  /** DIRECTED near-subset detection via Jaccard CONTAINMENT
+    * C(a→b) = |A∩B| / |A| ≥ 0.9 — catches "a is contained in b" (quote
+    * inclusion, page-in-site duplication) that symmetric Jaccard misses
+    * when |B| ≫ |A|. Same inverted-index equi-join as q43 (never
+    * all-pairs); the size prefilter is the containment analogue of the
+    * set-similarity length filter: c ≤ nb and c ≥ 0.9·na force
+    * nb·10 ≥ na·9, pruning pairs BEFORE the per-pair aggregation
+    * without changing the result. The score is a ratio of the same two
+    * BIGINTs in both engines. */
+  val q132_jaccard_containment = QueryDef(
+    "q132_jaccard_containment",
+    (s, dir) => {
+      val sh = shinglesHashedN(s, dir)
+      val a = sh.select(col("doc_id").as("a"), col("n").as("na"), col("sh"))
+      val b = sh.select(col("doc_id").as("b"), col("n").as("nb"), col("sh"))
+      val common = a.join(b, Seq("sh"))
+        .filter(col("a") =!= col("b") && col("nb") * 10 >= col("na") * 9)
+        .groupBy("a", "b", "na").agg(count(lit(1)).as("c"))
+      common.filter(col("c") * 10 >= col("na") * 9)
+        .select(col("a"), col("b"), col("c").cast("long").as("c"),
+          col("na").cast("long").as("na"),
+          (col("c") / col("na")).as("containment"))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $shinglesSql,
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b, CAST(c AS BIGINT) AS c, CAST(sa.n AS BIGINT) AS na,
+                   c / sa.n AS containment
+            FROM common JOIN sizes sa ON sa.doc_id = a
+            WHERE c * 10 >= sa.n * 9
+            ORDER BY a, b"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q42_dedup_exact_stats, q43_dedup_ngram_jaccard, q44_dedup_minhash_lsh,
-    q45_dedup_simhash, q68_dedup_clusters, q94_dup_graph_stats)
+    q45_dedup_simhash, q68_dedup_clusters, q94_dup_graph_stats,
+    q132_jaccard_containment)
 }

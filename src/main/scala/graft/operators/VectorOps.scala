@@ -489,7 +489,64 @@ object VectorOps extends QueryModule {
             FROM lex FULL JOIN vec ON lex.id = vec.id
             ORDER BY rrf_fp DESC, id LIMIT 20"""))
 
+  /** Product-quantization (PQ) codebook assignment: the 64-dim vector
+    * splits into 8 contiguous 8-dim subvectors; each subvector is
+    * assigned its nearest of 16 per-block centroids (the first 16
+    * vectors' subvectors — a deterministic codebook, as q54 seeds its
+    * coarse quantizer). Squared distance decomposes as
+    * |x|² − 2x·c + |c|², so all three terms run through the native
+    * left-to-right dot product and the combination is the identical
+    * double expression in both engines. Per block the candidate set is
+    * the 16-row broadcast codebook — the scan is linear in the corpus
+    * with a constant 16× fan-out, and the argmin is a bounded
+    * (vec, block)-partition window. At 100 TB the emitted (block, code)
+    * pairs ARE the compressed index: 8 bytes/vector instead of 256. */
+  val q131_pq_codes = QueryDef(
+    "q131_pq_codes",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+      val perBlock = (0 until 8).map { k =>
+        val o = 8 * k
+        val x = e.select(col("vec_id"), slice(col("embedding"), o + 1, 8).as("xs"))
+          .withColumn("xx", dot(col("xs"), col("xs")))
+        val c = cents.select(col("vec_id").as("centid"),
+            slice(col("embedding"), o + 1, 8).as("cs"))
+          .withColumn("cc", dot(col("cs"), col("cs")))
+        x.crossJoin(broadcast(c))
+          .withColumn("d2", col("xx") - lit(2.0) * dot(col("xs"), col("cs")) + col("cc"))
+          .select(col("vec_id"), lit(k.toLong).as("block"), col("centid"), col("d2"))
+      }
+      val u = perBlock.reduce(_ unionByName _)
+      val w = Window.partitionBy("vec_id", "block").orderBy("d2", "centid")
+      u.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("block"), col("centid").cast("long").as("code"),
+          floor(col("d2") * lit(1e6)).cast("long").as("d2_fp"))
+        .orderBy("vec_id", "block")
+    },
+    {
+      def ds(a: String, b: String, o: Int) =
+        s"list_reduce(list_transform(range(1, 9), i -> CAST($a[i + $o] AS DOUBLE) * CAST($b[i + $o] AS DOUBLE)), (x, y) -> x + y)"
+      val blocksSql = (0 until 8).map { k =>
+        val o = 8 * k
+        s"""SELECT e.vec_id, CAST($k AS BIGINT) AS block, c.vec_id AS centid,
+               ${ds("e.embedding", "e.embedding", o)} - 2.0 * ${ds("e.embedding", "c.embedding", o)} + ${ds("c.embedding", "c.embedding", o)} AS d2
+               FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 16) c"""
+      }.mkString("\n              UNION ALL\n              ")
+      Some(s"""WITH u AS (
+              $blocksSql),
+            ranked AS (
+              SELECT vec_id, block, centid, d2,
+                     row_number() OVER (PARTITION BY vec_id, block
+                       ORDER BY d2, centid) AS rn
+              FROM u)
+            SELECT vec_id, block, CAST(centid AS BIGINT) AS code,
+                   CAST(floor(d2 * 1e6) AS BIGINT) AS d2_fp
+            FROM ranked WHERE rn = 1 ORDER BY vec_id, block""")
+    })
+
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
-    q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers, q112_rrf_fusion)
+    q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers, q112_rrf_fusion,
+    q131_pq_codes)
 }

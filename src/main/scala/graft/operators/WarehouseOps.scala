@@ -246,6 +246,76 @@ object WarehouseOps extends QueryModule {
               AND n1.n_nationkey <> n2.n_nationkey
             GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"""))
 
+  /** TPC-H Q13 shape (customer order-count distribution): a left join
+    * with a COMPOUND condition (equi key + residual inequality) feeding
+    * a count-of-counts double aggregation. The first groupBy shuffles on
+    * c_custkey (the join key — Catalyst reuses the join partitioning);
+    * the second aggregates a bounded key space (distinct order counts).
+    * count(o_orderkey) counts only matched rows, preserving the
+    * zero-order customers the left join keeps. */
+  val q133_tpch_q13 = QueryDef(
+    "q133_tpch_q13",
+    (s, dir) => {
+      val perCust = t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= lit("1-URGENT"),
+          "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).cast("long").as("custdist"))
+        .select(col("c_count").cast("long").as("c_count"), col("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""WITH per_cust AS (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q22 shape (rich-but-inactive accounts): customers above the
+    * positive-balance mean with no urgent orders — a scalar-aggregate
+    * threshold (one row, broadcasts into the scan) composed with a
+    * LEFT ANTI join against the filtered order stream, rolled up per
+    * nation. The threshold sum routes through DECIMAL so the cut line
+    * is accumulation-order-independent; the anti join's build side is
+    * the filtered (small) urgent-order key set. */
+  val q134_rich_inactive = QueryDef(
+    "q134_rich_inactive",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1))).as("thr"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      cust.crossJoin(thr)
+        .filter(col("c_acctbal") > col("thr"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).cast("long").as("numcust"),
+          dsum(col("c_acctbal"), 2).as("totbal"))
+        .orderBy("n_name")
+    },
+    Some("""WITH thr AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS thr
+              FROM customer WHERE c_acctbal > 0.0)
+            SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totbal
+            FROM customer CROSS JOIN thr
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > thr
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY n_name ORDER BY n_name"""))
+
   def defs: Seq[QueryDef] = Seq(q123_string_agg, q124_bool_aggs, q125_grid_zerofill,
-    q127_tpch_q18, q128_islands, q129_winsorized_mean, q130_tpch_q7)
+    q127_tpch_q18, q128_islands, q129_winsorized_mean, q130_tpch_q7,
+    q133_tpch_q13, q134_rich_inactive)
 }

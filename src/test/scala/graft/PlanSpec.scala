@@ -192,6 +192,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fact-side counts must aggregate before the left join to the grid")
   }
 
+  test("PQ assignment fans out only to the broadcast 16-row codebook (q131)") {
+    val p = plan(VectorOps.q131_pq_codes)
+    assert(!p.contains("CartesianProduct"),
+      "codebook products must broadcast, never shuffle-cartesian")
+    val products = p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(products <= 8,
+      s"one bounded broadcast product per block is the contract, got $products")
+  }
+
+  test("containment candidates come from the inverted-index join, never all-pairs (q132)") {
+    val p = plan(DedupOps.q132_jaccard_containment)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "directed containment must meet on the shingle key like q43")
+  }
+
+  test("TPC-H Q13 reuses the join partitioning for the per-customer count (q133)") {
+    val p = plan(WarehouseOps.q133_tpch_q13)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"),
+      "the count-of-counts outer aggregation must combine map-side")
+  }
+
   test("pagerank rounds join the bounded adjacency, never the raw fact table (q99)") {
     val p = plan(GraphOps.q99_pagerank)
     assert(!p.contains("CartesianProduct"), "rank propagation must stay an equi-join")
