@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.FunctionBridge
-import graft.functions.DotProductFF
+import graft.functions.{DotProductFF, L2SliceDistanceFF}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for the SQL surface. Activate at build time with
@@ -15,6 +15,10 @@ import graft.functions.DotProductFF
   * Functions:
   *  - `graft_dot(array<float>, array<float>) -> double` — exact
   *    left-to-right dot product (graft.functions.DotProductFF).
+  *  - `graft_l2_slice(array<float>, array<float>[, offset, length])
+  *    -> double` — exact squared L2 distance over a constant slice
+  *    (graft.functions.L2SliceDistanceFF); bounds must be integer
+  *    literals (they parameterize the generated loop).
   *
   * Planner strategies:
   *  - [[graft.plans.TopKStrategy]] — plans the custom partial
@@ -25,13 +29,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFF].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductFF(children.head, children(1))))
+    e.injectFunction((FunctionIdentifier("graft_l2_slice"),
+      new ExpressionInfo(classOf[L2SliceDistanceFF].getName, "graft_l2_slice"),
+      GraftExtensions.buildL2))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
 object GraftExtensions {
   /** Register the same functions on an already-running session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     FunctionBridge.registerTemp(spark, "graft_dot",
       children => DotProductFF(children.head, children(1)))
+    FunctionBridge.registerTemp(spark, "graft_l2_slice", buildL2)
+  }
+
+  /** SQL builder for graft_l2_slice: 2-arg whole-vector form or 4-arg
+    * slice form whose bounds must fold to integers at plan time (they
+    * become the generated loop's constant trip bounds). */
+  private[graft] val buildL2: Seq[Expression] => Expression = { children =>
+    def constInt(e: Expression, what: String): Int = {
+      require(e.foldable, s"graft_l2_slice $what must be an integer literal")
+      e.eval(null) match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_l2_slice $what must be an integer literal, got $other")
+      }
+    }
+    children match {
+      case Seq(a, b) => L2SliceDistanceFF(a, b, 0, Int.MaxValue)
+      case Seq(a, b, o, n) =>
+        L2SliceDistanceFF(a, b, constInt(o, "offset"), constInt(n, "length"))
+      case _ => throw new IllegalArgumentException(
+        s"graft_l2_slice takes 2 or 4 arguments, got ${children.size}")
+    }
+  }
 }

@@ -493,29 +493,28 @@ object VectorOps extends QueryModule {
     * splits into 8 contiguous 8-dim subvectors; each subvector is
     * assigned its nearest of 16 per-block centroids (the first 16
     * vectors' subvectors — a deterministic codebook, as q54 seeds its
-    * coarse quantizer). Squared distance decomposes as
-    * |x|² − 2x·c + |c|², so all three terms run through the native
-    * left-to-right dot product and the combination is the identical
-    * double expression in both engines. Per block the candidate set is
-    * the 16-row broadcast codebook — the scan is linear in the corpus
-    * with a constant 16× fan-out, and the argmin is a bounded
-    * (vec, block)-partition window. At 100 TB the emitted (block, code)
-    * pairs ARE the compressed index: 8 bytes/vector instead of 256. */
+    * coarse quantizer). The distance runs through the native
+    * [[graft.functions.L2SliceDistanceFF]] expression — one fused
+    * allocation-free codegen loop per (vector, centroid, block) with
+    * the slice bounds as compile-time constants, bit-identical to the
+    * oracle's sequential `list_reduce` fold over `(a[i]−b[i])²`. Per
+    * block the candidate set is the 16-row broadcast codebook — the
+    * scan is linear in the corpus with a constant 16× fan-out, and the
+    * argmin is a bounded (vec, block)-partition window. At 100 TB the
+    * emitted (block, code) pairs ARE the compressed index:
+    * 8 bytes/vector instead of 256. */
   val q131_pq_codes = QueryDef(
     "q131_pq_codes",
     (s, dir) => {
+      import graft.functions.L2Distance.l2_ff
       val e = t(s, dir, "embeddings")
       val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centid"), col("embedding").as("cv"))
       val perBlock = (0 until 8).map { k =>
-        val o = 8 * k
-        val x = e.select(col("vec_id"), slice(col("embedding"), o + 1, 8).as("xs"))
-          .withColumn("xx", dot(col("xs"), col("xs")))
-        val c = cents.select(col("vec_id").as("centid"),
-            slice(col("embedding"), o + 1, 8).as("cs"))
-          .withColumn("cc", dot(col("cs"), col("cs")))
-        x.crossJoin(broadcast(c))
-          .withColumn("d2", col("xx") - lit(2.0) * dot(col("xs"), col("cs")) + col("cc"))
-          .select(col("vec_id"), lit(k.toLong).as("block"), col("centid"), col("d2"))
+        e.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), lit(k.toLong).as("block"), col("centid"),
+            l2_ff(col("embedding"), col("cv"), 8 * k, 8).as("d2"))
       }
       val u = perBlock.reduce(_ unionByName _)
       val w = Window.partitionBy("vec_id", "block").orderBy("d2", "centid")
@@ -525,12 +524,12 @@ object VectorOps extends QueryModule {
         .orderBy("vec_id", "block")
     },
     {
-      def ds(a: String, b: String, o: Int) =
-        s"list_reduce(list_transform(range(1, 9), i -> CAST($a[i + $o] AS DOUBLE) * CAST($b[i + $o] AS DOUBLE)), (x, y) -> x + y)"
+      def l2s(a: String, b: String, o: Int) =
+        s"list_reduce(list_transform(range(1, 9), i -> (CAST($a[i + $o] AS DOUBLE) - CAST($b[i + $o] AS DOUBLE)) * (CAST($a[i + $o] AS DOUBLE) - CAST($b[i + $o] AS DOUBLE))), (x, y) -> x + y)"
       val blocksSql = (0 until 8).map { k =>
         val o = 8 * k
         s"""SELECT e.vec_id, CAST($k AS BIGINT) AS block, c.vec_id AS centid,
-               ${ds("e.embedding", "e.embedding", o)} - 2.0 * ${ds("e.embedding", "c.embedding", o)} + ${ds("c.embedding", "c.embedding", o)} AS d2
+               ${l2s("e.embedding", "c.embedding", o)} AS d2
                FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 16) c"""
       }.mkString("\n              UNION ALL\n              ")
       Some(s"""WITH u AS (

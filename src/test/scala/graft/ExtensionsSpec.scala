@@ -40,6 +40,44 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"analysis-time type error expected, got: ${e.getMessage.take(200)}")
   }
 
+  test("graft_l2_slice computes the windowed squared distance from SQL") {
+    GraftExtensions.register(spark)
+    // vectors (1,2,3,4) vs (1,0,0,1): slice [1,3) -> (2-0)^2 + (3-0)^2 = 13
+    val r = spark.sql(
+      "SELECT graft_l2_slice(" +
+        "array(CAST(1 AS FLOAT), CAST(2 AS FLOAT), CAST(3 AS FLOAT), CAST(4 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(1 AS FLOAT)), 1, 2) AS d")
+      .head().getDouble(0)
+    assert(r == 13.0)
+    // 2-arg whole-vector form: 0 + 4 + 9 + 9 = 22
+    val whole = spark.sql(
+      "SELECT graft_l2_slice(" +
+        "array(CAST(1 AS FLOAT), CAST(2 AS FLOAT), CAST(3 AS FLOAT), CAST(4 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(1 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(whole == 22.0)
+    // slice past the end clamps to the shared prefix (ragged contract)
+    val clamped = spark.sql(
+      "SELECT graft_l2_slice(array(CAST(1 AS FLOAT)), array(CAST(3 AS FLOAT)), 0, 99) AS d")
+      .head().getDouble(0)
+    assert(clamped == 4.0)
+  }
+
+  test("graft_l2_slice demands literal slice bounds and float arrays") {
+    GraftExtensions.register(spark)
+    val nonLiteral = intercept[Exception] {
+      spark.sql("SELECT graft_l2_slice(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT)), " +
+        "CAST(rand() * 4 AS INT), 2) AS d").collect()
+    }
+    assert(nonLiteral.getMessage.contains("integer literal"),
+      s"non-foldable bounds must fail at build time: ${nonLiteral.getMessage.take(200)}")
+    val badType = intercept[Exception] {
+      spark.sql("SELECT graft_l2_slice(array(CAST(1.0 AS DOUBLE)), array(CAST(1.0 AS FLOAT))) AS d")
+        .collect()
+    }
+    assert(badType.getMessage.contains("array<float>") || badType.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("builder-time extensions wire the planner strategy") {
     // what spark.sql.extensions=graft.GraftExtensions would inject
     // (asserted through the extensions object itself — getOrCreate

@@ -200,6 +200,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       _.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
     assert(products <= 8,
       s"one bounded broadcast product per block is the contract, got $products")
+    assert(p.toLowerCase.contains("l2slicedistanceff"),
+      "block distances must run through the fused native slice-L2 expression, " +
+        "not per-pair slice allocations")
   }
 
   test("containment candidates come from the inverted-index join, never all-pairs (q132)") {
