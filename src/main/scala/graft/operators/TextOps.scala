@@ -380,8 +380,43 @@ object TextOps extends QueryModule {
             FROM pairs GROUP BY pair
             ORDER BY total DESC, pair LIMIT 20"""))
 
+  /** Top-5 tokens per language through the custom
+    * [[graft.plans.TopKPerKey]] whole-operator (its second consumer
+    * beside q113, proving the node generalizes past the benchmark
+    * shape): the partial per-partition heap prune caps the window
+    * exchange's input at k·|langs|·|partitions| rows — on a 100 TB
+    * corpus the (lang, token) TF table is billions of rows, of which
+    * only the per-partition top-5 per language ever reach the shuffle.
+    * The exact window after the prune keeps the result provably equal
+    * to the unpruned query (the prune order is total). */
+  val q138_topk_tokens_pruned = QueryDef(
+    "q138_topk_tokens_pruned",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("lang", "w").agg(count(lit(1)).cast("long").as("cnt"))
+      val pruned = graft.plans.TopKPerKey.prune(tf, keys = Seq("lang"),
+        order = Seq(("cnt", true), ("w", false)), k = 5)
+      val win = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
+      pruned.withColumn("rn", row_number().over(win)).filter(col("rn") <= 5)
+        .select(col("lang"), col("rn").cast("long").as("rn"), col("w"), col("cnt"))
+        .orderBy("lang", "rn")
+    },
+    Some("""WITH tf AS (
+              SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+              WHERE length(w) > 0 GROUP BY lang, w)
+            SELECT lang, CAST(rn AS BIGINT) AS rn, w, cnt FROM (
+              SELECT lang, w, cnt,
+                     row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rn
+              FROM tf)
+            WHERE rn <= 5 ORDER BY lang, rn"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q37_text_stats, q38_token_tf, q39_text_quality, q40_text_langid,
     q41_text_fingerprint, q63_token_bpe, q65_split_train_val,
-    q79_heavy_hitters, q81_tfidf, q84_unigram_nll, q100_bpe_merge)
+    q79_heavy_hitters, q81_tfidf, q84_unigram_nll, q100_bpe_merge,
+    q138_topk_tokens_pruned)
 }

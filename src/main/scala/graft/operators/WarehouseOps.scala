@@ -315,7 +315,110 @@ object WarehouseOps extends QueryModule {
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY n_name ORDER BY n_name"""))
 
+  /** nth_value / first_value / last_value over ordered per-customer
+    * frames: the "second purchase" analytical shape. The default frame
+    * (RANGE UNBOUNDED PRECEDING → CURRENT ROW) is shared by both
+    * engines, so nth_value is NULL until the second row of the
+    * partition — part of the pinned semantics; last_value explicitly
+    * widens to the full frame (the default-frame last_value ≡ current
+    * row is the classic SQL footgun, pinned here the correct way). */
+  val q135_window_nth = QueryDef(
+    "q135_window_nth",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .withColumn("first_price", first(col("o_totalprice")).over(w))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+        .withColumn("last_price", last(col("o_totalprice")).over(wFull))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("first_price"), col("second_price"), col("last_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                   first_value(o_totalprice) OVER w AS first_price,
+                   nth_value(o_totalprice, 2) OVER w AS second_price,
+                   last_value(o_totalprice) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** TPC-H Q11 shape (significant inventory share): per-part revenue
+    * kept when it exceeds 1.5× the MEAN part share of global revenue —
+    * a scale-relative cut, so the tail exists at every corpus size.
+    * Both levels stay in exact DECIMAL — the global total is the
+    * decimal sum of the per-part decimal sums (associative, so partial
+    * aggregation is safe), and the one-row total broadcasts into the
+    * filter scan. The threshold comparison happens on doubles derived
+    * identically from the same exact decimals in both engines. */
+  val q136_revenue_share = QueryDef(
+    "q136_revenue_share",
+    (s, dir) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      val pv = t(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(sum(rev).as("vdec"))
+      val tot = pv.agg(sum(col("vdec")).as("tdec"), count(lit(1)).as("np"))
+      pv.crossJoin(tot)
+        .filter(col("vdec").cast("double") > col("tdec").cast("double") * lit(1.5) / col("np"))
+        .select(col("l_partkey"), col("vdec").cast("double").as("val"))
+        .orderBy("l_partkey")
+    },
+    Some("""WITH pv AS (
+              SELECT l_partkey,
+                     sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS vdec
+              FROM lineitem GROUP BY l_partkey),
+            tot AS (SELECT sum(vdec) AS tdec, count(*) AS np FROM pv)
+            SELECT l_partkey, CAST(vdec AS DOUBLE) AS val
+            FROM pv CROSS JOIN tot
+            WHERE CAST(vdec AS DOUBLE) > CAST(tdec AS DOUBLE) * 1.5 / np
+            ORDER BY l_partkey"""))
+
+  /** First-touch / last-touch attribution: per user, the first and last
+    * event (fully tie-broken by event_id) plus the activity count, in
+    * ONE window pass — both row_numbers and the partition count come
+    * from the same per-user shuffle, and only the two boundary rows per
+    * user survive to the final (bounded) aggregation. */
+  val q137_first_last_touch = QueryDef(
+    "q137_first_last_touch",
+    (s, dir) => {
+      val wA = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wD = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .withColumn("rn_a", row_number().over(wA))
+        .withColumn("rn_d", row_number().over(wD))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("rn_a") === 1 || col("rn_d") === 1)
+        .groupBy("user_id")
+        .agg(max(when(col("rn_a") === 1, col("event_type"))).as("first_type"),
+          max(when(col("rn_a") === 1, col("ts"))).as("first_ts"),
+          max(when(col("rn_d") === 1, col("event_type"))).as("last_type"),
+          max(when(col("rn_d") === 1, col("ts"))).as("last_ts"),
+          max("n").cast("long").as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""WITH r AS (
+              SELECT user_id, ts, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn_d,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn_a = 1 THEN ts END) AS first_ts,
+                   max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+                   max(CASE WHEN rn_d = 1 THEN ts END) AS last_ts,
+                   CAST(max(n) AS BIGINT) AS n_events
+            FROM r WHERE rn_a = 1 OR rn_d = 1
+            GROUP BY user_id ORDER BY user_id"""))
+
   def defs: Seq[QueryDef] = Seq(q123_string_agg, q124_bool_aggs, q125_grid_zerofill,
     q127_tpch_q18, q128_islands, q129_winsorized_mean, q130_tpch_q7,
-    q133_tpch_q13, q134_rich_inactive)
+    q133_tpch_q13, q134_rich_inactive, q135_window_nth, q136_revenue_share,
+    q137_first_last_touch)
 }

@@ -218,6 +218,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the count-of-counts outer aggregation must combine map-side")
   }
 
+  test("token top-k runs through the custom partial-prune operator (q138)") {
+    val p = plan(TextOps.q138_topk_tokens_pruned)
+    assert(p.contains("PartialTopKPerKey"),
+      "the whole-operator prune node must plan ahead of the window exchange " +
+        "— its absence means the full TF table ships to the shuffle")
+  }
+
   test("pagerank rounds join the bounded adjacency, never the raw fact table (q99)") {
     val p = plan(GraphOps.q99_pagerank)
     assert(!p.contains("CartesianProduct"), "rank propagation must stay an equi-join")
