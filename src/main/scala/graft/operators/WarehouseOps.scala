@@ -417,8 +417,99 @@ object WarehouseOps extends QueryModule {
             FROM r WHERE rn_a = 1 OR rn_d = 1
             GROUP BY user_id ORDER BY user_id"""))
 
+  /** TPC-H Q10 shape (returned-item revenue, top 20 customers): fact
+    * filter (returnflag) and a one-quarter date slice both push to the
+    * scans, the nation dimension broadcasts, and the top-20 presentation
+    * runs on the aggregated (customer-bounded) set — the canonical
+    * "who cost us money this quarter" report. Revenue through DECIMAL;
+    * the revenue-desc order is tie-broken by custkey so LIMIT is
+    * deterministic. */
+  val q139_tpch_q10 = QueryDef(
+    "q139_tpch_q10",
+    (s, dir) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** TPC-H Q6 shape (forecast revenue change): the canonical
+    * filter-pushdown microbenchmark — a single scan with a date-range,
+    * discount-band and quantity predicate, no join, one global
+    * aggregate. Every predicate must reach PushedFilters; the plan is
+    * scan → partial agg → single-row final. */
+  val q140_tpch_q6 = QueryDef(
+    "q140_tpch_q6",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24.0)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(18, 4)))
+          .cast("double").as("revenue"),
+          count(lit(1)).cast("long").as("n"))
+    },
+    Some("""SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24.0"""))
+
+  /** TPC-H Q19 shape (discounted-brand revenue): a join whose residual
+    * predicate is a DISJUNCTION of per-brand conjunctions — the shape
+    * that exercises OR-predicate handling: Catalyst factors the common
+    * `l_partkey = p_partkey` out of the OR so the join stays equi, and
+    * pushes the brand/size disjunction to the part scan. */
+  val q141_tpch_q19 = QueryDef(
+    "q141_tpch_q19",
+    (s, dir) => {
+      val cases =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10)
+          && col("l_quantity").between(1.0, 20.0)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 20)
+          && col("l_quantity").between(5.0, 30.0)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 30)
+          && col("l_quantity").between(10.0, 40.0))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(cases)
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).cast("long").as("n"))
+    },
+    Some("""SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                     AND l_quantity BETWEEN 1.0 AND 20.0)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                     AND l_quantity BETWEEN 5.0 AND 30.0)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                     AND l_quantity BETWEEN 10.0 AND 40.0)"""))
+
   def defs: Seq[QueryDef] = Seq(q123_string_agg, q124_bool_aggs, q125_grid_zerofill,
     q127_tpch_q18, q128_islands, q129_winsorized_mean, q130_tpch_q7,
     q133_tpch_q13, q134_rich_inactive, q135_window_nth, q136_revenue_share,
-    q137_first_last_touch)
+    q137_first_last_touch, q139_tpch_q10, q140_tpch_q6, q141_tpch_q19)
 }

@@ -225,6 +225,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "— its absence means the full TF table ships to the shuffle")
   }
 
+  test("TPC-H Q6: every predicate reaches the scan; no join, partial agg (q140)") {
+    val p = plan(WarehouseOps.q140_tpch_q6)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate.*"),
+      "the date slice must reach the parquet scan")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(l_quantity.*"),
+      "the quantity bound must reach the parquet scan")
+    assert(!p.contains("Join"), "Q6 is a single-scan aggregate")
+    assert(p.contains("partial_"), "the global sum must combine map-side")
+  }
+
+  test("TPC-H Q19: the disjunctive predicate keeps the join equi (q141)") {
+    val p = plan(WarehouseOps.q141_tpch_q19)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the common l_partkey = p_partkey must factor out of the OR — " +
+        "an OR-join planned as a nested loop is quadratic at scale")
+  }
+
   test("pagerank rounds join the bounded adjacency, never the raw fact table (q99)") {
     val p = plan(GraphOps.q99_pagerank)
     assert(!p.contains("CartesianProduct"), "rank propagation must stay an equi-join")
