@@ -121,7 +121,15 @@ object Bench {
     val total = all.map(_._2).filter(_ > 0).sum
     val failedJson = failed.sorted.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     all.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s ${f(v)}%8s s") }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The driver reads this line from a bounded ~2000-char tail of the sbt
+    // output (round 3 lost a whole round's numbers to an oversized line).
+    // 139 entries ≈ 1680 chars today; warn while there is still headroom.
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: JSON line is ${line.length} chars — " +
+        "driver tail window is ~2000; shorten keys or drop decimals")
+    println(line)
     spark.stop()
   }
 
