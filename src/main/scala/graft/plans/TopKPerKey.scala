@@ -19,18 +19,25 @@ import org.apache.spark.sql.graft.PlanBridge
   * `LogicalPlan` node + `SparkStrategy` + `SparkPlan` — plugged in
   * through the public extension points.
   *
-  * What it is for: the built-in top-k-per-group plan (window
-  * row_number ≤ k, q21) shuffles EVERY fact row to its key's reducer
-  * before discarding all but k. The same pattern the reference's
-  * consumers hit constantly — "latest k events per stream group" over
-  * the event log (see the per-group chunk delivery in
+  * What it is for: bounding a per-key tail BEFORE the exchange. Since
+  * per-partition top-k under a TOTAL order is a superset of global
+  * top-k, a bounded per-partition prune caps shuffle volume at
+  * k·|keys|·|partitions| rows regardless of fact-table size, and an
+  * exact window after the shuffle restores precise semantics. The
+  * pattern the reference's consumers hit constantly — "latest k events
+  * per stream group" over the event log (per-group chunk delivery,
   * /root/reference/src/stream_handler/natsio.rs:186-210) — at 100 TB
-  * moves the whole table through one exchange. Since per-partition
-  * top-k under a TOTAL order is a superset of global top-k, a bounded
-  * per-partition prune before the exchange caps shuffle volume at
-  * k·|keys|·|partitions| rows regardless of fact-table size, and the
-  * exact window after the shuffle restores precise semantics. Same
-  * result, bounded exchange.
+  * would otherwise move the whole table through one exchange.
+  *
+  * Relation to the built-in: since Spark 3.5 `InsertWindowGroupLimit`
+  * plants an equivalent partial+final `WindowGroupLimit` when the plan
+  * literally contains `Filter(rank-fn <= k, Window(...))` — for THAT
+  * idiom the built-in already bounds the exchange (and q21 benefits
+  * from it on stock sessions). This node earns its place where no
+  * window filter exists for the built-in rule to match: materializing
+  * the per-key tail ahead of a join or a sink via the explicit
+  * [[TopKPerKey.prune]] API, and as the planning target of the opt-in
+  * [[TopKAutoPrune]] optimizer rule.
   *
   * The prune order MUST be total (tie-broken): with ties at the k-th
   * place an arbitrary subset survives the partial pass, and the final
