@@ -107,5 +107,29 @@ object CorpusOps extends QueryModule {
                    COALESCE(regexp_extract(text, '([a-z]{7,})', 1), '') AS first_long
             FROM documents ORDER BY doc_id"""))
 
-  def defs: Seq[QueryDef] = Seq(q121_doc_chunk, q122_embed_dimstats, q126_regex_spans)
+  /** Null-preserving explode (explode_outer / OUTER UNNEST): documents
+    * with NO qualifying token stay in the output with a NULL token —
+    * the generator form a curation report needs when "no matches" is
+    * itself the signal. Also pins NULL-ordering parity: Spark sorts
+    * NULLS FIRST on ASC by default, DuckDB NULLS LAST, so the total
+    * order spells it out on both sides. */
+  val q142_explode_outer = QueryDef(
+    "q142_explode_outer",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> length(w) >= 8)").as("ws"))
+        .select(col("doc_id"), explode_outer(col("ws")).as("w"))
+        .orderBy(col("doc_id"), col("w").asc_nulls_first)
+    },
+    Some("""WITH ws AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> length(w) >= 8) AS l
+              FROM documents)
+            SELECT doc_id,
+                   unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS w
+            FROM ws ORDER BY doc_id, w NULLS FIRST"""))
+
+  def defs: Seq[QueryDef] = Seq(q121_doc_chunk, q122_embed_dimstats, q126_regex_spans,
+    q142_explode_outer)
 }

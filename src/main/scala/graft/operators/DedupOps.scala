@@ -423,8 +423,58 @@ object DedupOps extends QueryModule {
             WHERE c * 10 >= sa.n * 9
             ORDER BY a, b"""))
 
+  /** QUALITY-based survivorship over the q43 near-dup pairs: the keeper
+    * is the doc with the higher chars-per-token score (min-id only
+    * breaks exact ties) — the survivor policy real curation uses
+    * instead of "keep the smallest id". The integer fixed-point score
+    * joins onto the (already sub-quadratic) pair set; per pair the
+    * decision is pure integer comparison. */
+  val q144_dedup_survivor = QueryDef(
+    "q144_dedup_survivor",
+    (s, dir) => {
+      val pairs = q43_dedup_ngram_jaccard.run(s, dir).select("a", "b")
+      val scores = t(s, dir, "documents")
+        .select(col("doc_id"), expr("n_chars * 1000 div size(split(text, ' '))").as("score"))
+      pairs
+        .join(scores.select(col("doc_id").as("a"), col("score").as("sa")), "a")
+        .join(scores.select(col("doc_id").as("b"), col("score").as("sb")), "b")
+        .withColumn("keeper", when(col("sa") > col("sb"), col("a"))
+          .when(col("sb") > col("sa"), col("b"))
+          .otherwise(least(col("a"), col("b"))))
+        .withColumn("dropped",
+          when(col("keeper") === col("a"), col("b")).otherwise(col("a")))
+        .select(col("a"), col("b"), col("sa"), col("sb"), col("keeper"), col("dropped"))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $shinglesSql,
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            pairs AS (
+              SELECT a, b FROM common
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE c / (sa.n + sb.n - c) >= 0.8),
+            scores AS (
+              SELECT doc_id,
+                     CAST(n_chars * 1000 // len(string_split(text, ' ')) AS BIGINT) AS score
+              FROM documents),
+            scored AS (
+              SELECT a, b, x.score AS sa, y.score AS sb,
+                     CASE WHEN x.score > y.score THEN a
+                          WHEN y.score > x.score THEN b
+                          ELSE least(a, b) END AS keeper
+              FROM pairs
+              JOIN scores x ON x.doc_id = a
+              JOIN scores y ON y.doc_id = b)
+            SELECT a, b, sa, sb, keeper,
+                   CASE WHEN keeper = a THEN b ELSE a END AS dropped
+            FROM scored ORDER BY a, b"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q42_dedup_exact_stats, q43_dedup_ngram_jaccard, q44_dedup_minhash_lsh,
     q45_dedup_simhash, q68_dedup_clusters, q94_dup_graph_stats,
-    q132_jaccard_containment)
+    q132_jaccard_containment, q144_dedup_survivor)
 }

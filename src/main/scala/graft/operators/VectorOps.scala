@@ -544,8 +544,67 @@ object VectorOps extends QueryModule {
             FROM ranked WHERE rn = 1 ORDER BY vec_id, block""")
     })
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-3 most-similar candidates with a DIFFERENT label, searched
+    * within the query's IVF cell (q54's coarse quantizer). The join is
+    * cell-equi + label-inequality — the label residual rides the
+    * bucket join, so the candidate set stays the cell's occupancy, not
+    * the corpus. The canonical "close but wrong" sampler for training
+    * retrieval/embedding models. */
+  val q143_hard_negatives = QueryDef(
+    "q143_hard_negatives",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centid"), col("embedding").as("centv"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("label"),
+          col("centid"), dot(col("embedding"), col("centv")).as("affinity"))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"), first(col("label")).as("label"),
+          max_by(col("centid"), struct(col("affinity"), col("centid"))).as("cell"))
+      val q = assigned.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"), col("cell"), sqrt(norm2(col("embedding"))).as("qn"))
+      val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("label").as("clabel"), col("cell"), sqrt(norm2(col("embedding"))).as("cn"))
+      val cands = q.join(c, Seq("cell"))
+        .filter(col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("rn").cast("long").as("rn"), col("cid"),
+          col("qlabel").cast("long").as("qlabel"), col("clabel").cast("long").as("clabel"),
+          col("cos"))
+        .orderBy("qid", "rn")
+    },
+    Some(s"""WITH cents AS (
+              SELECT vec_id AS centid, embedding AS centv FROM embeddings
+              WHERE vec_id < 16),
+            assigned AS (
+              SELECT vec_id, embedding, label, centid AS cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY ${dotSql("embedding", "centv")} DESC, centid DESC) AS rn
+              FROM embeddings, cents),
+            cells AS (SELECT vec_id, embedding, label, cell FROM assigned WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel, cell
+                  FROM cells WHERE vec_id < 32),
+            c AS (SELECT vec_id AS cid, embedding AS cv, label AS clabel, cell FROM cells),
+            cands AS (
+              SELECT qid, cid, qlabel, clabel,
+                     ${dotSql("qv", "cv")}
+                       / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS cos
+              FROM q JOIN c ON q.cell = c.cell AND qid <> cid AND qlabel <> clabel),
+            ranked AS (
+              SELECT qid, cid, qlabel, clabel, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+              FROM cands)
+            SELECT qid, CAST(rn AS BIGINT) AS rn, cid,
+                   CAST(qlabel AS BIGINT) AS qlabel, CAST(clabel AS BIGINT) AS clabel, cos
+            FROM ranked WHERE rn <= 3 ORDER BY qid, rn"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
     q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers, q112_rrf_fusion,
-    q131_pq_codes)
+    q131_pq_codes, q143_hard_negatives)
 }

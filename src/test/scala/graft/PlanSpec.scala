@@ -242,6 +242,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "an OR-join planned as a nested loop is quadratic at scale")
   }
 
+  test("hard-negative mining searches within IVF cells, never all-pairs (q143)") {
+    val p = plan(VectorOps.q143_hard_negatives)
+    assert(!p.contains("CartesianProduct"),
+      "the label-inequality residual must ride the cell-equi join — " +
+        "only the 16-row codebook product may broadcast")
+  }
+
   test("pagerank rounds join the bounded adjacency, never the raw fact table (q99)") {
     val p = plan(GraphOps.q99_pagerank)
     assert(!p.contains("CartesianProduct"), "rank propagation must stay an equi-join")
