@@ -130,6 +130,76 @@ object CorpusOps extends QueryModule {
                    unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS w
             FROM ws ORDER BY doc_id, w NULLS FIRST"""))
 
+  /** Heterogeneous-source activity feed: events and orders unioned BY
+    * NAME with missing columns null-filled (`unionByName(…,
+    * allowMissingColumns=true)` — the schema-drift-tolerant union a
+    * multi-source ingest needs; positional UNION would silently pair
+    * wrong columns). The oracle spells the missing column as an
+    * explicit typed NULL, which is exactly the contract the Spark form
+    * implements. */
+  val q145_activity_feed = QueryDef(
+    "q145_activity_feed",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(lit("event").as("kind"), col("event_id").as("src_id"),
+          col("ts"), col("event_type").as("what"), col("value").as("amount"))
+      val ord = t(s, dir, "orders")
+        .select(lit("order").as("kind"), col("o_orderkey").as("src_id"),
+          col("o_orderdate").as("ts"), col("o_orderpriority").as("what"))
+      ev.unionByName(ord, allowMissingColumns = true)
+        .orderBy("kind", "src_id")
+    },
+    Some("""SELECT 'event' AS kind, event_id AS src_id, ts,
+                   event_type AS what, value AS amount
+            FROM events
+            UNION ALL
+            SELECT 'order' AS kind, o_orderkey AS src_id, o_orderdate AS ts,
+                   o_orderpriority AS what, CAST(NULL AS DOUBLE) AS amount
+            FROM orders
+            ORDER BY kind, src_id"""))
+
+  /** Per-dimension QUANTILE NORMALIZATION of the embedding column (the
+    * rank-based preprocessing that makes heterogeneous feature scales
+    * comparable): each coordinate maps to its rank position within its
+    * dimension, scaled to [0, 10⁶] in exact integers —
+    * (rn−1)·10⁶ div (n−1). The window partitions by dimension (64
+    * partitions at any corpus size) and the rank order is fully
+    * tie-broken (value fp, then vec_id), so the normalized grid is
+    * engine-identical. Output restricted to the probe vectors; the
+    * ranking still runs over the full corpus per dimension. */
+  val q146_quantile_norm = QueryDef(
+    "q146_quantile_norm",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ex = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          floor(col("col").cast("double") * lit(1e6)).cast("long").as("fp"))
+      val w = Window.partitionBy("dim").orderBy("fp", "vec_id")
+      val n = Window.partitionBy("dim")
+      ex.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .filter(col("vec_id") < 64)
+        .select(col("vec_id"), col("dim"),
+          expr("(rn - 1) * 1000000 div (n - 1)").as("qn_fp"))
+        .orderBy("vec_id", "dim")
+    },
+    Some("""WITH ex AS (
+              SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS fp
+              FROM (SELECT vec_id, embedding,
+                           unnest(generate_series(1, len(embedding))) AS i
+                    FROM embeddings)),
+            ranked AS (
+              SELECT vec_id, dim,
+                     row_number() OVER (PARTITION BY dim ORDER BY fp, vec_id) AS rn,
+                     count(*) OVER (PARTITION BY dim) AS n
+              FROM ex)
+            SELECT vec_id, dim,
+                   CAST((rn - 1) * 1000000 // (n - 1) AS BIGINT) AS qn_fp
+            FROM ranked WHERE vec_id < 64
+            ORDER BY vec_id, dim"""))
+
   def defs: Seq[QueryDef] = Seq(q121_doc_chunk, q122_embed_dimstats, q126_regex_spans,
-    q142_explode_outer)
+    q142_explode_outer, q145_activity_feed, q146_quantile_norm)
 }

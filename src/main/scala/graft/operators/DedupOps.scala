@@ -473,8 +473,63 @@ object DedupOps extends QueryModule {
                    CASE WHEN keeper = a THEN b ELSE a END AS dropped
             FROM scored ORDER BY a, b"""))
 
+  /** IDF-WEIGHTED Jaccard near-dup detection: shingles weighted by
+    * floor(ln(N/df)·10⁶) so boilerplate shared by half the corpus
+    * barely counts while rare shingles dominate — the similarity the
+    * plain q43 Jaccard approximates badly on template-heavy corpora.
+    * Same inverted-index join; the gate J_w ≥ 0.5 evaluates as the
+    * pure-integer `3·wints ≥ wa+wb` (no float threshold), and the
+    * weighted length prefilter `2·min(wa,wb) ≥ max(wa,wb)` is its
+    * exact necessary condition, pruning pairs before the per-pair
+    * aggregation. The only float is the ln inside the floor — the
+    * same fixed-point-ln contract q84/q87 pin. */
+  val q147_weighted_jaccard = QueryDef(
+    "q147_weighted_jaccard",
+    (s, dir) => {
+      val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val nd = sh.agg(countDistinct("doc_id").as("nd"))
+      val w = df.crossJoin(nd).select(col("sh"),
+        floor(log(col("nd").cast("double") / col("df").cast("double")) * lit(1e6))
+          .cast("long").as("idf"))
+      val shw = sh.join(w, "sh")
+      val totals = shw.groupBy("doc_id").agg(sum("idf").cast("long").as("wt"))
+      val a = shw.join(totals, "doc_id")
+        .select(col("doc_id").as("a"), col("sh"), col("idf"), col("wt").as("wa"))
+      val b = shw.join(totals, "doc_id")
+        .select(col("doc_id").as("b"), col("sh"), col("wt").as("wb"))
+      a.join(b, Seq("sh"))
+        .filter(col("a") < col("b")
+          && col("wa") * 2 >= col("wb") && col("wb") * 2 >= col("wa"))
+        .groupBy("a", "b", "wa", "wb").agg(sum("idf").cast("long").as("wints"))
+        .filter(col("wints") * 3 >= col("wa") + col("wb"))
+        .select(col("a"), col("b"), col("wints"), col("wa"), col("wb"),
+          (col("wints").cast("double") / (col("wa") + col("wb") - col("wints"))).as("wjac"))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $shinglesSql,
+            df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM sh),
+            w AS (SELECT sh,
+                    CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6) AS BIGINT) AS idf
+                  FROM df CROSS JOIN nd),
+            shw AS (SELECT doc_id, s.sh, idf FROM sh s JOIN w USING (sh)),
+            totals AS (SELECT doc_id, CAST(sum(idf) AS BIGINT) AS wt
+                       FROM shw GROUP BY doc_id),
+            pairs AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, CAST(sum(x.idf) AS BIGINT) AS wints
+              FROM shw x JOIN shw y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b, wints, ta.wt AS wa, tb.wt AS wb,
+                   CAST(wints AS DOUBLE) / (ta.wt + tb.wt - wints) AS wjac
+            FROM pairs
+            JOIN totals ta ON ta.doc_id = a
+            JOIN totals tb ON tb.doc_id = b
+            WHERE wints * 3 >= ta.wt + tb.wt
+            ORDER BY a, b"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q42_dedup_exact_stats, q43_dedup_ngram_jaccard, q44_dedup_minhash_lsh,
     q45_dedup_simhash, q68_dedup_clusters, q94_dup_graph_stats,
-    q132_jaccard_containment, q144_dedup_survivor)
+    q132_jaccard_containment, q144_dedup_survivor, q147_weighted_jaccard)
 }

@@ -249,6 +249,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "only the 16-row codebook product may broadcast")
   }
 
+  test("weighted Jaccard pairs meet on the shingle key, never all-pairs (q147)") {
+    val p = plan(DedupOps.q147_weighted_jaccard)
+    assert(!p.contains("CartesianProduct"),
+      "IDF weighting must not change the inverted-index join shape — " +
+        "only the one-row corpus-size aggregate may broadcast")
+  }
+
   test("pagerank rounds join the bounded adjacency, never the raw fact table (q99)") {
     val p = plan(GraphOps.q99_pagerank)
     assert(!p.contains("CartesianProduct"), "rank propagation must stay an equi-join")
