@@ -78,6 +78,39 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(badType.getMessage.contains("array<float>") || badType.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("L2SliceDistanceFF equals its |x|^2-2x.c+|c|^2 dot decomposition (property)") {
+    // the fused loop and the three-dot decomposition are algebraically
+    // equal but NOT floating-point equal in general; they must agree to
+    // a few ulps on realistic magnitudes, and the fused form must agree
+    // with a plain Scala reference fold EXACTLY (same operation order)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.functions.L2Distance.l2_ff
+    import graft.functions.DotProduct.dot_ff
+    val gen = Gen.containerOfN[Array, Float](8, Gen.chooseNum(-2.0f, 2.0f))
+    (1 to 50).foreach { i =>
+      val p = Gen.Parameters.default
+      val a = gen.pureApply(p, Seed(i))
+      val b = gen.pureApply(p, Seed(i + 5000))
+      import spark.implicits._
+      val df = Seq((a, b)).toDF("a", "b")
+      val Array(fused, dxx, dxc, dcc) = df.select(
+        l2_ff(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"), 0, 8),
+        dot_ff(org.apache.spark.sql.functions.col("a"), org.apache.spark.sql.functions.col("a")),
+        dot_ff(org.apache.spark.sql.functions.col("a"), org.apache.spark.sql.functions.col("b")),
+        dot_ff(org.apache.spark.sql.functions.col("b"), org.apache.spark.sql.functions.col("b")))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      val reference = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        val dx = x.toDouble - y.toDouble; acc + dx * dx
+      }
+      assert(fused == reference, s"fused loop must match the sequential fold exactly (seed $i)")
+      val decomposed = dxx - 2.0 * dxc + dcc
+      assert(math.abs(fused - decomposed) <= 1e-12 * math.max(1.0, math.abs(fused)),
+        s"decomposition drift beyond ulp noise (seed $i): $fused vs $decomposed")
+    }
+  }
+
   test("builder-time extensions wire the planner strategy") {
     // what spark.sql.extensions=graft.GraftExtensions would inject
     // (asserted through the extensions object itself — getOrCreate
