@@ -319,7 +319,51 @@ object TemporalOps extends QueryModule {
             WHERE wd <= mx
             GROUP BY wd ORDER BY wd"""))
 
+  /** WATERMARK SIZING profile: for candidate delays (1h/1d/3d/7d), how
+    * many events would a `withWatermark(delay)` drop? Lateness is
+    * measured per user against the running max event-time in ARRIVAL
+    * order — exactly the per-key watermark Structured Streaming would
+    * advance. The fixture's events are written in event-time order, so
+    * arrival is simulated as a content-addressed interleave
+    * (md5(event_id) — the multi-source ingest shuffle); on real ingest
+    * you order by the ingest offset instead, changing one sort key.
+    * One window pass; the four delay gates are conditional aggregates
+    * of the same scan, and all comparisons are
+    * timestamp-vs-timestamp+INTERVAL (exact on the microsecond grid —
+    * no epoch-seconds truncation to diverge between engines). This is
+    * the batch query you run BEFORE choosing the streaming watermark
+    * at 100 TB: it prices each candidate delay in dropped events. */
+  val q148_watermark_sizing = QueryDef(
+    "q148_watermark_sizing",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_max", max(col("ts")).over(w))
+        .agg(count(lit(1)).cast("long").as("n_total"),
+          expr("CAST(count_if(prev_max > ts + INTERVAL 1 HOUR) AS BIGINT)").as("n_late_1h"),
+          expr("CAST(count_if(prev_max > ts + INTERVAL 1 DAY) AS BIGINT)").as("n_late_1d"),
+          expr("CAST(count_if(prev_max > ts + INTERVAL 3 DAY) AS BIGINT)").as("n_late_3d"),
+          expr("CAST(count_if(prev_max > ts + INTERVAL 7 DAY) AS BIGINT)").as("n_late_7d"))
+    },
+    Some("""WITH r AS (
+              SELECT user_id, event_id, ts,
+                     max(ts) OVER (PARTITION BY user_id
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM events)
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(count(*) FILTER (WHERE prev_max > ts + INTERVAL 1 HOUR) AS BIGINT) AS n_late_1h,
+                   CAST(count(*) FILTER (WHERE prev_max > ts + INTERVAL 1 DAY) AS BIGINT) AS n_late_1d,
+                   CAST(count(*) FILTER (WHERE prev_max > ts + INTERVAL 3 DAY) AS BIGINT) AS n_late_3d,
+                   CAST(count(*) FILTER (WHERE prev_max > ts + INTERVAL 7 DAY) AS BIGINT) AS n_late_7d
+            FROM r"""))
+
   def defs: Seq[QueryDef] =
     Seq(q95_interval_join, q96_sessionize, q101_merge_upsert, q102_interpolate,
-      q108_ema_lags, q116_growth_mom, q120_rolling_distinct)
+      q108_ema_lags, q116_growth_mom, q120_rolling_distinct,
+      q148_watermark_sizing)
 }
