@@ -57,7 +57,13 @@ object GraftExtensions {
       require(e.foldable, s"graft_l2_slice $what must be an integer literal")
       e.eval(null) match {
         case i: Int  => i
-        case l: Long => l.toInt
+        case l: Long =>
+          // a Long that doesn't round-trip through Int would silently
+          // wrap the slice bounds (e.g. offset 2³² → 0) and return a
+          // plausible-but-wrong distance; fail loudly instead
+          require(l == l.toInt.toLong,
+            s"graft_l2_slice $what out of Int range: $l")
+          l.toInt
         case other => throw new IllegalArgumentException(
           s"graft_l2_slice $what must be an integer literal, got $other")
       }

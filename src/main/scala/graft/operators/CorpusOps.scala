@@ -181,7 +181,11 @@ object CorpusOps extends QueryModule {
         .withColumn("n", count(lit(1)).over(n))
         .filter(col("vec_id") < 64)
         .select(col("vec_id"), col("dim"),
-          expr("(rn - 1) * 1000000 div (n - 1)").as("qn_fp"))
+          // rn is IntegerType: widen BEFORE the ×10⁶ or any dimension
+          // partition past 2148 rows overflows 32-bit (ANSI throw /
+          // silent wrap). NULLIF guards the n=1 degenerate partition.
+          expr("(CAST(rn AS BIGINT) - 1) * 1000000 div NULLIF(CAST(n AS BIGINT) - 1, 0)")
+            .as("qn_fp"))
         .orderBy("vec_id", "dim")
     },
     Some("""WITH ex AS (
@@ -196,7 +200,7 @@ object CorpusOps extends QueryModule {
                      count(*) OVER (PARTITION BY dim) AS n
               FROM ex)
             SELECT vec_id, dim,
-                   CAST((rn - 1) * 1000000 // (n - 1) AS BIGINT) AS qn_fp
+                   CAST((rn - 1) * 1000000 // NULLIF(n - 1, 0) AS BIGINT) AS qn_fp
             FROM ranked WHERE vec_id < 64
             ORDER BY vec_id, dim"""))
 

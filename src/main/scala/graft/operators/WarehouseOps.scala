@@ -167,11 +167,15 @@ object WarehouseOps extends QueryModule {
 
   /** Winsorized mean: clamp l_quantity to its per-priority [P5, P95]
     * fences before averaging — the robust-mean complement of q118's
-    * outlier COUNT. All post-percentile arithmetic is integer
-    * fixed-point (quantities are integral, fences floor to the 10⁻⁶
-    * grid), so the clamped sum is exact BIGINT in both engines. The
-    * fence table is one row per priority and broadcasts into the
-    * clamping scan. */
+    * outlier COUNT. Fences are NEAREST-RANK (value at rank ⌈p·n⌉), found
+    * by an integer cumulative-count walk: quantities live on a tiny
+    * integral domain, so aggregate to (priority, value, count) first
+    * (map-side combine), then a ≤~50-row-per-priority window locates the
+    * value whose cumulative rank range covers the fence rank. No
+    * interpolated-percentile float ever crosses the engine boundary, so
+    * fence equality is contract, not fixture-luck; all downstream
+    * arithmetic is exact BIGINT. The fence table is one row per priority
+    * and broadcasts into the clamping scan. */
   val q129_winsorized_mean = QueryDef(
     "q129_winsorized_mean",
     (s, dir) => {
@@ -179,10 +183,23 @@ object WarehouseOps extends QueryModule {
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderpriority"),
           (col("l_quantity").cast("long") * lit(1000000L)).as("q_fp"))
-      val fences = joined.groupBy("o_orderpriority")
-        .agg(floor(expr("percentile(q_fp, 0.05)")).cast("long").as("lo_fp"),
-          floor(expr("percentile(q_fp, 0.95)")).cast("long").as("hi_fp"))
-      joined.join(fences, "o_orderpriority")
+      val freq = joined.groupBy("o_orderpriority", "q_fp")
+        .agg(count(lit(1)).as("c"))
+      val wOrd = Window.partitionBy("o_orderpriority").orderBy("q_fp")
+      val wAll = Window.partitionBy("o_orderpriority")
+      val cum = freq
+        .withColumn("hi_rn", sum("c").over(wOrd))
+        .withColumn("lo_rn", col("hi_rn") - col("c") + lit(1L))
+        .withColumn("n_all", sum("c").over(wAll))
+        .withColumn("lo_rank", expr("(5 * n_all + 99) div 100"))
+        .withColumn("hi_rank", expr("(95 * n_all + 99) div 100"))
+      val fences = cum.groupBy("o_orderpriority")
+        .agg(
+          max(when(col("lo_rank").between(col("lo_rn"), col("hi_rn")), col("q_fp")))
+            .as("lo_fp"),
+          max(when(col("hi_rank").between(col("lo_rn"), col("hi_rn")), col("q_fp")))
+            .as("hi_fp"))
+      joined.join(broadcast(fences), "o_orderpriority")
         .withColumn("c_fp", least(greatest(col("q_fp"), col("lo_fp")), col("hi_fp")))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).cast("long").as("n"),
@@ -194,11 +211,22 @@ object WarehouseOps extends QueryModule {
     Some("""WITH joined AS (
               SELECT o_orderpriority, CAST(l_quantity AS BIGINT) * 1000000 AS q_fp
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            freq AS (
+              SELECT o_orderpriority, q_fp, count(*) AS c
+              FROM joined GROUP BY 1, 2),
+            cum AS (
+              SELECT o_orderpriority, q_fp, c,
+                     sum(c) OVER (PARTITION BY o_orderpriority ORDER BY q_fp) AS hi_rn,
+                     sum(c) OVER (PARTITION BY o_orderpriority ORDER BY q_fp) - c + 1 AS lo_rn,
+                     sum(c) OVER (PARTITION BY o_orderpriority) AS n_all
+              FROM freq),
             fences AS (
               SELECT o_orderpriority,
-                     CAST(floor(quantile_cont(q_fp, 0.05)) AS BIGINT) AS lo_fp,
-                     CAST(floor(quantile_cont(q_fp, 0.95)) AS BIGINT) AS hi_fp
-              FROM joined GROUP BY o_orderpriority)
+                     max(CASE WHEN (5 * n_all + 99) // 100 BETWEEN lo_rn AND hi_rn
+                              THEN q_fp END) AS lo_fp,
+                     max(CASE WHEN (95 * n_all + 99) // 100 BETWEEN lo_rn AND hi_rn
+                              THEN q_fp END) AS hi_fp
+              FROM cum GROUP BY 1)
             SELECT j.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(least(greatest(q_fp, lo_fp), hi_fp)) AS BIGINT) AS sum_fp,
                    max(lo_fp) AS lo_fp, max(hi_fp) AS hi_fp,
