@@ -75,6 +75,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no interpreted higher-order lambda may remain in the scoring path")
   }
 
+  test("threshold self-join candidates come from LSH buckets, never all-pairs (q47)") {
+    val p = plan(VectorOps.q47_vector_threshold)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "threshold similarity must ride the bucket equi-join candidate funnel " +
+        s"— a corpus×corpus non-equi join does not survive a 100× corpus:\n${p.take(1500)}")
+  }
+
   test("LSH ANN search joins on bucket equality, never all-pairs (q48)") {
     val p = plan(VectorOps.q48_vector_ann_lsh)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
