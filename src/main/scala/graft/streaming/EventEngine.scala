@@ -46,8 +46,15 @@ import graft.core._
 final class EventEngine(val spark: SparkSession,
                         trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
                         security: EngineSecurity = EngineSecurity.Permissive,
-                        deliveriesDir: Option[String] = None) {
+                        deliveriesDir: Option[String] = None,
+                        ackWaitMillis: Long = 30000L,
+                        clock: () => Long = () => System.currentTimeMillis()) {
   import spark.implicits._
+
+  /** Consumer dispatch (ack-wait redelivery + competing consumers) —
+    * the JetStream consumer semantics the reference gets from its
+    * broker (handler.rs:21-25); see [[ChunkDispatcher]]. */
+  val dispatcher = new ChunkDispatcher(ackWaitMillis, clock)
 
   /** The shared ingest stream (R1). MemoryStream plays the role of the
     * gRPC ingest endpoint for in-process use; a parquet/file readStream
@@ -173,11 +180,28 @@ final class EventEngine(val spark: SparkSession,
 
   /** Chunks delivered to a group and not yet acked — what a reconnecting
     * client receives again (at-least-once). Payloads are read back from
-    * the deliveries table at PULL time (consumer-side materialization). */
+    * the deliveries table at PULL time (consumer-side materialization).
+    * Monitoring/reconnect surface: bypasses flight bookkeeping; live
+    * consumer sessions pull through [[pull]] instead. */
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
     hydrate(groupId, ledger.collect {
       case ((g, _), c) if g == groupId && !c.acked => c
     }.toSeq.sortBy(_.batchId))
+
+  /** Consumer pull with JetStream semantics: of the group's unacked
+    * chunks, return those offerable to THIS session — not in flight
+    * elsewhere, or whose owner died, or whose ack-wait expired (the
+    * silent-client redelivery: a chunk this session was offered but
+    * never acked comes back after `ackWaitMillis` with the SAME
+    * chunkId). Claiming is atomic per chunk, so competing sessions on
+    * one group receive disjoint chunks. */
+  def pull(groupId: String, sessionId: Long): Seq[DeliveryChunk] = {
+    val metas = ledger.collect {
+      case ((g, _), c) if g == groupId && !c.acked => c
+    }.toSeq.sortBy(_.batchId)
+    val claimed = dispatcher.offer(groupId, sessionId, metas.map(_.chunkId)).toSet
+    hydrate(groupId, metas.filter(m => claimed.contains(m.chunkId)))
+  }
 
   /** Pending row count from driver metadata alone — monitoring/backlog
     * accounting without touching the payload table. */
@@ -194,7 +218,9 @@ final class EventEngine(val spark: SparkSession,
   def ack(groupId: String, chunkId: String): Boolean =
     ledger.get((groupId, chunkId)) match {
       case Some(c) if !c.acked =>
-        ledger.put((groupId, chunkId), c.copy(acked = true)); true
+        ledger.put((groupId, chunkId), c.copy(acked = true))
+        dispatcher.settle(groupId, chunkId)
+        true
       case _ => false
     }
 
@@ -210,6 +236,7 @@ final class EventEngine(val spark: SparkSession,
     close(groupId)
     groups.remove(groupId)
     ledger.keys.filter(_._1 == groupId).foreach(ledger.remove)
+    dispatcher.dropGroup(groupId)
     table.drop(groupId)
   }
 

@@ -27,6 +27,11 @@ import graft.core._
 final class EventSession(engine: EventEngine) {
   import EventSession._
 
+  /** This session's consumer identity for the dispatcher: chunks it is
+    * offered are in flight to it until acked or ack-wait expiry, and
+    * competing sessions on the same group receive disjoint chunks. */
+  val sessionId: Long = engine.dispatcher.newSessionId()
+
   @volatile private var groupId: Option[String] = None
 
   def isOpen: Boolean = groupId.isDefined
@@ -42,6 +47,7 @@ final class EventSession(engine: EventEngine) {
         // before any output stream exists (:249-270, :273-301)
         engine.attach(id, token)
         groupId = Some(id)
+        engine.dispatcher.openSession(id, sessionId)
         pendingNotifications(id)
       }
     case Ack(ids) => groupId match {
@@ -58,14 +64,22 @@ final class EventSession(engine: EventEngine) {
         throw new IllegalStateException(
           "an init message needs to be send before close")
       case Some(id) =>
-        engine.close(id)
+        engine.dispatcher.closeSession(id, sessionId)
+        // stop the group's delivery query only when this was the LAST
+        // live session — with competing consumers the shared query
+        // keeps serving the survivors (each reference bidi stream is
+        // one client of a shared JetStream consumer)
+        if (engine.dispatcher.liveSessionCount(id) == 0) engine.close(id)
         groupId = None
         Seq.empty
     }
   }
 
+  /** The pull analog of the reference's push loop, now through the
+    * dispatcher: in-flight chunks are NOT re-offered until their
+    * ack-wait deadline passes or their owning session dies. */
   private def pendingNotifications(id: String): Seq[Outbound] =
-    engine.pendingChunks(id).map(Notification.apply)
+    engine.pull(id, sessionId).map(Notification.apply)
 }
 
 object EventSession {

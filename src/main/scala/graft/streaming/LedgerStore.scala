@@ -57,6 +57,18 @@ final class LedgerStore(dir: String) {
   def appendAck(groupId: String, chunkId: String): Unit =
     append(ackLine(groupId, chunkId))
 
+  private def offerLine(groupId: String, chunkId: String, sessionId: Long,
+                        offeredAt: Long, deliveries: Int): String =
+    s"""{"t":"offer","g":"${esc(groupId)}","c":"${esc(chunkId)}","s":$sessionId,""" +
+      s""""at":$offeredAt,"d":$deliveries}"""
+
+  /** Journal an offer (chunk → session flight). Replaying these is what
+    * keeps the redelivery TIMER state — offeredAt and the monotone
+    * JetStream-style delivery count — across a process restart. */
+  def appendOffer(groupId: String, chunkId: String, sessionId: Long,
+                  offeredAt: Long, deliveries: Int): Unit =
+    append(offerLine(groupId, chunkId, sessionId, offeredAt, deliveries))
+
   /** Replay the WAL into the in-memory state. An ack flips its chunk;
     * a re-appended chunk (micro-batch retry / foreachBatch replay after
     * restart) is idempotent by (groupId, chunkId) AND ack-preserving:
@@ -79,24 +91,53 @@ final class LedgerStore(dir: String) {
   }
 
   /** Rewrite the WAL to the minimal lines reproducing current state:
-    * one chunk record per (groupId, chunkId) plus an ack record for the
-    * acked ones. Append-only logs otherwise grow with every micro-batch
-    * retry and ack forever; compaction is the same hygiene the event
-    * log gets from compactTo. Acked chunks are RETAINED (not dropped):
-    * their keys are what makes a later foreachBatch replay idempotent —
-    * dropping them would resurrect the chunk as pending on re-append.
+    * one chunk record per (groupId, chunkId), an ack record for the
+    * acked ones, and the LATEST offer record for each surviving flight
+    * (redelivery timer + delivery count). Append-only logs otherwise
+    * grow with every micro-batch retry, offer, and ack forever;
+    * compaction is the same hygiene the event log gets from compactTo.
+    * Acked chunks are RETAINED (not dropped): their keys are what makes
+    * a later foreachBatch replay idempotent — dropping them would
+    * resurrect the chunk as pending on re-append.
     * Atomic: write to a temp file, then move over the live WAL. */
   def compact(): Unit = synchronized {
     val state = load()
+    val fl = loadFlights()
     val tmp = path.resolveSibling(path.getFileName.toString + ".compact")
     val sb = new StringBuilder
     state.values.toSeq.sortBy(c => (c.groupId, c.batchId, c.chunkId)).foreach { c =>
       sb.append(chunkLine(c)).append('\n')
       if (c.acked) sb.append(ackLine(c.groupId, c.chunkId)).append('\n')
+      else fl.get((c.groupId, c.chunkId)).foreach { case (s, at, d) =>
+        sb.append(offerLine(c.groupId, c.chunkId, s, at, d)).append('\n')
+      }
     }
     Files.writeString(tmp, sb.toString, StandardCharsets.UTF_8)
     Files.move(tmp, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Latest journaled flight per (groupId, chunkId):
+    * (sessionId, offeredAt, deliveries). A later ack settles its
+    * flight (drops out); WAL replay feeds these to
+    * [[ChunkDispatcher.restore]]. */
+  def loadFlights(): Map[(String, String), (Long, Long, Int)] = {
+    if (!Files.exists(path)) return Map.empty
+    val fl = scala.collection.mutable.Map[(String, String), (Long, Long, Int)]()
+    Files.readAllLines(path, StandardCharsets.UTF_8).asScala.foreach { line =>
+      field(line, "t") match {
+        case Some("offer") =>
+          for (g <- field(line, "g"); c <- field(line, "c"))
+            fl.put((g, c), (
+              field(line, "s").map(_.toLong).getOrElse(0L),
+              field(line, "at").map(_.toLong).getOrElse(0L),
+              field(line, "d").map(_.toInt).getOrElse(1)))
+        case Some("ack") =>
+          for (g <- field(line, "g"); c <- field(line, "c")) fl.remove((g, c))
+        case _ => ()
+      }
+    }
+    fl.toMap
   }
 
   // -- minimal single-purpose JSONL parsing (format is ours; no deps) --

@@ -33,8 +33,16 @@ final class MultiplexedDelivery(val spark: SparkSession,
                                 trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
                                 ledgerDir: Option[String] = None,
                                 sourcePartitions: Int = 1,
-                                security: EngineSecurity = EngineSecurity.Permissive) {
+                                security: EngineSecurity = EngineSecurity.Permissive,
+                                ackWaitMillis: Long = 30000L,
+                                clock: () => Long = () => System.currentTimeMillis()) {
   import spark.implicits._
+
+  /** Consumer dispatch (ack-wait redelivery + competing consumers over
+    * one group) — see [[ChunkDispatcher]]. Flights are journaled to the
+    * WAL (when present) so the redelivery timer + delivery counts
+    * survive restart alongside the chunk/ack state. */
+  val dispatcher = new ChunkDispatcher(ackWaitMillis, clock)
 
   /** sourcePartitions > 1 spreads each micro-batch over that many tasks —
     * the replay/backfill path wants the fan-out + subscription join
@@ -55,7 +63,15 @@ final class MultiplexedDelivery(val spark: SparkSession,
     * [[DeliveryTable]] (under ledgerDir when durable, scratch space
     * otherwise) — the driver holds ids+counts only. */
   private val store: Option[LedgerStore] = ledgerDir.map(new LedgerStore(_))
-  store.foreach(_.load().foreach { case (k, v) => ledger.put(k, v) })
+  store.foreach { st =>
+    st.load().foreach { case (k, v) => ledger.put(k, v) }
+    // restore flights: the owning sessions are from the dead process, so
+    // every restored chunk is immediately offerable (restart failover)
+    // while offeredAt and the delivery count stay monotone
+    st.loadFlights().foreach { case ((g, c), (s, at, d)) =>
+      dispatcher.restore(g, c, s, at, d)
+    }
+  }
   private val table = new DeliveryTable(spark,
     ledgerDir.map(d => s"$d/deliveries").getOrElse(DeliveryTable.tempDir()))
   @volatile private var query: Option[StreamingQuery] = None
@@ -92,6 +108,7 @@ final class MultiplexedDelivery(val spark: SparkSession,
   def removeGroup(groupId: String): Unit = {
     groups.remove(groupId)
     ledger.keys.filter(_._1 == groupId).foreach(ledger.remove)
+    dispatcher.dropGroup(groupId)
     table.drop(groupId)
   }
 
@@ -169,6 +186,33 @@ final class MultiplexedDelivery(val spark: SparkSession,
       case ((g, _), c) if g == groupId && !c.acked => c
     }.toSeq.sortBy(_.batchId))
 
+  /** Open a competing-consumer session on a group; returns its id. */
+  def openSession(groupId: String): Long = {
+    val id = dispatcher.newSessionId()
+    dispatcher.openSession(groupId, id)
+    id
+  }
+
+  /** Session death/disconnect: its unacked flights become immediately
+    * offerable to surviving sessions (failover). */
+  def closeSession(groupId: String, sessionId: Long): Unit =
+    dispatcher.closeSession(groupId, sessionId)
+
+  /** Consumer pull with JetStream semantics (see [[EventEngine.pull]]):
+    * competing sessions on one group receive DISJOINT chunks; a chunk
+    * whose session dies or goes silent past the ack-wait is re-offered
+    * with the same chunkId. Each successful claim is journaled so the
+    * redelivery timer survives restart. */
+  def pull(groupId: String, sessionId: Long): Seq[DeliveryChunk] = {
+    val metas = ledger.collect {
+      case ((g, _), c) if g == groupId && !c.acked => c
+    }.toSeq.sortBy(_.batchId)
+    val claimed = dispatcher.offer(groupId, sessionId, metas.map(_.chunkId)).toSet
+    for (st <- store; c <- claimed; f <- dispatcher.flight(groupId, c))
+      st.appendOffer(groupId, c, f.sessionId, f.offeredAt, f.deliveries)
+    hydrate(groupId, metas.filter(m => claimed.contains(m.chunkId)))
+  }
+
   /** Pending row count from driver metadata alone (no payload read) —
     * the backlog-accounting path for monitoring and the bench. */
   def pendingRowCount(groupId: String): Long =
@@ -178,7 +222,9 @@ final class MultiplexedDelivery(val spark: SparkSession,
     ledger.get((groupId, chunkId)) match {
       case Some(c) if !c.acked =>
         store.foreach(_.appendAck(groupId, chunkId))
-        ledger.put((groupId, chunkId), c.copy(acked = true)); true
+        ledger.put((groupId, chunkId), c.copy(acked = true))
+        dispatcher.settle(groupId, chunkId)
+        true
       case _ => false
     }
 

@@ -62,6 +62,78 @@ class EventSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally engine.stop()
   }
 
+  test("ack-wait: in-flight chunk is not re-offered until the deadline, then redelivers with the same chunkId") {
+    // manual clock: the spec drives the ack-wait deadline deterministically
+    @volatile var now = 0L
+    val engine = new EventEngine(spark, Trigger.ProcessingTime("250 milliseconds"),
+      EngineSecurity.Permissive, ackWaitMillis = 1000L, clock = () => now)
+    val session = new EventSession(engine)
+    try {
+      engine.createStreamGroup("g", ResourceType.Project, "p",
+        Hierarchy(projectId = "p"), includeSubresources = true)
+      engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      engine.processAllAvailable()
+
+      val first = session.handle(Init("g")).collect { case n: Notification => n }
+      assert(first.size == 1)
+      val chunkId = first.head.chunk.chunkId
+
+      // silent client: an empty ack is a pull — within the ack-wait the
+      // chunk is in flight and must NOT be re-offered
+      assert(session.handle(Ack(Seq.empty)).isEmpty,
+        "in-flight chunk re-offered before its ack-wait expired")
+
+      // clock advance past the deadline: same chunk, same chunkId, no
+      // restart — JetStream's automatic redelivery (handler.rs:21-25)
+      now += 1500L
+      val again = session.handle(Ack(Seq.empty)).collect { case n: Notification => n }
+      assert(again.map(_.chunk.chunkId) == Seq(chunkId),
+        s"expected redelivery of $chunkId, got $again")
+      assert(engine.dispatcher.deliveries("g", chunkId) == 2,
+        "delivery count must be monotone across redeliveries")
+
+      // a real ack settles it: no redelivery however long the clock runs
+      assert(session.handle(Ack(Seq(chunkId))).isEmpty)
+      now += 60000L
+      assert(session.handle(Ack(Seq.empty)).isEmpty)
+    } finally engine.stop()
+  }
+
+  test("competing consumers: sessions on one group get disjoint chunks; a dead session's chunk fails over") {
+    val engine = newEngine()
+    val s1 = new EventSession(engine)
+    val s2 = new EventSession(engine)
+    try {
+      engine.createStreamGroup("g", ResourceType.Project, "p",
+        Hierarchy(projectId = "p"), includeSubresources = true)
+      engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      engine.processAllAvailable()
+
+      val got1 = s1.handle(Init("g")).collect { case n: Notification => n }
+      assert(got1.size == 1)
+      // chunk is in flight to s1: the second consumer must NOT see it
+      assert(s2.handle(Init("g")).isEmpty,
+        "a chunk in flight to a live session was offered to a second session")
+
+      // next chunk goes to whoever pulls first — s2 here; s1 must not
+      // also receive it (disjoint delivery)
+      engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      engine.processAllAvailable()
+      val got2 = s2.handle(Ack(Seq.empty)).collect { case n: Notification => n }
+      assert(got2.size == 1)
+      assert(got2.map(_.chunk.chunkId) != got1.map(_.chunk.chunkId))
+      assert(s1.handle(Ack(Seq.empty)).isEmpty, "chunk claimed by s2 re-offered to s1")
+
+      // s1 dies without acking: its chunk fails over to the survivor,
+      // same chunkId — and the shared query keeps running for s2
+      s1.handle(Close)
+      val failedOver = s2.handle(Ack(Seq.empty)).collect { case n: Notification => n }
+      assert(failedOver.map(_.chunk.chunkId) == got1.map(_.chunk.chunkId),
+        s"dead session's unacked chunk must fail over, got $failedOver")
+      assert(s2.isOpen)
+    } finally engine.stop()
+  }
+
   test("attach-time authz re-check applies inside the session protocol") {
     val grants = spark.createDataFrame(Seq(("alice", "PROJECT", "p", "READ")))
       .toDF("token", "resource_type", "resource_id", "action")

@@ -76,6 +76,72 @@ class MultiplexedDeliverySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally mux.stop()
   }
 
+  test("competing consumers on the mux: disjoint delivery, ack-wait redelivery, dead-session failover") {
+    @volatile var now = 0L
+    val mux = new MultiplexedDelivery(spark, ackWaitMillis = 1000L, clock = () => now)
+    try {
+      mux.addGroup("g", ResourceType.Project, "p", Hierarchy(projectId = "p"), true)
+      mux.start()
+      mux.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      mux.processAllAvailable()
+
+      val s1 = mux.openSession("g")
+      val s2 = mux.openSession("g")
+      val a = mux.pull("g", s1)
+      assert(a.size == 1)
+      assert(mux.pull("g", s2).isEmpty, "chunk in flight to s1 offered to s2")
+
+      mux.emit(ResourceType.Collection, EventType.All, "c", RelationCtx(project = "p"))
+      mux.processAllAvailable()
+      val b = mux.pull("g", s2)
+      assert(b.size == 1 && b.head.chunkId != a.head.chunkId,
+        "competing sessions must receive disjoint chunks")
+      assert(mux.pull("g", s1).isEmpty)
+
+      // silent s1: past the ack-wait its chunk redelivers (same chunkId)
+      // to whoever pulls — s2 claims both expired flights here
+      now += 1500L
+      val redelivered = mux.pull("g", s2).map(_.chunkId).toSet
+      assert(redelivered == Set(a.head.chunkId, b.head.chunkId),
+        s"expected both expired flights re-offered, got $redelivered")
+
+      // s2 dies holding both: failover to a fresh session without any
+      // clock advance
+      mux.closeSession("g", s2)
+      val s3 = mux.openSession("g")
+      assert(mux.pull("g", s3).map(_.chunkId).toSet == redelivered,
+        "dead session's unacked chunks must fail over immediately")
+      assert(mux.dispatcher.deliveries("g", a.head.chunkId) == 3)
+    } finally mux.stop()
+  }
+
+  test("WAL replay preserves the redelivery timer state (flights + delivery counts)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mux-flights").toString
+    @volatile var now = 0L
+    val mux1 = new MultiplexedDelivery(spark, ledgerDir = Some(dir),
+      ackWaitMillis = 1000L, clock = () => now)
+    try {
+      mux1.addGroup("g", ResourceType.Project, "p", Hierarchy(projectId = "p"), true)
+      mux1.start()
+      mux1.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      mux1.processAllAvailable()
+      val s1 = mux1.openSession("g")
+      assert(mux1.pull("g", s1).size == 1)
+      mux1.compactLedger() // compaction must retain the journaled flight
+    } finally mux1.stop()
+
+    // "restart": the flight's owner is from the dead process, so the
+    // chunk is immediately offerable (restart failover) — and the
+    // delivery count continues from the journaled value, not from 1.
+    val mux2 = new MultiplexedDelivery(spark, ledgerDir = Some(dir),
+      ackWaitMillis = 1000L, clock = () => now)
+    val s2 = mux2.openSession("g")
+    val chunks = mux2.pull("g", s2)
+    assert(chunks.size == 1, s"unacked chunk must be offerable after restart: $chunks")
+    assert(mux2.dispatcher.deliveries("g", chunks.head.chunkId) == 2,
+      "delivery count must survive the restart via the WAL")
+  }
+
   test("WAL-backed mux: pending and acked chunks survive an engine restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mux-wal").toString
     val mux1 = new MultiplexedDelivery(spark, ledgerDir = Some(dir))
