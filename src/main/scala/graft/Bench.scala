@@ -115,14 +115,25 @@ object Bench {
     // per-query keys are the qNN prefix ("q44_dedup_minhash_lsh" -> "q44"),
     // 2-decimal values. Full names stay on stderr for humans.
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // JSON-number values with trailing zeros stripped ("0.40"→"0.4",
+    // "1.00"→"1"): lossless at the 2-decimal grid, and worth ~80 chars
+    // across 150+ entries — the line must stay inside the driver's
+    // bounded tail window.
+    def fj(v: Double): String = {
+      val s = f(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
     def short(k: String): String = if (k.startsWith("q")) k.takeWhile(_ != '_') else k
-    val qs = all.map { case (k, v) => "\"" + short(k) + "\":" + f(v) }
+    val qs = all.map { case (k, v) => "\"" + short(k) + "\":" + fj(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ > 0).sum
     val failedJson = failed.sorted.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     all.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s ${f(v)}%8s s") }
+    // "failed" is omitted when empty (the common case) — same information,
+    // 12 fewer chars.
+    val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
     // The driver reads this line from a bounded ~2000-char tail of the sbt
     // output (round 3 lost a whole round's numbers to an oversized line).
     // 139 entries ≈ 1680 chars today; warn while there is still headroom.

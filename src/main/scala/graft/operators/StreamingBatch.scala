@@ -112,30 +112,30 @@ object StreamingBatch extends QueryModule {
     * natsio.rs:78-129 (collection events → 1 subject; object events →
     * object-group subjects plus own subject), then explode + count per
     * subject — exactly the engine's ingest path, batch-verified. */
-  val q36_subject_fanout = QueryDef(
-    "q36_subject_fanout",
-    (s, dir) => {
-      val e = t(s, dir, "events")
-        .withColumn("project", concat(lit("p"), (col("user_id") % 5).cast("string")))
-        .withColumn("collection", concat(lit("c"), col("user_id").cast("string")))
-      val objectSubj = Subjects.objectSubjectCol(col("project"), col("collection"),
-        concat(lit("s"), col("event_id").cast("string")),
-        concat(lit("o"), col("event_id").cast("string")))
-      val groupSubj = Subjects.objectGroupSubjectCol(col("project"), col("collection"),
-        concat(lit("g"), (col("user_id") % 3).cast("string")),
-        concat(lit("o"), col("event_id").cast("string")))
-      val subjects = when(col("event_type") === "signup",
-          array(Subjects.projectSubjectCol(col("project"))))
-        .when(col("event_type") === "purchase",
-          array(Subjects.collectionSubjectCol(col("project"), col("collection"))))
-        .otherwise(array(groupSubj, objectSubj)) // object event: group subjects + own
-      e.select(col("event_id"), explode(subjects).as("subject"))
-        .withColumn("level2", substring_index(col("subject"), "._.", 3))
-        .groupBy("level2").agg(count(lit(1)).as("n"),
-          countDistinct(col("subject")).as("n_subjects"))
-        .orderBy("level2")
-    },
-    Some("""WITH base AS (
+  /** Events mapped onto the synthetic resource hierarchy and exploded
+    * to their publish-subject sets (natsio.rs:78-129) — shared by q36
+    * (fan-out census) and q149 (wildcard filters). */
+  private def fanoutSubjects(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("project", concat(lit("p"), (col("user_id") % 5).cast("string")))
+      .withColumn("collection", concat(lit("c"), col("user_id").cast("string")))
+    val objectSubj = Subjects.objectSubjectCol(col("project"), col("collection"),
+      concat(lit("s"), col("event_id").cast("string")),
+      concat(lit("o"), col("event_id").cast("string")))
+    val groupSubj = Subjects.objectGroupSubjectCol(col("project"), col("collection"),
+      concat(lit("g"), (col("user_id") % 3).cast("string")),
+      concat(lit("o"), col("event_id").cast("string")))
+    val subjects = when(col("event_type") === "signup",
+        array(Subjects.projectSubjectCol(col("project"))))
+      .when(col("event_type") === "purchase",
+        array(Subjects.collectionSubjectCol(col("project"), col("collection"))))
+      .otherwise(array(groupSubj, objectSubj)) // object event: group subjects + own
+    e.select(col("event_id"), explode(subjects).as("subject"))
+  }
+
+  /** DuckDB mirror of [[fanoutSubjects]] (the q36 base+subj CTEs). */
+  private val fanoutSubjSql =
+    """base AS (
               SELECT event_id, event_type,
                      'p' || CAST(user_id % 5 AS VARCHAR) AS project,
                      'c' || CAST(user_id AS VARCHAR) AS collection,
@@ -154,7 +154,18 @@ object StreamingBatch extends QueryModule {
                            'UPDATES.STORAGE._.' || project || '._.' || collection ||
                            '._.OBJECT._.' || shared || '._.' || obj || '._']
                 END) AS subject
-              FROM base)
+              FROM base)"""
+
+  val q36_subject_fanout = QueryDef(
+    "q36_subject_fanout",
+    (s, dir) => {
+      fanoutSubjects(s, dir)
+        .withColumn("level2", substring_index(col("subject"), "._.", 3))
+        .groupBy("level2").agg(count(lit(1)).as("n"),
+          countDistinct(col("subject")).as("n_subjects"))
+        .orderBy("level2")
+    },
+    Some(s"""WITH $fanoutSubjSql
             SELECT CASE WHEN len(string_split(subject, '._.')) >= 3
                         THEN string_split(subject, '._.')[1] || '._.' ||
                              string_split(subject, '._.')[2] || '._.' ||
@@ -321,8 +332,183 @@ object StreamingBatch extends QueryModule {
             WHERE a.wk >= c.cohort_wk
             GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk"""))
 
+  /** WATERMARK LATE-DROP replay — the batch twin of
+    * `withWatermark("10 minutes")` + 1-hour tumbling count
+    * (StreamingWindowsSpec "watermark drops late rows"), making the
+    * drop semantics oracle-visible, not just spec-visible. Arrival is
+    * the same content-addressed interleave as q148; the watermark at
+    * each arrival is the running max event-time over PRIOR arrivals
+    * minus the delay, and an event is dropped when its window END ≤
+    * watermark — exactly the state-eviction rule Structured Streaming
+    * applies. This replays the trigger-per-record schedule (tightest
+    * watermark; batch-boundary schedules drop a subset). The running
+    * max is a single global ordered scan at replay scale; on a 100 TB
+    * feed you compute it per ingest partition and take the min, as the
+    * engine itself does. */
+  val q150_watermark_replay = QueryDef(
+    "q150_watermark_replay",
+    (s, dir) => {
+      val w = Window
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"))
+        .withColumn("wm", max(col("ts")).over(w) - expr("INTERVAL 10 MINUTES"))
+        .filter(col("wm").isNull
+          || date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR") > col("wm"))
+        .groupBy(date_trunc("hour", col("ts")).as("ws"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("ws")).as("wstart"), col("n"))
+        .orderBy("wstart")
+    },
+    Some("""WITH r AS (
+              SELECT event_id, ts,
+                     max(ts) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       - INTERVAL 10 MINUTE AS wm
+              FROM events)
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart,
+                   count(*) AS n
+            FROM r
+            WHERE wm IS NULL OR date_trunc('hour', ts) + INTERVAL 1 HOUR > wm
+            GROUP BY 1 ORDER BY wstart"""))
+
+  /** STATEFUL PER-KEY LEDGER replay — the batch twin of the
+    * mapGroupsWithState delivery/ack ledger (StreamingWindowsSpec R12
+    * in-stream form; TransformWithStateSpec is the Spark-4 variant).
+    * Purchases play "deliver", errors play "ack"; the per-user state is
+    * the running outstanding balance folded in event-time order. The
+    * PEAK outstanding pins path dependence (it needs the running
+    * sequence, not the totals), which is what distinguishes a stateful
+    * fold from a plain aggregate — the oracle must walk the same
+    * per-key sequence to match it. One shuffle on user_id; the
+    * cumulative window and the final aggregate share it. */
+  val q151_stateful_ledger_replay = QueryDef(
+    "q151_stateful_ledger_replay",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "error"))
+        .withColumn("delta",
+          when(col("event_type") === "purchase", 1L).otherwise(-1L))
+        .withColumn("bal", sum("delta").over(w))
+        .groupBy("user_id")
+        .agg(count(when(col("delta") === 1L, 1)).cast("long").as("n_deliver"),
+          count(when(col("delta") === -1L, 1)).cast("long").as("n_ack"),
+          sum("delta").cast("long").as("outstanding"),
+          max("bal").cast("long").as("peak_outstanding"))
+        .orderBy("user_id")
+    },
+    Some("""WITH led AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS delta
+              FROM events WHERE event_type IN ('purchase', 'error')),
+            walked AS (
+              SELECT user_id, delta,
+                     sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+              FROM led)
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_deliver,
+                   CAST(count(*) FILTER (WHERE delta = -1) AS BIGINT) AS n_ack,
+                   CAST(sum(delta) AS BIGINT) AS outstanding,
+                   CAST(max(bal) AS BIGINT) AS peak_outstanding
+            FROM walked GROUP BY user_id ORDER BY user_id"""))
+
+  /** STREAM–STREAM LEFT OUTER interval join replay — the batch twin of
+    * the watermarked attribution join (StreamingWindowsSpec
+    * "stream-stream LEFT OUTER join emits unmatched rows after the
+    * watermark closes the window"): signups (impressions) left-join
+    * purchases (clicks) by user within 24 h. Once every watermark has
+    * passed, the append-mode output of the streaming query is exactly
+    * this batch join — matched pairs plus null-extended unmatched
+    * impressions — so the oracle pins what the state-store symmetric
+    * hash join must emit. Equi key user_id carries the shuffle; the
+    * interval predicate is a residual filter (never a BNLJ). Nullable
+    * click columns are COALESCE'd to -1 sentinels: Spark and DuckDB
+    * order nulls differently, and the determinism contract demands a
+    * total order. */
+  val q152_ssjoin_replay = QueryDef(
+    "q152_ssjoin_replay",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("imp_id"), col("ts").as("imp_ts"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      l.join(r, col("user_id") === col("r_user")
+          && col("c_ts") >= col("imp_ts")
+          && col("c_ts") <= col("imp_ts") + expr("INTERVAL 24 HOURS"), "left")
+        .select(col("user_id"), col("imp_id"),
+          unix_timestamp(col("imp_ts")).as("imp_sec"),
+          coalesce(col("c_id"), lit(-1L)).as("click_id"),
+          coalesce(unix_timestamp(col("c_ts")), lit(-1L)).as("click_sec"))
+        .orderBy("user_id", "imp_id", "click_id")
+    },
+    Some("""WITH l AS (
+              SELECT user_id, event_id AS imp_id, ts AS imp_ts
+              FROM events WHERE event_type = 'signup'),
+            r AS (
+              SELECT user_id AS r_user, event_id AS c_id, ts AS c_ts
+              FROM events WHERE event_type = 'purchase')
+            SELECT l.user_id, l.imp_id,
+                   CAST(floor(epoch(l.imp_ts)) AS BIGINT) AS imp_sec,
+                   COALESCE(r.c_id, -1) AS click_id,
+                   COALESCE(CAST(floor(epoch(r.c_ts)) AS BIGINT), -1) AS click_sec
+            FROM l LEFT JOIN r
+              ON l.user_id = r.r_user
+             AND r.c_ts >= l.imp_ts AND r.c_ts <= l.imp_ts + INTERVAL 24 HOUR
+            ORDER BY user_id, imp_id, click_id"""))
+
+  /** NATS WILDCARD query surface — the `*` arm of `matchesLit`
+    * (Subjects.scala `wildcardRegex`; R3 beyond the reference's own
+    * grammar, which never emits `*`): three broker-style filters — a
+    * `*` project token, a `*`-project collection filter, and a `*`+`>`
+    * combination — evaluated over the q36 fan-out subjects. Spark runs
+    * the anchored wildcardRegex as an `rlike`; the oracle states the
+    * equivalent RE2 regex literally (Java's \Q…\E quoting and RE2
+    * differ in syntax, not in the matched language, for these alnum
+    * tokens). The wildcard-free fast path stays pushable
+    * equality/prefix — PlanSpec pins that the regex engine is reserved
+    * for genuine wildcards. */
+  val q149_wildcard_match = QueryDef(
+    "q149_wildcard_match",
+    (s, dir) => {
+      val subj = fanoutSubjects(s, dir)
+      val wqs = Seq(
+        "UPDATES.STORAGE._.*._",
+        "UPDATES.STORAGE._.*._.c7._",
+        "UPDATES.STORAGE._.*._.*._.OBJECT.>")
+      wqs.map { q =>
+        subj.filter(Subjects.matchesLit(col("subject"), q))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("subject")).as("n_subjects"))
+          .select(lit(q).as("wq"), col("n"), col("n_subjects"))
+      }.reduce(_ unionByName _).orderBy("wq")
+    },
+    Some("WITH " + fanoutSubjSql + """
+            SELECT 'UPDATES.STORAGE._.*._' AS wq, count(*) AS n,
+                   count(DISTINCT subject) AS n_subjects
+            FROM subj
+            WHERE regexp_matches(subject, '^UPDATES\.STORAGE\._\.[^.]+\._$')
+            UNION ALL
+            SELECT 'UPDATES.STORAGE._.*._.c7._' AS wq, count(*) AS n,
+                   count(DISTINCT subject) AS n_subjects
+            FROM subj
+            WHERE regexp_matches(subject, '^UPDATES\.STORAGE\._\.[^.]+\._\.c7\._$')
+            UNION ALL
+            SELECT 'UPDATES.STORAGE._.*._.*._.OBJECT.>' AS wq, count(*) AS n,
+                   count(DISTINCT subject) AS n_subjects
+            FROM subj
+            WHERE regexp_matches(subject,
+              '^UPDATES\.STORAGE\._\.[^.]+\._\.[^.]+\._\.OBJECT\..+$')
+            ORDER BY wq"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q32_window_tumbling, q33_window_sliding, q34_window_session,
     q35_dedup_keepfirst, q36_subject_fanout, q67_funnel, q69_eventtype_gate,
-    q78_scd_intervals, q80_retention)
+    q78_scd_intervals, q80_retention, q149_wildcard_match,
+    q150_watermark_replay, q151_stateful_ledger_replay, q152_ssjoin_replay)
 }

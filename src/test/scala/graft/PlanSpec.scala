@@ -75,6 +75,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no interpreted higher-order lambda may remain in the scoring path")
   }
 
+  test("wildcard-free subject filters stay pushable equality/prefix; regex only for genuine wildcards (q149)") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    def p(q: String): String =
+      ev.filter(graft.core.Subjects.matchesLit(col("event_type"), q))
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val exact = p("signup")
+    assert(exact.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(event_type,signup.*"),
+      s"the exact-subject fast path must reach the scan as an equality filter:\n${exact.take(1500)}")
+    val subtree = p("signup.>")
+    assert(subtree.matches("(?s).*PushedFilters: \\[[^\\]]*StringStartsWith\\(event_type.*"),
+      s"the subtree fast path must reach the scan as a prefix filter:\n${subtree.take(1500)}")
+    val wild = p("*")
+    assert(wild.toUpperCase.contains("RLIKE"),
+      "a genuine wildcard must compile to the anchored regex")
+    assert(!wild.matches("(?s).*PushedFilters: \\[[^\\]]*RLIKE.*"),
+      "regex predicates are residual — they must not pretend to be pushable")
+  }
+
   test("threshold self-join candidates come from LSH buckets, never all-pairs (q47)") {
     val p = plan(VectorOps.q47_vector_threshold)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
