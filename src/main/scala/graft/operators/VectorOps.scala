@@ -33,6 +33,20 @@ object VectorOps extends QueryModule {
 
   private def norm2(a: Column): Column = dot(a, a)
 
+  /** LSH shape knobs — the scale dials the q47/q62 scaladocs describe
+    * (band width grows with log(corpus), table count restores recall).
+    * The DEFAULTS (3 bits; q47: 12 tables, q62: 8) are what the DuckDB
+    * oracles state, so the driver's correctness gate always runs the
+    * default shape. Overriding changes the candidate set — bench/scale
+    * rehearsal only (tools/make_sf10x.py + BASELINE.md sf1 table),
+    * NEVER under Verify. */
+  private def lshBits(s: SparkSession): Int =
+    s.conf.get("spark.graft.lsh.tableBits", "3").toInt
+  private def lshTables(s: SparkSession, default: Int): Int =
+    s.conf.get("spark.graft.lsh.tables", default.toString).toInt
+  private def lshMinCos(s: SparkSession, default: Double): Double =
+    s.conf.get("spark.graft.lsh.minCos", default.toString).toDouble
+
   val q46_vector_topk = QueryDef(
     "q46_vector_topk",
     (s, dir) => {
@@ -90,7 +104,8 @@ object VectorOps extends QueryModule {
     "q47_vector_threshold",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val tables = (0 until 12).map(k => (3 * k) until (3 * k + 3))
+      val (bits, nt) = (lshBits(s), lshTables(s, 12))
+      val tables = (0 until nt).map(k => (bits * k) until (bits * k + bits))
       val wb = e.select(col("vec_id") +: tables.zipWithIndex.map { case (hs, k) =>
         bucketCol(hs).cast("long").as(s"b$k")
       }: _*)
@@ -105,7 +120,7 @@ object VectorOps extends QueryModule {
         sqrt(norm2(col("embedding"))).as("nb"))
       cands.join(va, "a").join(vb, "b")
         .withColumn("cos", dot(col("av"), col("bv")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.4)
+        .filter(col("cos") >= lshMinCos(s, 0.4))
         .select("a", "b", "cos")
         .orderBy("a", "b")
     },
@@ -299,7 +314,8 @@ object VectorOps extends QueryModule {
     "q62_dedup_embedding",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val tables = (0 until 8).map(k => (3 * k) until (3 * k + 3))
+      val (bits, nt) = (lshBits(s), lshTables(s, 8))
+      val tables = (0 until nt).map(k => (bits * k) until (bits * k + bits))
       val wb = e.select(col("vec_id") +: tables.zipWithIndex.map { case (hs, k) =>
         bucketCol(hs).cast("long").as(s"b$k")
       }: _*)
@@ -314,7 +330,7 @@ object VectorOps extends QueryModule {
         sqrt(norm2(col("embedding"))).as("nb"))
       cands.join(va, "a").join(vb, "b")
         .withColumn("cos", dot(col("av"), col("bv")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.45)
+        .filter(col("cos") >= lshMinCos(s, 0.45))
         .groupBy(col("b").as("dup_id"))
         .agg(min(col("a")).as("keep_id"),
           max(col("cos")).as("max_cos"),
