@@ -69,20 +69,28 @@ final class ChunkDispatcher(ackWaitMillis: Long,
   /** Filter `chunkIds` to the ones offerable to `sessionId` NOW, and
     * claim each one atomically (per-key compute: concurrent pulls from
     * two sessions partition the chunks, never double-claim). Returns
-    * the claimed ids in input order. */
-  def offer(groupId: String, sessionId: Long, chunkIds: Seq[String]): Seq[String] = {
+    * the claimed ids in input order. `max` is the JetStream pull-batch
+    * bound (`batch(n)`): claiming stops after `max` chunks, leaving the
+    * rest unclaimed for competing sessions — the fairness knob when N
+    * consumers drain one group. */
+  def offer(groupId: String, sessionId: Long, chunkIds: Seq[String],
+            max: Int = Int.MaxValue): Seq[String] = {
     val now = clock()
+    var left = max
     chunkIds.filter { c =>
-      var claimed = false
-      flights.compute((groupId, c), (_, f) => {
-        val offerable = f == null || !isLive(groupId, f.sessionId) ||
-          now >= f.offeredAt + ackWaitMillis
-        if (offerable) {
-          claimed = true
-          Flight(sessionId, now, (if (f == null) 0 else f.deliveries) + 1)
-        } else f
-      })
-      claimed
+      left > 0 && {
+        var claimed = false
+        flights.compute((groupId, c), (_, f) => {
+          val offerable = f == null || !isLive(groupId, f.sessionId) ||
+            now >= f.offeredAt + ackWaitMillis
+          if (offerable) {
+            claimed = true
+            Flight(sessionId, now, (if (f == null) 0 else f.deliveries) + 1)
+          } else f
+        })
+        if (claimed) left -= 1
+        claimed
+      }
     }
   }
 

@@ -48,13 +48,21 @@ final class EventEngine(val spark: SparkSession,
                         security: EngineSecurity = EngineSecurity.Permissive,
                         deliveriesDir: Option[String] = None,
                         ackWaitMillis: Long = 30000L,
-                        clock: () => Long = () => System.currentTimeMillis()) {
+                        clock: () => Long = () => System.currentTimeMillis(),
+                        ledgerDir: Option[String] = None) {
   import spark.implicits._
 
   /** Consumer dispatch (ack-wait redelivery + competing consumers) —
     * the JetStream consumer semantics the reference gets from its
     * broker (handler.rs:21-25); see [[ChunkDispatcher]]. */
   val dispatcher = new ChunkDispatcher(ackWaitMillis, clock)
+
+  /** Optional WAL (same [[LedgerStore]] the multiplexed engine uses):
+    * with a `ledgerDir`, chunk metadata, acks, and offer flights
+    * survive a process restart — a reconnecting client is re-served
+    * exactly its unacked chunks with monotone delivery counts. Without
+    * one the ledger is in-memory (the test/replay path). */
+  private val store: Option[LedgerStore] = ledgerDir.map(new LedgerStore(_))
 
   /** The shared ingest stream (R1). MemoryStream plays the role of the
     * gRPC ingest endpoint for in-process use; a parquet/file readStream
@@ -79,8 +87,15 @@ final class EventEngine(val spark: SparkSession,
     * delivery and ack. */
   private val ledger: concurrent.Map[(String, String), ChunkMeta] =
     new ConcurrentHashMap[(String, String), ChunkMeta]().asScala
+  store.foreach { st =>
+    st.load().foreach { case (k, v) => ledger.put(k, v) }
+    st.loadFlights().foreach { case ((g, c), (s, at, d)) =>
+      dispatcher.restore(g, c, s, at, d)
+    }
+  }
   private val table = new DeliveryTable(spark,
-    deliveriesDir.getOrElse(DeliveryTable.tempDir()))
+    deliveriesDir.orElse(ledgerDir.map(d => s"$d/deliveries"))
+      .getOrElse(DeliveryTable.tempDir()))
 
   /** R1 `emit_event`: token gate, validate, then append to the stream.
     * The gate mirrors internal_event_server.rs:23-45 (missing header →
@@ -156,9 +171,12 @@ final class EventEngine(val spark: SparkSession,
         val chunkId = s"${group.id}-$batchId"
         table.write(group.id, chunkId, batch.select("subject", "resourceId"))
         table.chunkCounts(Seq(group.id), _ => chunkId).get(group.id).foreach { n =>
-          ledger.putIfAbsent((group.id, chunkId), ChunkMeta(
-            group.id, chunkId, batchId, n,
-            new Timestamp(System.currentTimeMillis()), acked = false))
+          if (!ledger.contains((group.id, chunkId))) {
+            val meta = ChunkMeta(group.id, chunkId, batchId, n,
+              new Timestamp(System.currentTimeMillis()), acked = false)
+            store.foreach(_.appendChunk(meta)) // WAL after payload
+            ledger.putIfAbsent((group.id, chunkId), meta)
+          }
           ()
         }
         ()
@@ -195,11 +213,15 @@ final class EventEngine(val spark: SparkSession,
     * never acked comes back after `ackWaitMillis` with the SAME
     * chunkId). Claiming is atomic per chunk, so competing sessions on
     * one group receive disjoint chunks. */
-  def pull(groupId: String, sessionId: Long): Seq[DeliveryChunk] = {
+  def pull(groupId: String, sessionId: Long,
+           max: Int = Int.MaxValue): Seq[DeliveryChunk] = {
     val metas = ledger.collect {
       case ((g, _), c) if g == groupId && !c.acked => c
     }.toSeq.sortBy(_.batchId)
-    val claimed = dispatcher.offer(groupId, sessionId, metas.map(_.chunkId)).toSet
+    val claimed =
+      dispatcher.offer(groupId, sessionId, metas.map(_.chunkId), max).toSet
+    for (st <- store; c <- claimed; f <- dispatcher.flight(groupId, c))
+      st.appendOffer(groupId, c, f.sessionId, f.offeredAt, f.deliveries)
     hydrate(groupId, metas.filter(m => claimed.contains(m.chunkId)))
   }
 
@@ -218,6 +240,7 @@ final class EventEngine(val spark: SparkSession,
   def ack(groupId: String, chunkId: String): Boolean =
     ledger.get((groupId, chunkId)) match {
       case Some(c) if !c.acked =>
+        store.foreach(_.appendAck(groupId, chunkId))
         ledger.put((groupId, chunkId), c.copy(acked = true))
         dispatcher.settle(groupId, chunkId)
         true

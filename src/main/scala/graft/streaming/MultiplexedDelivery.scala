@@ -203,11 +203,13 @@ final class MultiplexedDelivery(val spark: SparkSession,
     * whose session dies or goes silent past the ack-wait is re-offered
     * with the same chunkId. Each successful claim is journaled so the
     * redelivery timer survives restart. */
-  def pull(groupId: String, sessionId: Long): Seq[DeliveryChunk] = {
+  def pull(groupId: String, sessionId: Long,
+           max: Int = Int.MaxValue): Seq[DeliveryChunk] = {
     val metas = ledger.collect {
       case ((g, _), c) if g == groupId && !c.acked => c
     }.toSeq.sortBy(_.batchId)
-    val claimed = dispatcher.offer(groupId, sessionId, metas.map(_.chunkId)).toSet
+    val claimed =
+      dispatcher.offer(groupId, sessionId, metas.map(_.chunkId), max).toSet
     for (st <- store; c <- claimed; f <- dispatcher.flight(groupId, c))
       st.appendOffer(groupId, c, f.sessionId, f.offeredAt, f.deliveries)
     hydrate(groupId, metas.filter(m => claimed.contains(m.chunkId)))

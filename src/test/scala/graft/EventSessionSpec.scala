@@ -134,6 +134,64 @@ class EventSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally engine.stop()
   }
 
+  test("WAL-backed engine: pending chunks, acks, and flight counts survive a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine-wal").toString
+    @volatile var now = 0L
+    val e1 = new EventEngine(spark, Trigger.ProcessingTime("250 milliseconds"),
+      EngineSecurity.Permissive, ackWaitMillis = 1000L, clock = () => now,
+      ledgerDir = Some(dir))
+    try {
+      e1.createStreamGroup("g", ResourceType.Project, "p",
+        Hierarchy(projectId = "p"), includeSubresources = true)
+      e1.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      e1.processAllAvailable()
+      e1.emit(ResourceType.Collection, EventType.All, "c", RelationCtx(project = "p"))
+      e1.processAllAvailable()
+      val pend = e1.pendingChunks("g")
+      assert(pend.size == 2)
+      // offer one chunk to a session (journals the flight), ack the other
+      val s1 = e1.dispatcher.newSessionId()
+      e1.dispatcher.openSession("g", s1)
+      val got = e1.pull("g", s1, max = 1)
+      assert(got.size == 1)
+      val other = pend.map(_.chunkId).filterNot(_ == got.head.chunkId).head
+      assert(e1.ack("g", other))
+    } finally e1.stop()
+
+    // restart over the same WAL: acked stays acked; the offered-but-
+    // unacked chunk is immediately offerable (dead owner) and its
+    // delivery count continues from the journaled flight.
+    val e2 = new EventEngine(spark, Trigger.ProcessingTime("250 milliseconds"),
+      EngineSecurity.Permissive, ackWaitMillis = 1000L, clock = () => now,
+      ledgerDir = Some(dir))
+    val s2 = e2.dispatcher.newSessionId()
+    e2.dispatcher.openSession("g", s2)
+    val re = e2.pull("g", s2)
+    assert(re.size == 1, s"only the unacked chunk must survive: $re")
+    assert(e2.dispatcher.deliveries("g", re.head.chunkId) == 2,
+      "delivery count must continue across the restart")
+  }
+
+  test("pull batch bound: max chunks per pull, remainder left for competing sessions") {
+    val engine = newEngine()
+    try {
+      engine.createStreamGroup("g", ResourceType.Project, "p",
+        Hierarchy(projectId = "p"), includeSubresources = true)
+      (1 to 3).foreach { _ =>
+        engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+        engine.processAllAvailable() // one chunk per drained micro-batch
+      }
+      assert(engine.pendingChunks("g").size == 3)
+      val (s1, s2) = (engine.dispatcher.newSessionId(), engine.dispatcher.newSessionId())
+      engine.dispatcher.openSession("g", s1)
+      engine.dispatcher.openSession("g", s2)
+      val a = engine.pull("g", s1, max = 2)
+      val b = engine.pull("g", s2, max = 2)
+      assert(a.size == 2 && b.size == 1, s"batch bound must split 3 chunks 2+1: ${(a, b)}")
+      assert((a.map(_.chunkId).toSet & b.map(_.chunkId).toSet).isEmpty)
+    } finally engine.stop()
+  }
+
   test("attach-time authz re-check applies inside the session protocol") {
     val grants = spark.createDataFrame(Seq(("alice", "PROJECT", "p", "READ")))
       .toDF("token", "resource_type", "resource_id", "action")
