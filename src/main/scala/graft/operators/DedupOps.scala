@@ -212,6 +212,67 @@ object DedupOps extends QueryModule {
     * all-pairs comparison disappears — this is the plan that survives a
     * 100×-corpus scale-up. The DuckDB oracle keeps the all-pairs form,
     * which pins the exactness claim query-wide. */
+  /** MINHASH SIGNATURE-QUALITY evaluation: for every verified near-dup
+    * pair (the q43 exact-Jaccard ≥ 0.8 set), compare the 8-permutation
+    * MinHash ESTIMATE (agreeing signature components / 8 — q44's exact
+    * signature construction) against the exact Jaccard. E[est] = J per
+    * the MinHash property; with 8 perms the per-pair deviation is
+    * σ = √(J(1−J)/8) ≈ 0.13 at J ≈ 0.85, and this operator is how a
+    * pipeline MEASURES that before choosing signature length (the
+    * q44 scaladoc's independence argument, now verifiable in data).
+    * All outputs are integer fixed-point; the estimate is a ratio of
+    * small ints and the exact side floors the same IEEE double both
+    * engines compute. Cost: the q43 funnel + one signature aggregation
+    * joined on the (tiny) verified pair set — linear. */
+  val q154_minhash_estimate = QueryDef(
+    "q154_minhash_estimate",
+    (s, dir) => {
+      val hashed = shingles(s, dir)
+        .withColumn("h2", concat(md5(col("sh")), md5(concat(lit("1"), col("sh")))))
+      val sigCols = (0 to 7).map(i => min(substring(col("h2"), i * 8 + 1, 8)).as(s"m$i"))
+      val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val pairs = q43_dedup_ngram_jaccard.run(s, dir) // a, b, jac (exact)
+      val sa = sig.select(col("doc_id").as("a") +: (0 to 7).map(i => col(s"m$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("b") +: (0 to 7).map(i => col(s"m$i").as(s"b$i")): _*)
+      val agree = (0 to 7).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+      pairs.join(sa, "a").join(sb, "b")
+        .withColumn("n_agree", agree)
+        .select(col("a"), col("b"), col("n_agree"),
+          expr("n_agree * 1000000 div 8").as("est_fp"),
+          expr("CAST(floor(jac * 1000000) AS BIGINT)").as("jac_fp"))
+        .withColumn("abs_err_fp", abs(col("est_fp") - col("jac_fp")))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $shinglesSql,
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            pairs AS (
+              SELECT a, b, c / (sa.n + sb.n - c) AS jac
+              FROM common
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE c / (sa.n + sb.n - c) >= 0.8),
+            hashed AS (
+              SELECT doc_id, md5(sh) || md5('1' || sh) AS h2 FROM sh),
+            sig AS (
+              SELECT doc_id,
+                ${(0 to 7).map(i => s"min(substr(h2, ${i * 8 + 1}, 8)) AS m$i").mkString(",\n                ")}
+              FROM hashed GROUP BY doc_id)
+            SELECT a, b,
+                   CAST(${(0 to 7).map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_agree,
+                   CAST((${(0 to 7).map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")}) * 1000000 // 8 AS BIGINT) AS est_fp,
+                   CAST(floor(jac * 1000000) AS BIGINT) AS jac_fp,
+                   abs(CAST((${(0 to 7).map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")}) * 1000000 // 8 AS BIGINT)
+                       - CAST(floor(jac * 1000000) AS BIGINT)) AS abs_err_fp
+            FROM pairs
+            JOIN sig x ON x.doc_id = a
+            JOIN sig y ON y.doc_id = b
+            ORDER BY a, b"""))
+
   val q45_dedup_simhash = QueryDef(
     "q45_dedup_simhash",
     (s, dir) => {
@@ -553,5 +614,6 @@ object DedupOps extends QueryModule {
   override val defs: Seq[QueryDef] = Seq(
     q42_dedup_exact_stats, q43_dedup_ngram_jaccard, q44_dedup_minhash_lsh,
     q45_dedup_simhash, q68_dedup_clusters, q94_dup_graph_stats,
-    q132_jaccard_containment, q144_dedup_survivor, q147_weighted_jaccard)
+    q132_jaccard_containment, q144_dedup_survivor, q147_weighted_jaccard,
+    q154_minhash_estimate)
 }

@@ -660,8 +660,64 @@ object VectorOps extends QueryModule {
                    CAST(qlabel AS BIGINT) AS qlabel, CAST(clabel AS BIGINT) AS clabel, cos
             FROM ranked WHERE rn <= 3 ORDER BY qid, rn"""))
 
+  /** ANN RECALL EVALUATION — the observability query a production ANN
+    * deployment runs BEFORE trusting an index: for each probe, what
+    * fraction of its exact top-5 (q46's ground truth) lives in the
+    * probe's q48 LSH bucket (recall@5 of the single-table 6-bit
+    * index)? Deliberately exact-over-probes (the 32 broadcast probes ×
+    * linear scan of q46): ground truth must be exact or the metric is
+    * circular; the probe set is the bounded side, so cost is O(Q·N)
+    * with Q fixed — the standard offline-eval shape. All arithmetic is
+    * integer (hits, k, fixed-point ratio) so both engines agree
+    * bit-for-bit. On this corpus the measured recall is the LOW number
+    * a 64-bucket single table deserves at background-similarity
+    * thresholds — exactly the evidence that drives q62's
+    * many-short-tables design. */
+  val q153_ann_recall = QueryDef(
+    "q153_ann_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val wb = e.withColumn("b", bucketCol(0 until 6).cast("long"))
+      val q = wb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          sqrt(norm2(col("embedding"))).as("qn"), col("b").as("qb"))
+      val c = wb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        sqrt(norm2(col("embedding"))).as("cn"), col("b").as("cb"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      broadcast(q).join(c, col("qid") =!= col("cid"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy("qid")
+        .agg(count(when(col("qb") === col("cb"), 1)).cast("long").as("n_hits"),
+          count(lit(1)).cast("long").as("k"))
+        .withColumn("recall_fp", expr("n_hits * 1000000 div k"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH wb AS (
+              SELECT vec_id, embedding,
+                     CAST(${bucketSqlLit(0 until 6)} AS BIGINT) AS b
+              FROM embeddings),
+            q AS (SELECT vec_id AS qid, embedding AS qv, b AS qb FROM wb WHERE vec_id < 32),
+            c AS (SELECT vec_id AS cid, embedding AS cv, b AS cb FROM wb),
+            pairs AS (
+              SELECT qid, cid, qb, cb,
+                     ${dotSql("qv", "cv")}
+                       / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS cos
+              FROM q JOIN c ON qid <> cid),
+            ranked AS (
+              SELECT qid, cid, qb, cb,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+              FROM pairs)
+            SELECT qid,
+                   CAST(count(*) FILTER (WHERE qb = cb) AS BIGINT) AS n_hits,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(count(*) FILTER (WHERE qb = cb) * 1000000 // count(*) AS BIGINT) AS recall_fp
+            FROM ranked WHERE rn <= 5
+            GROUP BY qid ORDER BY qid"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
     q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers, q112_rrf_fusion,
-    q131_pq_codes, q143_hard_negatives)
+    q131_pq_codes, q143_hard_negatives, q153_ann_recall)
 }
