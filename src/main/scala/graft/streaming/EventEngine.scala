@@ -212,7 +212,10 @@ final class EventEngine(val spark: SparkSession,
     * silent-client redelivery: a chunk this session was offered but
     * never acked comes back after `ackWaitMillis` with the SAME
     * chunkId). Claiming is atomic per chunk, so competing sessions on
-    * one group receive disjoint chunks. */
+    * one group receive disjoint chunks. `max` mirrors the reference's
+    * bounded pull batch (`consumer.batch().expires(250ms)`,
+    * natsio.rs:198-204 — the client-default batch bound; the 250 ms
+    * expiry is this engine's trigger). */
   def pull(groupId: String, sessionId: Long,
            max: Int = Int.MaxValue): Seq[DeliveryChunk] = {
     val metas = ledger.collect {

@@ -94,6 +94,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "regex predicates are residual — they must not pretend to be pushable")
   }
 
+  test("ANN recall eval broadcasts the bounded probe side and scores natively (q153)") {
+    val p = plan(VectorOps.q153_ann_recall)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 32-probe side must broadcast — ground truth is deliberately exact-over-probes")
+    assert(p.toLowerCase.contains("dotproductff"),
+      "exact scoring must use the native codegen dot product")
+  }
+
+  test("minhash-estimate eval joins signatures onto the verified pair set, never all-pairs (q154)") {
+    val p = plan(DedupOps.q154_minhash_estimate)
+    assert(!p.contains("CartesianProduct"),
+      "signature comparison must ride the (tiny) verified pair set via equi-joins")
+  }
+
   test("threshold self-join candidates come from LSH buckets, never all-pairs (q47)") {
     val p = plan(VectorOps.q47_vector_threshold)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
