@@ -24,7 +24,8 @@ import graft.core._
   *    (bad init) throw, exactly where the reference returns a gRPC
   *    error status instead of opening the stream.
   */
-final class EventSession(engine: EventEngine) {
+final class EventSession(engine: EventEngine,
+                         maxBatch: Int = Int.MaxValue) {
   import EventSession._
 
   /** This session's consumer identity for the dispatcher: chunks it is
@@ -77,9 +78,12 @@ final class EventSession(engine: EventEngine) {
 
   /** The pull analog of the reference's push loop, now through the
     * dispatcher: in-flight chunks are NOT re-offered until their
-    * ack-wait deadline passes or their owning session dies. */
+    * ack-wait deadline passes or their owning session dies. `maxBatch`
+    * bounds each reply (the reference's bounded JetStream pull batch,
+    * natsio.rs:198-204); the remainder stays claimable — by this
+    * session's next ack round-trip or by a competing session. */
   private def pendingNotifications(id: String): Seq[Outbound] =
-    engine.pull(id, sessionId).map(Notification.apply)
+    engine.pull(id, sessionId, maxBatch).map(Notification.apply)
 }
 
 object EventSession {

@@ -134,6 +134,24 @@ class EventSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally engine.stop()
   }
 
+  test("session pull batch: maxBatch bounds each reply; the remainder arrives on the next round-trip") {
+    val engine = newEngine()
+    val session = new EventSession(engine, maxBatch = 1)
+    try {
+      engine.createStreamGroup("g", ResourceType.Project, "p",
+        Hierarchy(projectId = "p"), includeSubresources = true)
+      (1 to 2).foreach { _ =>
+        engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+        engine.processAllAvailable()
+      }
+      val first = session.handle(Init("g")).collect { case n: Notification => n }
+      assert(first.size == 1, s"maxBatch=1 must bound the init reply: $first")
+      val second = session.handle(Ack(first.map(_.chunk.chunkId)))
+        .collect { case n: Notification => n }
+      assert(second.size == 1 && second.head.chunk.chunkId != first.head.chunk.chunkId)
+    } finally engine.stop()
+  }
+
   test("WAL-backed engine: pending chunks, acks, and flight counts survive a restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-engine-wal").toString
     @volatile var now = 0L
