@@ -45,8 +45,15 @@ import graft.core._
   */
 final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: String,
                             trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
-                            security: EngineSecurity = EngineSecurity.Permissive) {
+                            security: EngineSecurity = EngineSecurity.Permissive,
+                            ackWaitMillis: Long = 30000L,
+                            clock: () => Long = () => System.currentTimeMillis()) {
   import spark.implicits._
+
+  /** Consumer dispatch (ack-wait redelivery, competing consumers,
+    * bounded pull batches) — the same [[ChunkDispatcher]] the other two
+    * engines use; flights journal to this engine's always-on WAL. */
+  val dispatcher = new ChunkDispatcher(ackWaitMillis, clock)
 
   private val source =
     org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark, numPartitions = 1)
@@ -62,6 +69,9 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     * written by executors — the driver holds ids+counts only. */
   private val store = new LedgerStore(s"$ckptRoot/ledger")
   store.load().foreach { case (k, v) => ledger.put(k, v) }
+  store.loadFlights().foreach { case ((g, c), (s, at, d)) =>
+    dispatcher.restore(g, c, s, at, d)
+  }
   private val table = new DeliveryTable(spark, s"$ckptRoot/deliveries")
 
   /** Log row schema; `project` is the physical partition column. */
@@ -354,6 +364,22 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
       case ((g, _), c) if g == groupId && !c.acked => c
     }.toSeq.sortBy(_.batchId))
 
+  /** Consumer pull with JetStream semantics (see [[EventEngine.pull]]):
+    * disjoint claims across competing sessions, ack-wait redelivery
+    * with the same chunkId, bounded batches; every claim journals its
+    * flight so the redelivery timer survives restart. */
+  def pull(groupId: String, sessionId: Long,
+           max: Int = Int.MaxValue): Seq[DeliveryChunk] = {
+    val metas = ledger.collect {
+      case ((g, _), c) if g == groupId && !c.acked => c
+    }.toSeq.sortBy(_.batchId)
+    val claimed =
+      dispatcher.offer(groupId, sessionId, metas.map(_.chunkId), max).toSet
+    for (c <- claimed; f <- dispatcher.flight(groupId, c))
+      store.appendOffer(groupId, c, f.sessionId, f.offeredAt, f.deliveries)
+    hydrate(groupId, metas.filter(m => claimed.contains(m.chunkId)))
+  }
+
   /** Pending row count from driver metadata alone (no payload read). */
   def pendingRowCount(groupId: String): Long =
     ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c.rows }.sum
@@ -366,7 +392,9 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     ledger.get((groupId, chunkId)) match {
       case Some(c) if !c.acked =>
         store.appendAck(groupId, chunkId)
-        ledger.put((groupId, chunkId), c.copy(acked = true)); true
+        ledger.put((groupId, chunkId), c.copy(acked = true))
+        dispatcher.settle(groupId, chunkId)
+        true
       case _ => false
     }
 

@@ -115,6 +115,41 @@ class DurableEventLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally log2.stop()
   }
 
+  test("durable pull: disjoint competing claims, journaled flights restored after restart") {
+    val (logDir, ckpt) = (tmp(), tmp())
+    @volatile var now = 0L
+    val log1 = new DurableEventLog(spark, logDir, ckpt,
+      ackWaitMillis = 1000L, clock = () => now)
+    val chunkId = try {
+      log1.startIngest()
+      log1.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+      log1.processAllAvailable()
+      log1.startDelivery("g", graft.core.Subjects.projectQuery("p1", includeSub = true))
+      log1.processAllAvailable()
+      val s1 = log1.dispatcher.newSessionId()
+      val s2 = log1.dispatcher.newSessionId()
+      log1.dispatcher.openSession("g", s1)
+      log1.dispatcher.openSession("g", s2)
+      val got = log1.pull("g", s1)
+      assert(got.size == 1)
+      assert(log1.pull("g", s2).isEmpty, "in-flight chunk offered to a competitor")
+      got.head.chunkId
+    } finally log1.stop()
+
+    // restart: the journaled flight's owner is dead, so the chunk is
+    // immediately offerable with the delivery count carried forward.
+    val log2 = new DurableEventLog(spark, logDir, ckpt,
+      ackWaitMillis = 1000L, clock = () => now)
+    try {
+      val s3 = log2.dispatcher.newSessionId()
+      log2.dispatcher.openSession("g", s3)
+      val re = log2.pull("g", s3)
+      assert(re.map(_.chunkId) == Seq(chunkId))
+      assert(log2.dispatcher.deliveries("g", chunkId) == 2,
+        "delivery count must continue across the restart")
+    } finally log2.stop()
+  }
+
   test("WAL replay is ack-preserving on chunk re-append (batch retry after ack)") {
     // chunk → ack → chunk (foreachBatch retry re-running a batch whose
     // chunk the client already acked) must NOT resurrect the chunk as
