@@ -162,7 +162,14 @@ object Bench {
       Hierarchy(projectId = s"p$p"), includeSubresources = true))
     mux.start()
     val t0 = System.nanoTime()
-    val batchRows = sys.env.getOrElse("SPARK_GRAFT_REPLAY_BATCH", "25000").toInt
+    // 50k-row ingest batches: each micro-batch pays a fixed fan-out +
+    // subscription-join + partitioned-payload-write round, so fewer,
+    // larger batches raise throughput (probed with tools/ReplayProbe:
+    // 12.5k → 6.2 s, 25k → 3.2 s, 50k → 2.3 s, 100k → 1.5 s warm at
+    // sf0.1). 50k keeps multiple micro-batches in flight at bench scale
+    // (2 at sf0.1, 20 at the sf1 rehearsal) rather than degenerating to
+    // a single mega-batch.
+    val batchRows = sys.env.getOrElse("SPARK_GRAFT_REPLAY_BATCH", "50000").toInt
     rows.grouped(batchRows).foreach { chunk =>
       mux.emitAll(chunk.map { r =>
         val (uid, et) = (r.getLong(1), r.getString(2))
