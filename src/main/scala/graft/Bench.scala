@@ -132,8 +132,11 @@ object Bench {
     // "failed" is omitted when empty (the common case) — same information,
     // 12 fewer chars.
     val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
+    // basename only ("sf0.1", not the full fixture path): same
+    // information, 16 fewer chars of tail-window budget.
+    val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfName"}"""
     // The driver reads this line from a bounded ~2000-char tail of the sbt
     // output (round 3 lost a whole round's numbers to an oversized line).
     // 139 entries ≈ 1680 chars today; warn while there is still headroom.

@@ -204,6 +204,52 @@ object CorpusOps extends QueryModule {
             FROM ranked WHERE vec_id < 64
             ORDER BY vec_id, dim"""))
 
+  /** TOKEN-BUDGET CURVE: the planning query behind "which slice of the
+    * corpus fills an N-token training budget" — docs greedily ordered
+    * by quality (chars-per-token fixed point, ties by doc_id), then the
+    * cumulative token count is bucketed into deciles of the total
+    * budget: each row says how many docs and tokens the k-th
+    * best-quality decile contributes. All integer arithmetic. The
+    * ordered cumulative sum is a single global window by construction
+    * (a budget curve is a sorted scan); at corpus scale you run it per
+    * quality stratum and merge, same as any ranked-report query. */
+  val q155_token_budget = QueryDef(
+    "q155_token_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"),
+          col("n_chars"))
+        .withColumn("score", expr("n_chars * 1000 div tokens"))
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum("tokens").over(w))
+        .withColumn("total", sum("tokens").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("decile", expr("(cum - 1) * 10 div total"))
+        .groupBy("decile")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("tokens").cast("long").as("bucket_tokens"),
+          max("cum").cast("long").as("cum_tokens"))
+        .orderBy("decile")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                     n_chars * 1000 // len(string_split(text, ' ')) AS score
+              FROM documents),
+            c AS (
+              SELECT doc_id, tokens,
+                     sum(tokens) OVER (ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(tokens) OVER () AS total
+              FROM d)
+            SELECT CAST((cum - 1) * 10 // total AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tokens) AS BIGINT) AS bucket_tokens,
+                   CAST(max(cum) AS BIGINT) AS cum_tokens
+            FROM c GROUP BY 1 ORDER BY decile"""))
+
   def defs: Seq[QueryDef] = Seq(q121_doc_chunk, q122_embed_dimstats, q126_regex_spans,
-    q142_explode_outer, q145_activity_feed, q146_quantile_norm)
+    q142_explode_outer, q145_activity_feed, q146_quantile_norm, q155_token_budget)
 }

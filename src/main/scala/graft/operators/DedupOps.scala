@@ -611,9 +611,86 @@ object DedupOps extends QueryModule {
             WHERE wints * 3 >= ta.wt + tb.wt
             ORDER BY a, b"""))
 
+  /** LSH PRECISION evaluation — the cost-side complement of q153's
+    * recall: per band of the q44 MinHash index, what fraction of the
+    * candidate pairs it generates survive the exact Jaccard ≥ 0.8
+    * verify? Low per-band precision means the funnel pays many exact
+    * verifications per true pair — the number that decides band
+    * width/count before a 100 TB run (precision·cost vs recall is THE
+    * LSH tuning trade, and this measures both ends on real data).
+    * Candidate common-shingle counts come from the same inverted-index
+    * equi-join as q43 (left join: band collisions between docs sharing
+    * no shingle score c = 0); precision is an integer fixed-point
+    * ratio. */
+  val q157_lsh_precision = QueryDef(
+    "q157_lsh_precision",
+    (s, dir) => {
+      val hashed = shingles(s, dir)
+        .withColumn("h2", concat(md5(col("sh")), md5(concat(lit("1"), col("sh")))))
+      val sigCols = (0 to 7).map(i =>
+        min(substring(col("h2"), i * 8 + 1, 8)).as(s"m$i"))
+      val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = sig.select(col("doc_id"), posexplode(array(
+        concat(col("m0"), col("m1")), concat(col("m2"), col("m3")),
+        concat(col("m4"), col("m5")), concat(col("m6"), col("m7")))))
+        .toDF("doc_id", "band", "key")
+      val l = bands.select(col("band"), col("key"), col("doc_id").as("a"))
+      val r = bands.select(col("band"), col("key"), col("doc_id").as("b"))
+      val cands = l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+        .select("band", "a", "b").distinct()
+      val sh = shinglesHashedN(s, dir)
+      val common = sh.select(col("doc_id").as("a"), col("n").as("na"), col("sh"))
+        .join(sh.select(col("doc_id").as("b"), col("n").as("nb"), col("sh")), Seq("sh"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("c"))
+        .withColumn("isTrue",
+          (col("c") / (col("na") + col("nb") - col("c")) >= 0.8).cast("long"))
+        .select("a", "b", "isTrue")
+      cands.join(common, Seq("a", "b"), "left")
+        .withColumn("t", coalesce(col("isTrue"), lit(0L)))
+        .groupBy("band")
+        .agg(count(lit(1)).cast("long").as("n_cands"),
+          sum("t").cast("long").as("n_true"))
+        .withColumn("prec_fp", expr("n_true * 1000000 div n_cands"))
+        .select(col("band").cast("long").as("band"),
+          col("n_cands"), col("n_true"), col("prec_fp"))
+        .orderBy("band")
+    },
+    Some(s"""WITH $shinglesSql,
+            hashed AS (
+              SELECT doc_id, md5(sh) || md5('1' || sh) AS h2 FROM sh),
+            sig AS (
+              SELECT doc_id,
+                ${(0 to 7).map(i => s"min(substr(h2, ${i * 8 + 1}, 8)) AS m$i").mkString(",\n                ")}
+              FROM hashed GROUP BY doc_id),
+            bands AS (
+              ${(0 to 3).map(i =>
+                s"SELECT doc_id, $i AS band, m${2 * i} || m${2 * i + 1} AS key FROM sig")
+                .mkString("\n              UNION ALL\n              ")}),
+            cands AS (
+              SELECT DISTINCT l.band, l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                     CASE WHEN count(*) / (min(sa.n) + min(sb.n) - count(*)) >= 0.8
+                          THEN 1 ELSE 0 END AS isTrue
+              FROM sh x
+              JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              JOIN sizes sa ON sa.doc_id = x.doc_id
+              JOIN sizes sb ON sb.doc_id = y.doc_id
+              GROUP BY x.doc_id, y.doc_id)
+            SELECT CAST(cands.band AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_cands,
+                   CAST(sum(COALESCE(isTrue, 0)) AS BIGINT) AS n_true,
+                   CAST(sum(COALESCE(isTrue, 0)) * 1000000 // count(*) AS BIGINT) AS prec_fp
+            FROM cands LEFT JOIN common USING (a, b)
+            GROUP BY 1 ORDER BY band"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q42_dedup_exact_stats, q43_dedup_ngram_jaccard, q44_dedup_minhash_lsh,
     q45_dedup_simhash, q68_dedup_clusters, q94_dup_graph_stats,
     q132_jaccard_containment, q144_dedup_survivor, q147_weighted_jaccard,
-    q154_minhash_estimate)
+    q154_minhash_estimate, q157_lsh_precision)
 }

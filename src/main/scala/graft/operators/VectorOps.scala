@@ -716,8 +716,50 @@ object VectorOps extends QueryModule {
             FROM ranked WHERE rn <= 5
             GROUP BY qid ORDER BY qid"""))
 
+  /** One POWER-ITERATION step toward the corpus's top principal
+    * direction — the building block of PCA whitening for embedding
+    * preprocessing: v₁ ∝ Xᵀ(X·v₀) with v₀ the deterministic
+    * hyperplane(200) start vector (uncorrelated with the LSH planes).
+    * Fully distributed: the matvec is one native [[dot_ff]] per row
+    * (codegen'd literal-array dot), the outer product reduces via
+    * posexplode → 64-key groupBy — the same partial-aggregable shape as
+    * q75's k-means M-step, so one more iteration is one more pass, and
+    * the plan is identical at 100 TB. Determinism: each contribution
+    * x_ij·(x_i·v₀) is quantized floor(·10⁸) to BIGINT before the sum
+    * (float sums are order-dependent; integer sums are not — QueryDef
+    * rules), mirrored exactly by the oracle. */
+  val q156_power_iteration = QueryDef(
+    "q156_power_iteration",
+    (s, dir) => {
+      val d0 = dot(typedLit(hyperplane(200)), col("embedding"))
+      t(s, dir, "embeddings")
+        .withColumn("d0", d0)
+        .select(col("d0"), posexplode(col("embedding")).as(Seq("dim", "comp")))
+        .groupBy("dim")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(expr("CAST(floor(CAST(comp AS DOUBLE) * d0 * 100000000.0) AS BIGINT)"))
+            .cast("long").as("v1_scaled"))
+        .select(col("dim").cast("long").as("dim"), col("n"), col("v1_scaled"))
+        .orderBy("dim")
+    },
+    Some {
+      val d0 = hyperplane(200).zipWithIndex.map { case (w, j) =>
+        s"($w) * CAST(embedding[${j + 1}] AS DOUBLE)"
+      }.mkString(" + ")
+      s"""WITH scored AS (
+            SELECT embedding, $d0 AS d0 FROM embeddings),
+          expl AS (
+            SELECT j AS dim,
+                   CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * d0 * 100000000.0) AS BIGINT) AS c
+            FROM scored, range(0, 64) AS t(j))
+          SELECT CAST(dim AS BIGINT) AS dim,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS v1_scaled
+          FROM expl GROUP BY 1 ORDER BY dim"""
+    })
+
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
     q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers, q112_rrf_fusion,
-    q131_pq_codes, q143_hard_negatives, q153_ann_recall)
+    q131_pq_codes, q143_hard_negatives, q153_ann_recall, q156_power_iteration)
 }
