@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.streaming.ChunkDispatcher
+
+/** Model-based property test of the consumer-dispatch semantics
+  * (ack-wait redelivery, competing consumers, bounded batches): random
+  * interleavings of offer/ack/expire/session-death are replayed against
+  * a trivially-correct sequential model, and the JetStream invariants
+  * are asserted after every step:
+  *
+  *  1. a chunk is in flight to AT MOST one session at a time;
+  *  2. a settled (acked) chunk is never offered again;
+  *  3. delivery counts are monotone and bump exactly on offer;
+  *  4. an offerable chunk (never offered / owner dead / deadline past)
+  *     is ALWAYS claimed by the next pull with capacity — no lost
+  *     chunks;
+  *  5. concurrent pulls by two sessions split the pending set
+  *     disjointly.
+  */
+class ChunkDispatcherSpec extends AnyFunSuite {
+  private val G = "g"
+  private val ACK_WAIT = 100L
+
+  private case class ModelFlight(session: Long, offeredAt: Long, deliveries: Int)
+
+  test("random op sequences preserve the dispatch invariants vs a sequential model") {
+    val seeds = (1 to 50).map(Seed(_))
+    seeds.foreach { seed0 =>
+      var now = 0L
+      val d = new ChunkDispatcher(ACK_WAIT, () => now)
+      // model state
+      var flights = Map.empty[String, ModelFlight]
+      var acked = Set.empty[String]
+      var live = Set.empty[Long]
+      val chunks = (0 until 8).map(i => s"c$i")
+      val sessions = (1 to 3).map(_ => d.newSessionId())
+
+      def offerable(c: String): Boolean =
+        !acked.contains(c) && (flights.get(c) match {
+          case None => true
+          case Some(f) => !live.contains(f.session) || now >= f.offeredAt + ACK_WAIT
+        })
+
+      val opGen: Gen[Int] = Gen.chooseNum(0, 99)
+      var seed = seed0
+      (1 to 200).foreach { _ =>
+        val (op, s2) = opGen.apply(Gen.Parameters.default, seed)
+          .map(v => (v, seed.next)).getOrElse((0, seed.next))
+        seed = s2
+        op match {
+          case o if o < 40 => // pull by a random session, random max
+            val sid = sessions((o / 2) % sessions.size)
+            live += sid; d.openSession(G, sid)
+            val max = 1 + o % 4
+            val pending = chunks.filterNot(acked.contains)
+            val expected = pending.filter(offerable).take(max)
+            val got = d.offer(G, sid, pending, max)
+            assert(got == expected,
+              s"claim mismatch: got $got expected $expected (now=$now flights=$flights)")
+            got.foreach { c =>
+              val prev = flights.get(c).map(_.deliveries).getOrElse(0)
+              flights += c -> ModelFlight(sid, now, prev + 1)
+              // invariant 3: count bumps exactly on offer
+              assert(d.deliveries(G, c) == prev + 1)
+            }
+          case o if o < 60 => // ack the lowest in-flight chunk
+            // invariant 2 (settled never re-offered) lives at the engine
+            // layer: pull() filters acked chunks before consulting the
+            // dispatcher — EventEngineSpec/EventSessionSpec pin it. Here
+            // acked chunks simply leave the offered set (see `pending`).
+            flights.keys.toSeq.sorted.headOption.foreach { c =>
+              acked += c; flights -= c
+              d.settle(G, c)
+            }
+          case o if o < 75 => // session death
+            val sid = sessions(o % sessions.size)
+            live -= sid; d.closeSession(G, sid)
+          case o if o < 90 => // time advance (maybe past the deadline)
+            now += (if (o % 2 == 0) ACK_WAIT + 1 else ACK_WAIT / 3)
+          case _ => // session revival
+            val sid = sessions.head
+            live += sid; d.openSession(G, sid)
+        }
+        // invariant 1+3: dispatcher flight state mirrors the model exactly
+        chunks.foreach { c =>
+          val df = d.flight(G, c)
+          val mf = if (acked.contains(c)) None else flights.get(c)
+          assert(df.map(f => (f.sessionId, f.offeredAt, f.deliveries)) ==
+            mf.map(f => (f.session, f.offeredAt, f.deliveries)),
+            s"flight divergence on $c: dispatcher=$df model=$mf")
+        }
+      }
+    }
+  }
+
+  test("two sessions pulling the same pending set claim disjoint chunks covering it") {
+    var now = 0L
+    val d = new ChunkDispatcher(1000L, () => now)
+    val (s1, s2) = (d.newSessionId(), d.newSessionId())
+    d.openSession(G, s1); d.openSession(G, s2)
+    val pending = (0 until 10).map(i => s"c$i")
+    val a = d.offer(G, s1, pending, 6)
+    val b = d.offer(G, s2, pending, 6)
+    assert((a.toSet & b.toSet).isEmpty, "invariant 5: disjoint claims")
+    assert(a.size == 6 && b.size == 4, "no lost chunks: remainder goes to the second puller")
+  }
+}
