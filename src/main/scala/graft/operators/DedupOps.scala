@@ -111,20 +111,6 @@ object DedupOps extends QueryModule {
             WHERE c / (sa.n + sb.n - c) >= 0.8
             ORDER BY a, b"""))
 
-  /** MinHash (8 signatures) + LSH banding (4 bands × 2 rows): emits
-    * candidate pairs that share any band. Sub-quadratic: only
-    * bucket-mates ever meet.
-    *
-    * The 8 hash functions are the 8 NON-OVERLAPPING 32-bit (8-hex)
-    * windows of md5(sh) || md5('1' || sh) — two digest passes, not
-    * eight. Disjoint bit-ranges of independent digests are independent
-    * uniform hashes, which is load-bearing at scale: round 2 used
-    * OVERLAPPING stride-4 windows of one digest, so a single low-digest
-    * shingle shared by many docs could win all 8 mins at once and weld
-    * those docs into one all-band clique — a quadratic hot bucket at
-    * 100× corpus. With independent windows a shingle that is minimal
-    * under hash i is not preferentially minimal under hash j, so band
-    * keys decorrelate (pinned by BandedLshSpec's hot-shingle fixture). */
   /** The q43 near-dup pair set materialized ONCE per (session, sf dir):
     * scratch-parquet, memoized, so the funnel's consumers (q68
     * clustering, q94 graph stats, q144 survivorship) share one
@@ -179,6 +165,20 @@ object DedupOps extends QueryModule {
     }
   }
 
+  /** MinHash (8 signatures) + LSH banding (4 bands × 2 rows): emits
+    * candidate pairs that share any band. Sub-quadratic: only
+    * bucket-mates ever meet.
+    *
+    * The 8 hash functions are the 8 NON-OVERLAPPING 32-bit (8-hex)
+    * windows of md5(sh) || md5('1' || sh) — two digest passes, not
+    * eight. Disjoint bit-ranges of independent digests are independent
+    * uniform hashes, which is load-bearing at scale: round 2 used
+    * OVERLAPPING stride-4 windows of one digest, so a single low-digest
+    * shingle shared by many docs could win all 8 mins at once and weld
+    * those docs into one all-band clique — a quadratic hot bucket at
+    * 100× corpus. With independent windows a shingle that is minimal
+    * under hash i is not preferentially minimal under hash j, so band
+    * keys decorrelate (pinned by BandedLshSpec's hot-shingle fixture). */
   val q44_dedup_minhash_lsh = QueryDef(
     "q44_dedup_minhash_lsh",
     (s, dir) => {
