@@ -49,6 +49,12 @@ final class ChunkDispatcher(ackWaitMillis: Long,
     new ConcurrentHashMap[(String, Long), Unit]().asScala
   private val sessionIds = new AtomicLong(0L)
 
+  // observability (JetStream surfaces num_redelivered per consumer;
+  // these are the engine-wide equivalents an operator dashboards)
+  private val offersTotal = new AtomicLong(0L)
+  private val redeliveriesTotal = new AtomicLong(0L)
+  private val failoversTotal = new AtomicLong(0L)
+
   /** Fresh session id (unique per dispatcher lifetime). */
   def newSessionId(): Long = sessionIds.incrementAndGet()
 
@@ -81,10 +87,13 @@ final class ChunkDispatcher(ackWaitMillis: Long,
       left > 0 && {
         var claimed = false
         flights.compute((groupId, c), (_, f) => {
-          val offerable = f == null || !isLive(groupId, f.sessionId) ||
-            now >= f.offeredAt + ackWaitMillis
-          if (offerable) {
+          val ownerDead = f != null && !isLive(groupId, f.sessionId)
+          val expired = f != null && now >= f.offeredAt + ackWaitMillis
+          if (f == null || ownerDead || expired) {
             claimed = true
+            offersTotal.incrementAndGet()
+            if (ownerDead) failoversTotal.incrementAndGet()
+            else if (expired) redeliveriesTotal.incrementAndGet()
             Flight(sessionId, now, (if (f == null) 0 else f.deliveries) + 1)
           } else f
         })
@@ -93,6 +102,11 @@ final class ChunkDispatcher(ackWaitMillis: Long,
       }
     }
   }
+
+  /** Engine-wide dispatch counters since construction:
+    * (total offers, ack-wait redeliveries, dead-session failovers). */
+  def counters: (Long, Long, Long) =
+    (offersTotal.get(), redeliveriesTotal.get(), failoversTotal.get())
 
   /** Ack settles the chunk: flight bookkeeping ends. */
   def settle(groupId: String, chunkId: String): Unit =

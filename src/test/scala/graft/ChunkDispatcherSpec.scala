@@ -96,6 +96,38 @@ class ChunkDispatcherSpec extends AnyFunSuite {
     }
   }
 
+  test("true-parallel pulls from 8 threads never double-claim and never lose a chunk") {
+    val d = new ChunkDispatcher(1000L, () => 0L)
+    val chunks = (0 until 1000).map(i => s"c$i")
+    val sessions = (1 to 8).map(_ => d.newSessionId())
+    sessions.foreach(d.openSession(G, _))
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, Seq[String]]()
+    val threads = sessions.map { sid =>
+      new Thread(() => { results.put(sid, d.offer(G, sid, chunks, 200)); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val claims = results.values.asScala.toSeq
+    val union = claims.flatten
+    assert(union.size == union.distinct.size, "a chunk was claimed twice across threads")
+    assert(union.toSet == chunks.toSet,
+      s"capacity 8×200 exceeds 1000 chunks, so every chunk must be claimed; missing ${chunks.size - union.size}")
+    assert(d.counters._1 == 1000L, "offer counter must equal total claims")
+  }
+
+  test("counters distinguish first offers, ack-wait redeliveries, and failovers") {
+    var now = 0L
+    val d = new ChunkDispatcher(100L, () => now)
+    val (s1, s2) = (d.newSessionId(), d.newSessionId())
+    d.openSession(G, s1); d.openSession(G, s2)
+    assert(d.offer(G, s1, Seq("a", "b")) == Seq("a", "b")) // 2 first offers
+    now += 200
+    assert(d.offer(G, s1, Seq("a")) == Seq("a"))           // 1 redelivery
+    d.closeSession(G, s1)
+    assert(d.offer(G, s2, Seq("b")) == Seq("b"))           // 1 failover
+    assert(d.counters == ((4L, 1L, 1L)))
+  }
+
   test("two sessions pulling the same pending set claim disjoint chunks covering it") {
     var now = 0L
     val d = new ChunkDispatcher(1000L, () => now)
