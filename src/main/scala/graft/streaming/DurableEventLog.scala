@@ -47,7 +47,8 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
                             trigger: Trigger = Trigger.ProcessingTime("250 milliseconds"),
                             security: EngineSecurity = EngineSecurity.Permissive,
                             ackWaitMillis: Long = 30000L,
-                            clock: () => Long = () => System.currentTimeMillis()) {
+                            clock: () => Long = () => System.currentTimeMillis())
+    extends ConsumerHost {
   import spark.implicits._
 
   /** Consumer dispatch (ack-wait redelivery, competing consumers,
@@ -204,6 +205,24 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   }
 
   def removeGroup(groupId: String): Unit = groups.remove(groupId)
+
+  /** R9 attach for the session protocol: the group must be registered
+    * and the caller authorized; ensures its per-group delivery query is
+    * running (restarting from the same checkpoint resumes, never
+    * reprocesses). Groups served by [[startMultiplexed]] are covered by
+    * the shared query already. */
+  override def attachConsumer(groupId: String, token: Option[String]): Unit = {
+    val g = groups.getOrElse(groupId,
+      throw new NoSuchElementException(s"unknown stream group $groupId"))
+    security.requireRead(token, ResourceType.fromName(g.resourceType), g.resourceId)
+    if (!deliveries.contains(groupId) && !deliveries.contains("__mux__"))
+      startDelivery(groupId, g.filterSubject, eventType = g.eventType)
+  }
+
+  /** The durable engine keeps per-group checkpoints; stopping the query
+    * on last-session close releases the cluster resources while the
+    * checkpoint guarantees a later attach resumes exactly. */
+  override def onLastSessionClosed(groupId: String): Unit = stopDelivery(groupId)
 
   /** One delivery query for ALL registered groups, reading the log from
     * a single shared checkpoint. Join = project-token equi (hash join)

@@ -49,7 +49,7 @@ final class EventEngine(val spark: SparkSession,
                         deliveriesDir: Option[String] = None,
                         ackWaitMillis: Long = 30000L,
                         clock: () => Long = () => System.currentTimeMillis(),
-                        ledgerDir: Option[String] = None) {
+                        ledgerDir: Option[String] = None) extends ConsumerHost {
   import spark.implicits._
 
   /** Consumer dispatch (ack-wait redelivery + competing consumers) —
@@ -151,6 +151,14 @@ final class EventEngine(val spark: SparkSession,
     if (!queries.contains(groupId)) start(g)
     g
   }
+
+  override def attachConsumer(groupId: String, token: Option[String]): Unit = {
+    attach(groupId, token); ()
+  }
+
+  /** Per-group engine: the group's dedicated delivery query stops when
+    * its last session closes (state kept; a later attach resumes). */
+  override def onLastSessionClosed(groupId: String): Unit = close(groupId)
 
   private def start(group: StreamGroup): Unit = {
     // R10–R12: the delivery loop. Micro-batch ≙ pull window; each batch

@@ -4,7 +4,10 @@ import graft.core._
 
 /** R13 — the bidi session protocol of
   * `read_stream_group_messages` (public_event_server.rs:192-446),
-  * re-expressed as a synchronous protocol object over [[EventEngine]]:
+  * re-expressed as a synchronous protocol object over any
+  * [[ConsumerHost]] — the per-group [[EventEngine]], the multiplexed
+  * scale path ([[MultiplexedDelivery]]), or the durable log
+  * ([[DurableEventLog]]) all serve the same protocol:
   *
   *  - the FIRST inbound message must be `Init{stream_group_id}`; an Ack
   *    before Init is rejected ("an init message needs to be send before
@@ -24,7 +27,7 @@ import graft.core._
   *    (bad init) throw, exactly where the reference returns a gRPC
   *    error status instead of opening the stream.
   */
-final class EventSession(engine: EventEngine,
+final class EventSession(engine: ConsumerHost,
                          maxBatch: Int = Int.MaxValue) {
   import EventSession._
 
@@ -46,7 +49,7 @@ final class EventSession(engine: EventEngine,
       else {
         // pre-session failures throw — the reference returns a status
         // before any output stream exists (:249-270, :273-301)
-        engine.attach(id, token)
+        engine.attachConsumer(id, token)
         groupId = Some(id)
         engine.dispatcher.openSession(id, sessionId)
         pendingNotifications(id)
@@ -66,11 +69,14 @@ final class EventSession(engine: EventEngine,
           "an init message needs to be send before close")
       case Some(id) =>
         engine.dispatcher.closeSession(id, sessionId)
-        // stop the group's delivery query only when this was the LAST
-        // live session — with competing consumers the shared query
-        // keeps serving the survivors (each reference bidi stream is
-        // one client of a shared JetStream consumer)
-        if (engine.dispatcher.liveSessionCount(id) == 0) engine.close(id)
+        // release per-group resources only when this was the LAST live
+        // session — with competing consumers the delivery keeps serving
+        // the survivors (each reference bidi stream is one client of a
+        // shared JetStream consumer); what "release" means is the
+        // host's call (per-group engine stops its query, shared-query
+        // engines no-op)
+        if (engine.dispatcher.liveSessionCount(id) == 0)
+          engine.onLastSessionClosed(id)
         groupId = None
         Seq.empty
     }

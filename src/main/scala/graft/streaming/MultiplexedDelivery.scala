@@ -35,7 +35,8 @@ final class MultiplexedDelivery(val spark: SparkSession,
                                 sourcePartitions: Int = 1,
                                 security: EngineSecurity = EngineSecurity.Permissive,
                                 ackWaitMillis: Long = 30000L,
-                                clock: () => Long = () => System.currentTimeMillis()) {
+                                clock: () => Long = () => System.currentTimeMillis())
+    extends ConsumerHost {
   import spark.implicits._
 
   /** Consumer dispatch (ack-wait redelivery + competing consumers over
@@ -185,6 +186,20 @@ final class MultiplexedDelivery(val spark: SparkSession,
     hydrate(groupId, ledger.collect {
       case ((g, _), c) if g == groupId && !c.acked => c
     }.toSeq.sortBy(_.batchId))
+
+  /** R9 attach for the session protocol: the group must exist and the
+    * caller must hold a Read grant on its resource (the per-attach
+    * authz re-check, public_event_server.rs:273-301). No query start —
+    * the ONE shared query already serves every group. */
+  override def attachConsumer(groupId: String, token: Option[String]): Unit = {
+    val g = groups.getOrElse(groupId,
+      throw new NoSuchElementException(s"unknown stream group $groupId"))
+    security.requireRead(token, ResourceType.fromName(g.resourceType), g.resourceId)
+  }
+
+  /** Shared-query engine: nothing to stop per group — the multiplexed
+    * query keeps serving the remaining groups and future sessions. */
+  override def onLastSessionClosed(groupId: String): Unit = ()
 
   /** Open a competing-consumer session on a group; returns its id. */
   def openSession(groupId: String): Long = {

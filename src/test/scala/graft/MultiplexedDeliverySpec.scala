@@ -115,6 +115,37 @@ class MultiplexedDeliverySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally mux.stop()
   }
 
+  test("the bidi session protocol runs unchanged over the multiplexed scale path") {
+    import graft.streaming.EventSession
+    import graft.streaming.EventSession._
+    val mux = new MultiplexedDelivery(spark)
+    val s1 = new EventSession(mux)
+    val s2 = new EventSession(mux)
+    try {
+      mux.addGroup("g", ResourceType.Project, "p", Hierarchy(projectId = "p"), true)
+      mux.start()
+      mux.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      mux.processAllAvailable()
+
+      // unknown group still fails pre-session
+      intercept[NoSuchElementException] { new EventSession(mux).handle(Init("nope")) }
+
+      val got = s1.handle(Init("g")).collect { case n: Notification => n }
+      assert(got.size == 1)
+      // competing session sees nothing while the chunk is in flight
+      assert(s2.handle(Init("g")).isEmpty)
+      // acks settle through the same protocol path
+      assert(s1.handle(Ack(got.map(_.chunk.chunkId))).isEmpty)
+      // closing s1 must NOT stop the shared query: s2 still receives
+      s1.handle(Close)
+      mux.emit(ResourceType.Collection, EventType.All, "c", RelationCtx(project = "p"))
+      mux.processAllAvailable()
+      val later = s2.handle(Ack(Seq.empty)).collect { case n: Notification => n }
+      assert(later.size == 1,
+        "the shared multiplexed query must keep serving surviving sessions")
+    } finally mux.stop()
+  }
+
   test("WAL replay preserves the redelivery timer state (flights + delivery counts)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mux-flights").toString
     @volatile var now = 0L
