@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.DotProduct.dot_ff
+import graft.sources.Tables
+
+/** Measured comparison of candidate-generation strategies for the
+  * low-threshold cosine self-join (the q47/q62 family) — the evidence
+  * behind BASELINE.md's low-threshold analysis (which this probe
+  * CORRECTED: scaled IVF prunes fastest but random centroids cap
+  * recall ~0.7; exact brute force stays competitive because 64-float
+  * dots are cheaper than shuffling 10⁸ candidate rows; the real
+  * production dial is the threshold itself):
+  *
+  *  - exact: all-pairs ground truth (O(N²) — only run at probe time);
+  *  - bands: hyperplane LSH, 8 tables × 3 bits (the q62 oracle shape);
+  *  - ivf: deterministic md5-derived centroids, each vector assigned
+  *    to its top-nProbe cells by dot score (multi-probe), candidates =
+  *    pairs sharing a cell.
+  *
+  * Prints seconds, candidate volume, found pairs, and recall vs exact
+  * for each method. Usage:
+  *   sbt "runMain graft.tools.IvfProbe <sfDir> [nCells] [threshold]"
+  */
+object IvfProbe {
+  private def hyperplane(h: Int): Seq[Float] = (0 until 64).map { j =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${h}_$j".getBytes("UTF-8"))
+    (((hex(0) >> 4) & 0xf) - 7.5).toFloat
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val nCells = if (args.length > 1) args(1).toInt else 64
+    val thr = if (args.length > 2) args(2).toDouble else 0.45
+    val nProbe = if (args.length > 3) args(3).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = Tables.load(spark, sfDir, "embeddings")
+    def norm2(a: Column) = dot_ff(a, a)
+    val va = e.select(col("vec_id").as("a"), col("embedding").as("av"),
+      sqrt(norm2(col("embedding"))).as("na"))
+    val vb = e.select(col("vec_id").as("b"), col("embedding").as("bv"),
+      sqrt(norm2(col("embedding"))).as("nb"))
+
+    def verify(cands: DataFrame): DataFrame =
+      cands.join(va, "a").join(vb, "b")
+        .withColumn("cos", dot_ff(col("av"), col("bv")) / (col("na") * col("nb")))
+        .filter(col("cos") >= thr)
+        .select("a", "b")
+
+    def timed(name: String, cands: Option[DataFrame], pairsOf: => DataFrame,
+              exact: Option[Set[(Long, Long)]]): Set[(Long, Long)] = {
+      val t0 = System.nanoTime()
+      val nCands = cands.map(_.count())
+      val pairs = pairsOf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = exact.map(g => f"${pairs.intersect(g).size.toDouble / math.max(1, g.size)}%.3f")
+      println(f"[ivf-probe] $name%-8s ${sec}%7.2f s  cands=${nCands.map(_.toString).getOrElse("-")}%-10s " +
+        f"pairs=${pairs.size}%-8d recall=${recall.getOrElse("1.000 (ground truth)")}")
+      spark.catalog.clearCache()
+      pairs
+    }
+
+    // exact ground truth (all-pairs — probe-only)
+    val exact = timed("exact", None,
+      va.join(vb, col("a") < col("b"))
+        .withColumn("cos", dot_ff(col("av"), col("bv")) / (col("na") * col("nb")))
+        .filter(col("cos") >= thr).select("a", "b"), None)
+
+    // hyperplane bands (the q62 oracle shape: 8 tables × 3 bits)
+    val bandTables = (0 until 8).map(k => (3 * k) until (3 * k + 3))
+    def bucketCol(hs: Range): Column = hs.map { h =>
+      when(dot_ff(typedLit(hyperplane(h)), col("embedding")) > 0,
+        lit(1L << (h - hs.head))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val wb = e.select(col("vec_id") +: bandTables.zipWithIndex.map { case (hs, k) =>
+      bucketCol(hs).cast("long").as(s"b$k")
+    }: _*).cache()
+    val bandCands = bandTables.indices.map { k =>
+      wb.select(col("vec_id").as("a"), col(s"b$k"))
+        .join(wb.select(col("vec_id").as("b"), col(s"b$k")), Seq(s"b$k"))
+        .filter(col("a") < col("b")).select("a", "b")
+    }.reduce(_ union _).distinct().cache()
+    timed("bands", Some(bandCands), verify(bandCands), Some(exact))
+
+    // IVF cells: top-2 of nCells deterministic centroids by dot score
+    val cellScores = array((0 until nCells).map { i =>
+      struct(dot_ff(typedLit(hyperplane(300 + i)), col("embedding")).as("s"),
+        lit(i).as("i"))
+    }: _*)
+    val assigned = e.select(col("vec_id"),
+        slice(reverse(array_sort(cellScores)), 1, nProbe).as("top2"))
+      .select(col("vec_id"), explode(col("top2")).as("c"))
+      .select(col("vec_id"), col("c.i").as("cell"))
+      .cache()
+    val ivfCands = assigned.select(col("vec_id").as("a"), col("cell"))
+      .join(assigned.select(col("vec_id").as("b"), col("cell")), Seq("cell"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().cache()
+    timed(s"ivf$nCells/p$nProbe", Some(ivfCands), verify(ivfCands), Some(exact))
+
+    spark.stop()
+  }
+}
