@@ -91,20 +91,48 @@ object IvfProbe {
     }.reduce(_ union _).distinct().cache()
     timed("bands", Some(bandCands), verify(bandCands), Some(exact))
 
-    // IVF cells: top-2 of nCells deterministic centroids by dot score
-    val cellScores = array((0 until nCells).map { i =>
-      struct(dot_ff(typedLit(hyperplane(300 + i)), col("embedding")).as("s"),
-        lit(i).as("i"))
+    // IVF cells: top-nProbe of nCells centroids by dot score. Centroids
+    // start as deterministic md5 hyperplanes and optionally take
+    // `nTrain` spherical k-means Lloyd steps (the q75 machinery:
+    // argmax-dot E-step, per-(cell, dim) mean M-step, renormalized) —
+    // measuring how much TRAINED cells close the random-centroid recall
+    // gap.
+    val nTrain = if (args.length > 4) args(4).toInt else 0
+    var centroids: Seq[Seq[Float]] = (0 until nCells).map(i => hyperplane(300 + i))
+    def cellScores(cs: Seq[Seq[Float]]) = array(cs.zipWithIndex.map { case (c, i) =>
+      struct(dot_ff(typedLit(c), col("embedding")).as("s"), lit(i).as("i"))
     }: _*)
+    (1 to nTrain).foreach { it =>
+      val t0 = System.nanoTime()
+      val assignedTo = e.select(col("embedding"),
+        reverse(array_sort(cellScores(centroids))).getItem(0).getField("i").as("cell"))
+      val sums = assignedTo
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "comp")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("comp").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = (0 until nCells).map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val mean = Array.ofDim[Double](64)
+            rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            val n2 = math.sqrt(mean.map(x => x * x).sum)
+            if (n2 == 0) centroids(c) else mean.map(x => (x / n2).toFloat).toSeq
+          case None => centroids(c) // empty cell keeps its seed
+        }
+      }
+      System.err.println(f"[ivf-probe] lloyd step $it: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     val assigned = e.select(col("vec_id"),
-        slice(reverse(array_sort(cellScores)), 1, nProbe).as("top2"))
-      .select(col("vec_id"), explode(col("top2")).as("c"))
+        slice(reverse(array_sort(cellScores(centroids))), 1, nProbe).as("topk"))
+      .select(col("vec_id"), explode(col("topk")).as("c"))
       .select(col("vec_id"), col("c.i").as("cell"))
       .cache()
     val ivfCands = assigned.select(col("vec_id").as("a"), col("cell"))
       .join(assigned.select(col("vec_id").as("b"), col("cell")), Seq("cell"))
       .filter(col("a") < col("b")).select("a", "b").distinct().cache()
-    timed(s"ivf$nCells/p$nProbe", Some(ivfCands), verify(ivfCands), Some(exact))
+    timed(s"ivf$nCells/p$nProbe/t$nTrain", Some(ivfCands), verify(ivfCands), Some(exact))
 
     spark.stop()
   }
