@@ -5,15 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc per-query timer for scale rehearsals: runs the named
   * SparkEntry queries against a fixture dir and prints warm timings.
   * Unlike graft.Bench this takes a query subset and arbitrary session
-  * confs, so a rehearsal can e.g. widen the LSH bands
-  * (`spark.graft.lsh.tableBits`) at 10× data without touching the
-  * oracle-defaulted bench. Timing only — results are counted, never
-  * verified (conf overrides may change approximate-operator outputs).
+  * confs (`SPARK_GRAFT_CONF`) for experiments. Timing only — results
+  * are counted, never verified. The q47/q62 LSH band shape needs no
+  * conf: it derives from the corpus count (`VectorOps.lshShape`).
   *
   * Usage:
   *   sbt "runMain graft.tools.TimeQ <sfDir> <q1> [q2 ...]"
-  *   SPARK_GRAFT_CONF="spark.graft.lsh.tableBits=5,spark.graft.lsh.tables=20"
-  *     sbt "runMain graft.tools.TimeQ /tmp/graft-sf1 q47_vector_threshold"
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {
