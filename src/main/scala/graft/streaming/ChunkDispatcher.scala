@@ -58,13 +58,21 @@ final class ChunkDispatcher(ackWaitMillis: Long,
   /** Fresh session id (unique per dispatcher lifetime). */
   def newSessionId(): Long = sessionIds.incrementAndGet()
 
-  def openSession(groupId: String, sessionId: Long): Unit =
-    live.put((groupId, sessionId), ())
+  def openSession(groupId: String, sessionId: Long): Unit = synchronized {
+    live.put((groupId, sessionId), ()); ()
+  }
 
   /** Session death/close: its flights stay recorded (delivery counts
-    * survive) but become immediately offerable to any live session. */
-  def closeSession(groupId: String, sessionId: Long): Unit =
+    * survive) but become immediately offerable to any live session.
+    * Returns the group's REMAINING live-session count, decided under
+    * the same lock as open/close — so when two sessions close
+    * concurrently exactly ONE caller observes 0 and can release the
+    * group's resources (the last-session-close race the protocol layer
+    * must not lose). */
+  def closeSession(groupId: String, sessionId: Long): Int = synchronized {
     live.remove((groupId, sessionId))
+    liveSessionCount(groupId)
+  }
 
   def isLive(groupId: String, sessionId: Long): Boolean =
     live.contains((groupId, sessionId))
@@ -77,12 +85,33 @@ final class ChunkDispatcher(ackWaitMillis: Long,
     * two sessions partition the chunks, never double-claim). Returns
     * the claimed ids in input order. `max` is the JetStream pull-batch
     * bound (`batch(n)`): claiming stops after `max` chunks, leaving the
-    * rest unclaimed for competing sessions — the fairness knob when N
-    * consumers drain one group. */
+    * rest unclaimed for competing sessions.
+    *
+    * FAIR DISPATCH (JetStream load-balances a consumer group's clients
+    * roughly round-robin — handler.rs:21-25): when the group has ≥2
+    * live sessions, a pull additionally claims at most the session's
+    * DEFICIT share `ceil(pending / liveSessions) − alreadyInFlight`, so
+    * an unbounded first puller takes only its share and concurrent
+    * pulls split the pending set with imbalance ≤ 1 chunk. A lone
+    * session still drains everything (no artificial starvation), and a
+    * session whose competitors go idle reclaims the remainder across
+    * its subsequent pull round-trips — liveness is unchanged, only the
+    * per-pull distribution is. Failover/redelivery claim conditions are
+    * untouched. */
   def offer(groupId: String, sessionId: Long, chunkIds: Seq[String],
             max: Int = Int.MaxValue): Seq[String] = {
     val now = clock()
-    var left = max
+    val liveN = liveSessionCount(groupId)
+    val fairCap =
+      if (liveN <= 1) Int.MaxValue
+      else {
+        val held = flights.asScala.count { case ((g, _), f) =>
+          g == groupId && f.sessionId == sessionId &&
+            isLive(groupId, f.sessionId) && now < f.offeredAt + ackWaitMillis
+        }
+        math.max(0, (chunkIds.size + liveN - 1) / liveN - held)
+      }
+    var left = math.min(max, fairCap)
     chunkIds.filter { c =>
       left > 0 && {
         var claimed = false
@@ -112,7 +141,28 @@ final class ChunkDispatcher(ackWaitMillis: Long,
   def settle(groupId: String, chunkId: String): Unit =
     flights.remove((groupId, chunkId))
 
-  /** JetStream `num_delivered` for a chunk (0 = never offered). */
+  /** True when the chunk is currently held by a DIFFERENT session whose
+    * claim is still valid (owner live, ack-wait not expired). JetStream
+    * rejects acks for deliveries the acking client does not hold; the
+    * protocol layer consults this before settling so a competing
+    * session cannot ack a chunk out from under its holder. A dead or
+    * expired holder does NOT block the ack (the payload already reached
+    * the acking client via an earlier claim — settling is then the
+    * correct at-least-once outcome). */
+  def heldByOther(groupId: String, chunkId: String, sessionId: Long): Boolean = {
+    val f = flights.get((groupId, chunkId))
+    f != null && f.sessionId != sessionId &&
+      isLive(groupId, f.sessionId) && clock() < f.offeredAt + ackWaitMillis
+  }
+
+  /** JetStream-style `num_delivered` for a chunk, with one documented
+    * divergence: counts exist only while the chunk is UNSETTLED (0 =
+    * never offered, or already acked/dropped — [[settle]] and
+    * [[dropGroup]] erase the flight record that carries the count).
+    * JetStream's num_delivered survives ack; here the engines' ledgers
+    * are the post-ack history, and keeping a settled-count map forever
+    * would grow without bound on the driver. While a chunk is pending
+    * the count is monotone across redeliveries and restarts. */
   def deliveries(groupId: String, chunkId: String): Int =
     Option(flights.get((groupId, chunkId))).map(_.deliveries).getOrElse(0)
 

@@ -47,11 +47,24 @@ final class EventSession(engine: ConsumerHost,
       if (groupId.isDefined)
         Seq(SessionError("session already initialized"))
       else {
-        // pre-session failures throw — the reference returns a status
-        // before any output stream exists (:249-270, :273-301)
-        engine.attachConsumer(id, token)
-        groupId = Some(id)
+        // register liveness BEFORE the attach so a concurrent last-
+        // session Close on this group observes a nonzero count and
+        // does not stop the delivery this init is about to rely on;
+        // if the attach then fails (unknown group / denied caller) the
+        // registration rolls back, releasing the group if we were the
+        // only registrant (close/onLastSessionClosed are idempotent).
         engine.dispatcher.openSession(id, sessionId)
+        try {
+          // pre-session failures throw — the reference returns a status
+          // before any output stream exists (:249-270, :273-301)
+          engine.attachConsumer(id, token)
+        } catch {
+          case e: Throwable =>
+            if (engine.dispatcher.closeSession(id, sessionId) == 0)
+              engine.onLastSessionClosed(id)
+            throw e
+        }
+        groupId = Some(id)
         pendingNotifications(id)
       }
     case Ack(ids) => groupId match {
@@ -59,8 +72,16 @@ final class EventSession(engine: ConsumerHost,
         throw new IllegalStateException(
           "an init message needs to be send before any ack message")
       case Some(id) =>
-        val errors = ids.filterNot(engine.ack(id, _))
-          .map(c => SessionError(s"unknown or already-acked chunk: $c"))
+        // JetStream rejects an ack for a delivery the client does not
+        // hold: a chunk in valid flight to a COMPETING session must not
+        // be settled out from under its holder (ADVICE r5); unheld,
+        // expired, or own-flight chunks ack normally.
+        val (foreign, own) =
+          ids.partition(engine.dispatcher.heldByOther(id, _, sessionId))
+        val errors =
+          foreign.map(c => SessionError(s"chunk in flight to another session: $c")) ++
+            own.filterNot(engine.ack(id, _))
+              .map(c => SessionError(s"unknown or already-acked chunk: $c"))
         errors ++ pendingNotifications(id)
     }
     case Close => groupId match {
@@ -68,14 +89,14 @@ final class EventSession(engine: ConsumerHost,
         throw new IllegalStateException(
           "an init message needs to be send before close")
       case Some(id) =>
-        engine.dispatcher.closeSession(id, sessionId)
         // release per-group resources only when this was the LAST live
         // session — with competing consumers the delivery keeps serving
         // the survivors (each reference bidi stream is one client of a
-        // shared JetStream consumer); what "release" means is the
-        // host's call (per-group engine stops its query, shared-query
-        // engines no-op)
-        if (engine.dispatcher.liveSessionCount(id) == 0)
+        // shared JetStream consumer); the remaining-count decision is
+        // made inside the dispatcher's lock so concurrent closes elect
+        // exactly one releaser; what "release" means is the host's call
+        // (per-group engine stops its query, shared-query engines no-op)
+        if (engine.dispatcher.closeSession(id, sessionId) == 0)
           engine.onLastSessionClosed(id)
         groupId = None
         Seq.empty

@@ -210,8 +210,9 @@ final class MultiplexedDelivery(val spark: SparkSession,
 
   /** Session death/disconnect: its unacked flights become immediately
     * offerable to surviving sessions (failover). */
-  def closeSession(groupId: String, sessionId: Long): Unit =
-    dispatcher.closeSession(groupId, sessionId)
+  def closeSession(groupId: String, sessionId: Long): Unit = {
+    dispatcher.closeSession(groupId, sessionId); ()
+  }
 
   /** Consumer pull with JetStream semantics (see [[EventEngine.pull]]):
     * competing sessions on one group receive DISJOINT chunks; a chunk

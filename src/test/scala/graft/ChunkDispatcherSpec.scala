@@ -18,7 +18,11 @@ import graft.streaming.ChunkDispatcher
   *     is ALWAYS claimed by the next pull with capacity — no lost
   *     chunks;
   *  5. concurrent pulls by two sessions split the pending set
-  *     disjointly.
+  *     disjointly;
+  *  6. fair dispatch: with ≥2 live sessions a pull claims at most its
+  *     deficit share ceil(pending / live) − inFlight (JetStream's
+  *     rough round-robin, handler.rs:21-25) — the model computes the
+  *     same cap, so the property run exercises it on every pull.
   */
 class ChunkDispatcherSpec extends AnyFunSuite {
   private val G = "g"
@@ -56,7 +60,16 @@ class ChunkDispatcherSpec extends AnyFunSuite {
             live += sid; d.openSession(G, sid)
             val max = 1 + o % 4
             val pending = chunks.filterNot(acked.contains)
-            val expected = pending.filter(offerable).take(max)
+            // fair-dispatch mirror: deficit share when sessions compete
+            val fairCap =
+              if (live.size <= 1) Int.MaxValue
+              else {
+                val held = flights.values.count(f =>
+                  f.session == sid && live.contains(f.session) &&
+                    now < f.offeredAt + ACK_WAIT)
+                math.max(0, (pending.size + live.size - 1) / live.size - held)
+              }
+            val expected = pending.filter(offerable).take(math.min(max, fairCap))
             val got = d.offer(G, sid, pending, max)
             assert(got == expected,
               s"claim mismatch: got $got expected $expected (now=$now flights=$flights)")
@@ -96,7 +109,7 @@ class ChunkDispatcherSpec extends AnyFunSuite {
     }
   }
 
-  test("true-parallel pulls from 8 threads never double-claim and never lose a chunk") {
+  test("true-parallel pulls from 8 threads never double-claim, never lose a chunk, and split fairly") {
     val d = new ChunkDispatcher(1000L, () => 0L)
     val chunks = (0 until 1000).map(i => s"c$i")
     val sessions = (1 to 8).map(_ => d.newSessionId())
@@ -111,18 +124,49 @@ class ChunkDispatcherSpec extends AnyFunSuite {
     val union = claims.flatten
     assert(union.size == union.distinct.size, "a chunk was claimed twice across threads")
     assert(union.toSet == chunks.toSet,
-      s"capacity 8×200 exceeds 1000 chunks, so every chunk must be claimed; missing ${chunks.size - union.size}")
+      s"8 shares of ceil(1000/8)=125 cover 1000 chunks exactly; missing ${chunks.size - union.size}")
+    assert(claims.forall(_.size == 125),
+      s"fair dispatch: every session's share is exactly 1000/8, got ${claims.map(_.size)}")
     assert(d.counters._1 == 1000L, "offer counter must equal total claims")
+  }
+
+  test("fair dispatch: unbounded competing pulls split the backlog with imbalance <= 1 share; failover unchanged") {
+    var now = 0L
+    val d = new ChunkDispatcher(1000L, () => now)
+    val Seq(s1, s2, s3) = (1 to 3).map(_ => d.newSessionId())
+    Seq(s1, s2, s3).foreach(d.openSession(G, _))
+    val pending = (0 until 10).map(i => s"c$i")
+    // ceil(10/3) = 4: first two pullers take 4 each, the third the rest
+    val a = d.offer(G, s1, pending)
+    val b = d.offer(G, s2, pending)
+    val c = d.offer(G, s3, pending)
+    assert(Seq(a.size, b.size, c.size) == Seq(4, 4, 2),
+      s"deficit shares must bound each unbounded pull: ${Seq(a, b, c)}")
+    assert((a ++ b ++ c).toSet == pending.toSet, "no chunk may be lost to the cap")
+    // a holder with its share in flight gets nothing more this round
+    assert(d.offer(G, s1, pending).isEmpty,
+      "a session already holding its share must not claim past its deficit")
+    // s1 acks everything it held: its next pull is capped by the share
+    // of what is still pending, all of which is in flight to s2/s3
+    a.foreach(d.settle(G, _))
+    val afterAck = d.offer(G, s1, pending.filterNot(a.contains))
+    assert(afterAck.isEmpty, "competitors' valid flights are not claimable")
+    // s3 dies: its chunks fail over to a survivor despite the cap
+    d.closeSession(G, s3)
+    val failedOver = d.offer(G, s1, pending.filterNot(a.contains))
+    assert(failedOver.toSet == c.toSet,
+      s"dead session's chunks must fail over under fair dispatch, got $failedOver")
   }
 
   test("counters distinguish first offers, ack-wait redeliveries, and failovers") {
     var now = 0L
     val d = new ChunkDispatcher(100L, () => now)
     val (s1, s2) = (d.newSessionId(), d.newSessionId())
-    d.openSession(G, s1); d.openSession(G, s2)
+    d.openSession(G, s1)
     assert(d.offer(G, s1, Seq("a", "b")) == Seq("a", "b")) // 2 first offers
     now += 200
     assert(d.offer(G, s1, Seq("a")) == Seq("a"))           // 1 redelivery
+    d.openSession(G, s2)
     d.closeSession(G, s1)
     assert(d.offer(G, s2, Seq("b")) == Seq("b"))           // 1 failover
     assert(d.counters == ((4L, 1L, 1L)))
@@ -137,6 +181,8 @@ class ChunkDispatcherSpec extends AnyFunSuite {
     val a = d.offer(G, s1, pending, 6)
     val b = d.offer(G, s2, pending, 6)
     assert((a.toSet & b.toSet).isEmpty, "invariant 5: disjoint claims")
-    assert(a.size == 6 && b.size == 4, "no lost chunks: remainder goes to the second puller")
+    assert(a.size == 5 && b.size == 5,
+      "fair dispatch: two competing batch-6 pulls split 10 chunks 5+5")
+    assert((a ++ b).toSet == pending.toSet, "no lost chunks across the pair of pulls")
   }
 }

@@ -210,6 +210,35 @@ class EventSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally engine.stop()
   }
 
+  test("ack ownership: a session cannot settle a chunk in valid flight to a competitor") {
+    val engine = newEngine()
+    val s1 = new EventSession(engine)
+    val s2 = new EventSession(engine)
+    try {
+      engine.createStreamGroup("g", ResourceType.Project, "p",
+        Hierarchy(projectId = "p"), includeSubresources = true)
+      engine.emit(ResourceType.Project, EventType.All, "p", RelationCtx())
+      engine.processAllAvailable()
+
+      val got = s1.handle(Init("g")).collect { case n: Notification => n }
+      assert(got.size == 1)
+      val chunkId = got.head.chunk.chunkId
+      assert(s2.handle(Init("g")).isEmpty)
+
+      // JetStream rejects acks for deliveries a client does not hold:
+      // the foreign ack flows through the error channel and must NOT
+      // settle the holder's flight
+      val errs = s2.handle(Ack(Seq(chunkId))).collect { case e: SessionError => e }
+      assert(errs.size == 1 && errs.head.message.contains("in flight to another session"))
+      assert(engine.dispatcher.flight("g", chunkId).isDefined,
+        "foreign ack must not settle the holder's flight")
+
+      // the holder's own ack still settles normally
+      assert(s1.handle(Ack(Seq(chunkId))).isEmpty)
+      assert(engine.dispatcher.flight("g", chunkId).isEmpty)
+    } finally engine.stop()
+  }
+
   test("attach-time authz re-check applies inside the session protocol") {
     val grants = spark.createDataFrame(Seq(("alice", "PROJECT", "p", "READ")))
       .toDF("token", "resource_type", "resource_id", "action")

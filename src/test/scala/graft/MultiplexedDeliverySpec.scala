@@ -98,20 +98,29 @@ class MultiplexedDeliverySpec extends AnyFunSuite with BeforeAndAfterAll {
         "competing sessions must receive disjoint chunks")
       assert(mux.pull("g", s1).isEmpty)
 
-      // silent s1: past the ack-wait its chunk redelivers (same chunkId)
-      // to whoever pulls — s2 claims both expired flights here
+      // silent past the ack-wait: both flights expire and redeliver with
+      // the same chunkIds — under fair dispatch the next puller claims
+      // its SHARE (1 of 2 with two live sessions), holds it, and gets
+      // the second only after settling the first (JetStream's rough
+      // round-robin rather than first-puller-takes-all)
       now += 1500L
-      val redelivered = mux.pull("g", s2).map(_.chunkId).toSet
-      assert(redelivered == Set(a.head.chunkId, b.head.chunkId),
-        s"expected both expired flights re-offered, got $redelivered")
+      val r1 = mux.pull("g", s2).map(_.chunkId)
+      assert(r1 == Seq(a.head.chunkId),
+        s"expected the oldest expired flight first, got $r1")
+      assert(mux.pull("g", s2).isEmpty,
+        "a session holding its fair share must not claim the rest")
+      assert(mux.ack("g", r1.head))
+      val r2 = mux.pull("g", s2).map(_.chunkId)
+      assert(r2 == Seq(b.head.chunkId),
+        s"second expired flight must arrive on the next round-trip, got $r2")
 
-      // s2 dies holding both: failover to a fresh session without any
-      // clock advance
+      // s2 dies holding the unacked chunk: failover to a fresh session
+      // without any clock advance
       mux.closeSession("g", s2)
       val s3 = mux.openSession("g")
-      assert(mux.pull("g", s3).map(_.chunkId).toSet == redelivered,
-        "dead session's unacked chunks must fail over immediately")
-      assert(mux.dispatcher.deliveries("g", a.head.chunkId) == 3)
+      assert(mux.pull("g", s3).map(_.chunkId) == Seq(b.head.chunkId),
+        "dead session's unacked chunk must fail over immediately")
+      assert(mux.dispatcher.deliveries("g", b.head.chunkId) == 3)
     } finally mux.stop()
   }
 
