@@ -77,7 +77,7 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
 
   /** Log row schema; `project` is the physical partition column. */
   val logSchema: StructType = StructType(Seq(
-    StructField("subject", StringType), StructField("payload", StringType),
+    StructField("subject", StringType), StructField("payload", BinaryType),
     StructField("resource", StringType), StructField("eventType", StringType),
     StructField("resourceId", StringType), StructField("ts", TimestampType),
     StructField("project", StringType)))

@@ -37,15 +37,16 @@ object FanOut {
   }
 
   /** Fan a Dataset[Event]-shaped frame out into one row per (event,
-    * subject), the engine's event-log row format. Wire payload mirrors
-    * `EventNotificationMessage` (natsio.rs:67-71) as JSON — same
-    * information content as the reference's protobuf bytes. */
+    * subject), the engine's event-log row format. Wire payload is the
+    * protobuf-encoded `EventNotificationMessage` (natsio.rs:67-74), as
+    * BINARY, via [[ProtoWire.payloadCol]] — byte-for-byte the
+    * reference's wire bytes, still a pure codegen'd Column (no UDF). */
   def explodeSubjects(events: DataFrame): DataFrame =
     events
       .withColumn("subjects", subjectsCol(col("resource"), col("resourceId"),
         col("project"), col("collection"), col("sharedObject"), col("objectGroups")))
       .withColumn("subject", explode(col("subjects")))
-      .withColumn("payload", to_json(struct(
-        col("resource"), col("eventType").as("updated_type"), col("resourceId"))))
+      .withColumn("payload",
+        ProtoWire.payloadCol(col("resource"), col("eventType"), col("resourceId")))
       .select("subject", "payload", "resource", "eventType", "resourceId", "ts")
 }
