@@ -93,6 +93,26 @@ final class EventEngine(val spark: SparkSession,
       dispatcher.restore(g, c, s, at, d)
     }
   }
+
+  /** Chunk-sequence epoch: a fresh incarnation over a restored WAL must
+    * not mint chunk ids that collide with journaled chunks (its memory
+    * source and checkpoints are new, so Spark batch ids restart at 0; a
+    * collision would overwrite a durable chunk's payload while the
+    * ledger keeps the stale meta — or silently lose events behind an
+    * acked id). Ids are `group-(epoch + batchId)`: monotone across
+    * restarts, deterministic within an incarnation. */
+  private val chunkSeqBase: Long =
+    ledger.values.map(_.batchId).maxOption.map(_ + 1L).getOrElse(0L)
+
+  /** Per-incarnation checkpoint root for the per-group delivery queries:
+    * a group query stopped on last-session-close and restarted by a
+    * later attach RESUMES its offsets and batch ids instead of
+    * reprocessing the memory source from scratch — without it, events
+    * emitted while the group was closed would be re-bundled into batch
+    * 0 and hide behind an already-journaled (possibly acked) chunk id:
+    * an event-loss path, now exercised by SessionFuzzSpec. */
+  private val ckptRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-engine-ckpt").toString
   private val table = new DeliveryTable(spark,
     deliveriesDir.orElse(ledgerDir.map(d => s"$d/deliveries"))
       .getOrElse(DeliveryTable.tempDir()))
@@ -169,18 +189,21 @@ final class EventEngine(val spark: SparkSession,
       .queryName(s"delivery-${group.id}")
       .outputMode("append")
       .trigger(trigger)
+      .option("checkpointLocation", s"$ckptRoot/${group.id}")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // Write-first: ONE pass over the batch (the distributed payload
         // write — an empty batch writes no partitions); the row count
         // comes from the written files' parquet footers. No event row is
         // collected to the driver. Deterministic chunk id
-        // (groupId+batchId) instead of uuid4: replayable, and idempotent
-        // on micro-batch retry.
-        val chunkId = s"${group.id}-$batchId"
+        // (groupId + epoch + batchId) instead of uuid4: replayable,
+        // idempotent on micro-batch retry, collision-free across process
+        // restarts (see chunkSeqBase).
+        val seq = chunkSeqBase + batchId
+        val chunkId = s"${group.id}-$seq"
         table.write(group.id, chunkId, batch.select("subject", "resourceId"))
         table.chunkCounts(Seq(group.id), _ => chunkId).get(group.id).foreach { n =>
           if (!ledger.contains((group.id, chunkId))) {
-            val meta = ChunkMeta(group.id, chunkId, batchId, n,
+            val meta = ChunkMeta(group.id, chunkId, seq, n,
               new Timestamp(System.currentTimeMillis()), acked = false)
             store.foreach(_.appendChunk(meta)) // WAL after payload
             ledger.putIfAbsent((group.id, chunkId), meta)

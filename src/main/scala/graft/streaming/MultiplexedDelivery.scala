@@ -77,6 +77,13 @@ final class MultiplexedDelivery(val spark: SparkSession,
     ledgerDir.map(d => s"$d/deliveries").getOrElse(DeliveryTable.tempDir()))
   @volatile private var query: Option[StreamingQuery] = None
 
+  /** Chunk-sequence epoch (same rationale as EventEngine.chunkSeqBase):
+    * a restarted incarnation's fresh query restarts Spark batch ids at
+    * 0, and minting `group-0` again would overwrite a restored chunk's
+    * payload behind its journaled meta. Ids are `group-(epoch+batchId)`. */
+  private val chunkSeqBase: Long =
+    ledger.values.map(_.batchId).maxOption.map(_ + 1L).getOrElse(0L)
+
   def emit(resource: ResourceType, eventType: String, resourceId: String,
            relation: RelationCtx, ts: Timestamp = new Timestamp(0L),
            token: Option[String] = None): Unit = {
@@ -149,13 +156,14 @@ final class MultiplexedDelivery(val spark: SparkSession,
                 && Subjects.matchesCol(col("subject"), col("filterSubject"))
                 && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
             .select(col("id").as("groupId"), col("subject"), col("resourceId"))
+          val seq = chunkSeqBase + batchId
           table.writeMulti(matched
-            .withColumn("chunkId", concat(col("groupId"), lit(s"-$batchId"))))
-          table.chunkCounts(snapshot.map(_.id), g => s"$g-$batchId")
+            .withColumn("chunkId", concat(col("groupId"), lit(s"-$seq"))))
+          table.chunkCounts(snapshot.map(_.id), g => s"$g-$seq")
             .foreach { case (gid, n) =>
-              val chunkId = s"$gid-$batchId"
+              val chunkId = s"$gid-$seq"
               if (!ledger.contains((gid, chunkId))) {
-                val meta = ChunkMeta(gid, chunkId, batchId, n,
+                val meta = ChunkMeta(gid, chunkId, seq, n,
                   new Timestamp(System.currentTimeMillis()), acked = false)
                 store.foreach(_.appendChunk(meta)) // WAL after payload
                 ledger.put((gid, chunkId), meta)
