@@ -24,14 +24,30 @@ import graft.sources.Tables
 object DedupOps extends QueryModule {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
-  /** distinct 3-word shingles per doc: the shared CTE of the family. */
+  /** Distinct 3-word shingles per doc — the shared pass of the whole
+    * text near-dup family, MATERIALIZED once per (session, sf dir) as
+    * scratch parquet ([[ScratchMemo]]): q43/q44/q132/q147/q154/q157,
+    * the SharedSig builder, and q58's pipeline (via
+    * [[sharedShingles]]) all consumed identical explode output, each
+    * re-running the split+transform+explode (~0.3–0.5 s each at sf0.1).
+    * One build now feeds them all — the round-5 verdict's shared-
+    * shingle item; the bench-comparability consequence (whichever
+    * family query runs first pays the one-time build) is documented in
+    * BASELINE.md. Deterministic content (pure string ops on the
+    * fixture), so sharing cannot change any oracle result. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(0, size(words) - 3)," +
-          " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("sh"))
+    ScratchMemo("shingles", s, dir) {
+      t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(words) - 3)," +
+            " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("sh"))
+    }
+
+  /** The shared shingle table for sibling modules (PipelineOps q58). */
+  private[operators] def sharedShingles(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
 
   /** Hashed [[shingles]] (cached) with the doc's distinct-shingle COUNT
     * attached by joining the sizes aggregate back on — a hash aggregate
@@ -120,25 +136,17 @@ object DedupOps extends QueryModule {
     * because Verify/Bench clearCache() between queries (cache hygiene);
     * a file materialization survives that and is exactly what a
     * composed 100 TB pipeline does with this intermediate. Invalidation
-    * is per (SparkSession, dir) key: a fresh session — each driver
+    * is per (session identity, dir) via [[ScratchMemo]] (no session
+    * pinning, shutdown-hook cleanup): a fresh session — each driver
     * run — re-materializes; within a run the pair set is immutable.
     * q43 itself still computes the full funnel (it IS the measured
     * operator); consumers read the ~|pairs| result, preserving their
     * oracle semantics unchanged. */
   private object SharedPairs {
-    private val memo =
-      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-    def apply(s: SparkSession, dir: String): DataFrame = {
-      val path = memo.computeIfAbsent((s, dir), { case (sess, d) =>
-        val p = java.nio.file.Files.createTempDirectory("graft-pairs-").toString
-        // full q43 output (a, b, jac): the score rides along for free
-        // and lets score-consuming evals (q154) skip the funnel too
-        q43_dedup_ngram_jaccard.run(sess, d)
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-      s.read.parquet(path)
-    }
+    // full q43 output (a, b, jac): the score rides along for free
+    // and lets score-consuming evals (q154) skip the funnel too
+    def apply(s: SparkSession, dir: String): DataFrame =
+      ScratchMemo("pairs", s, dir) { q43_dedup_ngram_jaccard.run(s, dir) }
   }
 
   /** q44's 8-window MinHash signature table, materialized once per
@@ -148,21 +156,14 @@ object DedupOps extends QueryModule {
     * pass; q44 itself still computes the full pass (it is the measured
     * operator). */
   private object SharedSig {
-    private val memo =
-      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-    def apply(s: SparkSession, dir: String): DataFrame = {
-      val path = memo.computeIfAbsent((s, dir), { case (sess, d) =>
-        val p = java.nio.file.Files.createTempDirectory("graft-sig-").toString
-        val hashed = shingles(sess, d)
+    def apply(s: SparkSession, dir: String): DataFrame =
+      ScratchMemo("sig", s, dir) {
+        val hashed = shingles(s, dir)
           .withColumn("h2", concat(md5(col("sh")), md5(concat(lit("1"), col("sh")))))
         val sigCols = (0 to 7).map(i =>
           min(substring(col("h2"), i * 8 + 1, 8)).as(s"m$i"))
         hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-      s.read.parquet(path)
-    }
+      }
   }
 
   /** MinHash (8 signatures) + LSH banding (4 bands × 2 rows): emits

@@ -31,15 +31,16 @@ object PipelineOps extends QueryModule {
       val keeper = docs.groupBy("fp").agg(min("doc_id").as("doc_id"))
       // reused by the shingle pass AND the survivor anti-join — cache once
       val exactKept = docs.join(keeper, Seq("fp", "doc_id")).cache()
-      // 2. near-dup candidates (same shape as q43), drop the higher id
-      // xxhash64 join key — same rationale and ~2× join speedup as q43;
-      // distinctness is established on the strings first.
-      val base = exactKept
-        .filter(col("n_words") >= 3)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(0, size(words) - 3)," +
-            " i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")).as("shs"))
-        .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
+      // 2. near-dup candidates (same shape as q43), drop the higher id.
+      // Shingles come from the family's SHARED materialized table
+      // (DedupOps.sharedShingles) restricted to the exact-dedup
+      // survivors by doc_id join — a doc's shingle set is a pure
+      // function of its text, so the semi-join is identical to
+      // re-exploding the survivors, without re-running the explode.
+      // xxhash64 join key — same rationale and ~2× join speedup as q43.
+      val base = DedupOps.sharedShingles(s, dir)
+        .join(exactKept.select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
         .cache() // feeds sizes + both sides of the inverted-index self-join
       // sizes joined back for the early filter (DedupOps.shinglesHashedN
       // shape: hash agg + planner-chosen join, no pre-explode size() and
