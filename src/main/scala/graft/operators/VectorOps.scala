@@ -787,8 +787,90 @@ object VectorOps extends QueryModule {
           FROM expl GROUP BY 1 ORDER BY dim"""
     })
 
+  /** BLOCKED EXACT X·Xᵀ dense sweep — the measured, correct fallback
+    * for the low-threshold regime where the round-5 IvfProbe study
+    * showed NO partition-based index discriminates (cos 0.4–0.5 in
+    * 64-d sits at the background collision rate; candidate sets of any
+    * index approach all-pairs while recall stays < 1). When the job IS
+    * a dense sweep, organize it as one: vectors are packed into
+    * contiguous id-range blocks (collect_list per `vec_id div 1024`),
+    * the TILE GRID `bi ≤ bj` — (N/1024)² rows, not N² — is the only
+    * join, and each tile runs a tight per-partition double-precision
+    * loop (`mapPartitions` via flatMap — the sanctioned imperative
+    * case) emitting only pairs above the threshold. Work is O(N²·d) by
+    * problem statement; what the blocking buys is sequential cache-
+    * friendly inner loops, bounded task granularity (≈1024² dots per
+    * tile), and zero shuffle beyond the block build + tile fan-out. At
+    * 100 TB the same operator runs on a FILTERED slice (a near-dup
+    * shard, a cluster cell) — the tile grid is how you keep the
+    * quadratic honest and distributed, per the round-5 BASELINE
+    * conclusion ("low-threshold sweeps are dense X·Xᵀ blocks, not fake
+    * index scans").
+    *
+    * Determinism: the inner loop folds float→double products strictly
+    * left-to-right — the same accumulation order as [[dot_ff]] and the
+    * oracle's `list_reduce` — so cosines are bit-identical and the
+    * exact output hash-matches with zero tolerance. Threshold 0.45 =
+    * q62's regime: q62 is the sub-quadratic approximate path, q158 the
+    * exact dense path; BASELINE.md carries both measurements. */
+  val q158_dense_threshold = QueryDef(
+    "q158_dense_threshold",
+    (s, dir) => {
+      import s.implicits._
+      val blockSize = 1024L
+      val e = t(s, dir, "embeddings")
+      val blocks = e
+        .withColumn("blk", (col("vec_id") / blockSize).cast("int"))
+        .groupBy("blk")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      val tiles = blocks.select(col("blk").as("bi"), col("vs").as("xs"))
+        .join(blocks.select(col("blk").as("bj"), col("vs").as("ys")),
+          col("bi") <= col("bj"))
+        .as[(Int, Seq[(Long, Seq[Float])], Int, Seq[(Long, Seq[Float])])]
+      val pairs = tiles.flatMap { case (bi, xs, bj, ys) =>
+        // unbox ONCE into primitive float[] — the deserialized Seq[Float]
+        // boxes on element access, which at 64·|tile|² reads is the
+        // difference between a SIMD-friendly loop and 3× the exact
+        // baseline (measured 292 s → below it at sf1)
+        val xids = xs.map(_._1).toArray
+        val xv = xs.map(_._2.toArray).toArray
+        val yids = ys.map(_._1).toArray
+        val yv = ys.map(_._2.toArray).toArray
+        def dotD(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < 64) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+          acc
+        }
+        val xn = xv.map(v => math.sqrt(dotD(v, v)))
+        val yn = yv.map(v => math.sqrt(dotD(v, v)))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < xv.length) {
+          var j = if (bi == bj) i + 1 else 0
+          while (j < yv.length) {
+            val cos = dotD(xv(i), yv(j)) / (xn(i) * yn(j))
+            if (cos >= 0.45) out += ((xids(i), yids(j), cos))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      pairs.toDF("a", "b", "cos").orderBy("a", "b")
+    },
+    Some(s"""WITH v AS (
+              SELECT vec_id, embedding,
+                     sqrt(${dotSql("embedding", "embedding")}) AS nm
+              FROM embeddings),
+            pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     ${dotSql("x.embedding", "y.embedding")} / (x.nm * y.nm) AS cos
+              FROM v x JOIN v y ON x.vec_id < y.vec_id)
+            SELECT a, b, cos FROM pairs WHERE cos >= 0.45 ORDER BY a, b"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
     q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers, q112_rrf_fusion,
-    q131_pq_codes, q143_hard_negatives, q153_ann_recall, q156_power_iteration)
+    q131_pq_codes, q143_hard_negatives, q153_ann_recall, q156_power_iteration,
+    q158_dense_threshold)
 }

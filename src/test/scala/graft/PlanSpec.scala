@@ -115,6 +115,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"— a corpus×corpus non-equi join does not survive a 100× corpus:\n${p.take(1500)}")
   }
 
+  test("dense sweep tiles the block grid, not the row space (q158)") {
+    val p = plan(VectorOps.q158_dense_threshold)
+    assert(p.contains("SerializeFromObject"),
+      "the tile multiply must run as the typed per-partition loop")
+    assert(p.contains("HashAggregate"),
+      "vectors must be packed into id-range blocks BEFORE any join — " +
+        "the only non-equi join allowed here is over the (N/1024)² tile " +
+        "grid, never the N² row space")
+  }
+
   test("LSH ANN search joins on bucket equality, never all-pairs (q48)") {
     val p = plan(VectorOps.q48_vector_ann_lsh)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
