@@ -77,6 +77,17 @@ object VectorOps extends QueryModule {
       .select(col("vec_id"), col("tb.tk").as("tk"), col("tb.bk").as("bk"))
   }
 
+  /** The corpus-derived candidate pair set ([[lshShape]] +
+    * [[bucketRows]] + one (tk, bk) self-equi-join + distinct) — the
+    * shared funnel of q47/q62/q159. */
+  private def adaptiveCands(e: DataFrame, baseTables: Int): DataFrame = {
+    val (bits, nt) = lshShape(e.count(), baseTables)
+    val wb = bucketRows(e, bits, nt)
+    wb.select(col("vec_id").as("a"), col("tk"), col("bk"))
+      .join(wb.select(col("vec_id").as("b"), col("tk"), col("bk")), Seq("tk", "bk"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+  }
+
   /** Oracle mirror of [[lshShape]] + [[bucketRows]] + the distinct
     * candidate pair set, as a WITH-clause prefix. The plane weights are
     * the same md5 nibbles (DuckDB `md5` ≡ MessageDigest), collected into
@@ -165,11 +176,7 @@ object VectorOps extends QueryModule {
     "q47_vector_threshold",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val (bits, nt) = lshShape(e.count(), 12)
-      val wb = bucketRows(e, bits, nt)
-      val cands = wb.select(col("vec_id").as("a"), col("tk"), col("bk"))
-        .join(wb.select(col("vec_id").as("b"), col("tk"), col("bk")), Seq("tk", "bk"))
-        .filter(col("a") < col("b")).select("a", "b").distinct()
+      val cands = adaptiveCands(e, 12)
       val va = e.select(col("vec_id").as("a"), col("embedding").as("av"),
         sqrt(norm2(col("embedding"))).as("na"))
       val vb = e.select(col("vec_id").as("b"), col("embedding").as("bv"),
@@ -358,11 +365,7 @@ object VectorOps extends QueryModule {
     "q62_dedup_embedding",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val (bits, nt) = lshShape(e.count(), 8)
-      val wb = bucketRows(e, bits, nt)
-      val cands = wb.select(col("vec_id").as("a"), col("tk"), col("bk"))
-        .join(wb.select(col("vec_id").as("b"), col("tk"), col("bk")), Seq("tk", "bk"))
-        .filter(col("a") < col("b")).select("a", "b").distinct()
+      val cands = adaptiveCands(e, 8)
       val va = e.select(col("vec_id").as("a"), col("embedding").as("av"),
         sqrt(norm2(col("embedding"))).as("na"))
       val vb = e.select(col("vec_id").as("b"), col("embedding").as("bv"),
@@ -868,9 +871,52 @@ object VectorOps extends QueryModule {
               FROM v x JOIN v y ON x.vec_id < y.vec_id)
             SELECT a, b, cos FROM pairs WHERE cos >= 0.45 ORDER BY a, b"""))
 
+  /** DERIVED-SHAPE RECALL EVALUATION — closes the loop on the
+    * corpus-adaptive band shape: for every EXACT pair at cos ≥ 0.45
+    * (q158's dense-sweep ground truth), is the pair in the derived
+    * q62 candidate set? Reported per cos band (floor(cos·20)) so the
+    * geometric recall gradient is visible in data: recall climbs with
+    * cosine exactly as 1−(1−p^bits)^tables predicts, which is the
+    * evidence a pipeline owner reads before trusting the index at a
+    * given threshold — q153 measures the toy single-table index, THIS
+    * measures the production funnel, at whatever shape the corpus size
+    * derives. Cosines are bit-identical across engines, so the band
+    * floor and every count hash-match exactly; the join is
+    * exact-pairs LEFT candidate-pairs on (a, b) — both sides bounded
+    * by true-pair/candidate volume, never corpus². */
+  val q159_lsh_recall_eval = QueryDef(
+    "q159_lsh_recall_eval",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val exact = q158_dense_threshold.run(s, dir)
+      val cands = adaptiveCands(e, 8).withColumn("hit", lit(1))
+      exact.join(cands, Seq("a", "b"), "left")
+        .groupBy(floor(col("cos") * 20).cast("long").as("cos_band"))
+        .agg(count(lit(1)).cast("long").as("n_true"),
+          count(col("hit")).cast("long").as("n_found"))
+        .withColumn("recall_fp", expr("n_found * 1000000 div n_true"))
+        .orderBy("cos_band")
+    },
+    Some(s"""WITH ${adaptiveCandSql(8)},
+            v AS (
+              SELECT vec_id, embedding,
+                     sqrt(${dotSql("embedding", "embedding")}) AS nm
+              FROM embeddings),
+            ep AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     ${dotSql("x.embedding", "y.embedding")} / (x.nm * y.nm) AS cos
+              FROM v x JOIN v y ON x.vec_id < y.vec_id),
+            exact AS (SELECT a, b, cos FROM ep WHERE cos >= 0.45)
+            SELECT CAST(floor(cos * 20) AS BIGINT) AS cos_band,
+                   CAST(count(*) AS BIGINT) AS n_true,
+                   CAST(count(c.a) AS BIGINT) AS n_found,
+                   CAST(count(c.a) * 1000000 // count(*) AS BIGINT) AS recall_fp
+            FROM exact e LEFT JOIN cands c ON e.a = c.a AND e.b = c.b
+            GROUP BY 1 ORDER BY cos_band"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
     q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers, q112_rrf_fusion,
     q131_pq_codes, q143_hard_negatives, q153_ann_recall, q156_power_iteration,
-    q158_dense_threshold)
+    q158_dense_threshold, q159_lsh_recall_eval)
 }
