@@ -38,8 +38,12 @@ object PipelineOps extends QueryModule {
       // function of its text, so the semi-join is identical to
       // re-exploding the survivors, without re-running the explode.
       // xxhash64 join key — same rationale and ~2× join speedup as q43.
+      // survivor ids BROADCAST: the cached exactKept has no stats, and
+      // letting the planner sort-merge the (huge) shingle table against
+      // a |docs|-sized id list measured 11 s → 28 s at sf1; the id list
+      // is the small side by construction at any shard size
       val base = DedupOps.sharedShingles(s, dir)
-        .join(exactKept.select("doc_id"), Seq("doc_id"))
+        .join(broadcast(exactKept.select("doc_id")), Seq("doc_id"))
         .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
         .cache() // feeds sizes + both sides of the inverted-index self-join
       // sizes joined back for the early filter (DedupOps.shinglesHashedN

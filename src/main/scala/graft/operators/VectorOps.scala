@@ -58,7 +58,7 @@ object VectorOps extends QueryModule {
     * are seeds `12k .. 12k+bits-1` (stride = the 12-bit cap): growing
     * `bits` EXTENDS each table's planes instead of reshuffling plane
     * ownership across tables. */
-  private[operators] def lshShape(n: Long, baseTables: Int): (Int, Int) = {
+  private[graft] def lshShape(n: Long, baseTables: Int): (Int, Int) = {
     val ilog2 = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
     val bits = math.max(3, math.min(12, ilog2 / 2))
     (bits, math.min(24, baseTables + 4 * (bits - 3)))

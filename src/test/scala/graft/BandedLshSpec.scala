@@ -83,3 +83,35 @@ class BandedLshSpec extends AnyFunSuite {
       "band-0 keys should stay nearly per-doc: m1 is independent of the hot shingle's m0")
   }
 }
+
+/** Pins for the corpus-derived hyperplane-LSH shape of q47/q62/q159
+  * (`VectorOps.lshShape`): the derivation the DuckDB oracles mirror
+  * from `count(*)` must produce exactly these values at the fixture
+  * sizes and stay clamped at the extremes — a silent drift here would
+  * desynchronize Spark and oracle candidate sets everywhere. */
+class AdaptiveLshShapeSpec extends AnyFunSuite {
+  import graft.operators.VectorOps.lshShape
+
+  test("fixture-size derivations match the oracle's length(bin(cnt))-1 rule") {
+    assert(lshShape(500L, 12) == ((4, 16)))   // sf0.01
+    assert(lshShape(500L, 8) == ((4, 12)))
+    assert(lshShape(2000L, 12) == ((5, 20)))  // sf0.1
+    assert(lshShape(2000L, 8) == ((5, 16)))
+    assert(lshShape(20000L, 12) == ((7, 24))) // sf1 rehearsal (capped tables)
+    assert(lshShape(20000L, 8) == ((7, 24)))
+  }
+
+  test("clamps: tiny corpora floor at 3 bits, huge corpora cap at 12 bits x 24 tables") {
+    assert(lshShape(1L, 12) == ((3, 12)))
+    assert(lshShape(0L, 8) == ((3, 8))) // degenerate empty input stays sane
+    assert(lshShape(1L << 40, 12) == ((12, 24)))
+    assert(lshShape(Long.MaxValue, 8) == ((12, 24)))
+  }
+
+  test("power-of-two boundaries are exact (the reason for integer bit-length, not float log2)") {
+    assert(lshShape(255L, 12)._1 == 3)  // ilog2=7 -> 3
+    assert(lshShape(256L, 12)._1 == 4)  // ilog2=8 -> 4
+    assert(lshShape(1023L, 12)._1 == 4) // ilog2=9 -> 4
+    assert(lshShape(1024L, 12)._1 == 5) // ilog2=10 -> 5
+  }
+}
