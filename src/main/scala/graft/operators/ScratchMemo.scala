@@ -47,4 +47,15 @@ private[operators] object ScratchMemo {
     })
     s.read.parquet(path)
   }
+
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Same memoization for a plan-time scalar (e.g. the corpus count an
+    * adaptive index derives its shape from): the count job runs once per
+    * (tag, session, fixture dir) instead of once per consuming query.
+    * The fixture dir is immutable for a driver run, so the cached value
+    * cannot go stale within the memo's scope. */
+  def countOnce(tag: String, s: SparkSession, dir: String)(compute: => Long): Long =
+    counts.computeIfAbsent(s"$tag|${sessionKey(s)}|$dir", _ => compute).longValue()
 }
