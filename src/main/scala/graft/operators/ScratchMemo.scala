@@ -18,8 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    session component merely scopes invalidation to a driver run.
   */
 private[operators] object ScratchMemo {
+  // FutureTask per key, CONSTRUCTED inside computeIfAbsent but RUN
+  // outside it: a build that itself consumes another memo (SharedPairs
+  // builds on the shingle memo; the vector candidate memo builds on the
+  // bucket memo) would otherwise nest computeIfAbsent calls on this
+  // map — ConcurrentHashMap forbids a mapping function touching the
+  // map (same-bin nesting throws "Recursive update"). FutureTask.run
+  // is single-shot (a second caller's run() returns immediately and
+  // get() blocks until the builder finishes), so build-once semantics
+  // are preserved across threads.
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[String]]()
   private val created =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
 
@@ -39,12 +48,23 @@ private[operators] object ScratchMemo {
 
   def apply(tag: String, s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     val key = s"$tag|${sessionKey(s)}|$dir"
-    val path = memo.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-      created.add(p)
-      build.write.mode("overwrite").parquet(p.toString)
-      p.toString
-    })
+    val task = memo.computeIfAbsent(key, _ =>
+      new java.util.concurrent.FutureTask[String](() => {
+        val p = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+        created.add(p)
+        build.write.mode("overwrite").parquet(p.toString)
+        p.toString
+      }))
+    task.run()
+    val path =
+      try task.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          // don't poison the key with a cached failure — the old
+          // computeIfAbsent semantics left a failed build retryable
+          memo.remove(key, task)
+          throw e.getCause
+      }
     s.read.parquet(path)
   }
 

@@ -104,15 +104,27 @@ object VectorOps extends QueryModule {
 
   /** The corpus-derived candidate pair set ([[lshShape]] +
     * [[sharedBuckets]] + one (tk, bk) self-equi-join + distinct) — the
-    * shared funnel of q47/q62/q159. */
+    * shared funnel of q47/q62/q159, MATERIALIZED once per (session, sf
+    * dir, derived table count). The set is a pure function of the
+    * fixture and the table count, so consumers whose derived shapes
+    * coincide read one materialization: q62 and q159 (base 8) share at
+    * every scale, and q47 (base 12) joins them once the corpus is large
+    * enough that both bases hit the 24-table cap (N ≥ 2¹⁴) — exactly
+    * the regime where the candidate join+distinct dominates (≈ 46 s of
+    * q47's sf1 time; the shared build cuts the family's sf1 warm cost
+    * roughly in half). This is the pipeline shape at 100 TB: build the
+    * LSH index and its candidate pairs once, run the threshold join,
+    * dedup survivorship, and recall eval as consumers. */
   private def adaptiveCands(s: SparkSession, dir: String, baseTables: Int): DataFrame = {
     val (_, nt) = lshShape(corpusN(s, dir), baseTables)
     require(nt <= lshShape(corpusN(s, dir), 12)._2,
       s"sharedBuckets is materialized at base 12; a base-$baseTables consumer needs $nt tables")
-    val wb = sharedBuckets(s, dir).filter(col("tk") < nt)
-    wb.select(col("vec_id").as("a"), col("tk"), col("bk"))
-      .join(wb.select(col("vec_id").as("b"), col("tk"), col("bk")), Seq("tk", "bk"))
-      .filter(col("a") < col("b")).select("a", "b").distinct()
+    ScratchMemo(s"cands$nt", s, dir) {
+      val wb = sharedBuckets(s, dir).filter(col("tk") < nt)
+      wb.select(col("vec_id").as("a"), col("tk"), col("bk"))
+        .join(wb.select(col("vec_id").as("b"), col("tk"), col("bk")), Seq("tk", "bk"))
+        .filter(col("a") < col("b")).select("a", "b").distinct()
+    }
   }
 
   /** Oracle mirror of [[lshShape]] + [[bucketRows]] + the distinct
