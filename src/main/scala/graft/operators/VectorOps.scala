@@ -956,9 +956,126 @@ object VectorOps extends QueryModule {
             FROM exact e LEFT JOIN cands c ON e.a = c.a AND e.b = c.b
             GROUP BY 1 ORDER BY cos_band"""))
 
+  /** k-means|| SEEDING (Bahmani et al., "Scalable k-means++", VLDB
+    * 2012) — the distributed answer to k-means++'s sequential seeding:
+    * instead of k dependent passes picking ONE centroid each, a few
+    * passes each OVERSAMPLE ~l candidates with probability
+    * l·d²(x,C)/Σd², then the small weighted candidate set is
+    * reclustered. The round-5 IvfProbe study (BASELINE.md) closed with
+    * exactly this gap: Lloyd-from-random centroids could not beat the
+    * geometric recall ceiling, and k-means++-style seeding was the
+    * named untried experiment — this operator is that seeding step,
+    * distributed and deterministic.
+    *
+    * Shape per pass (the 100 TB contract): broadcast the ≤ 1+l·t
+    * current candidates, ONE linear scan computes min-d² per point
+    * (native [[graft.functions.L2SliceDistanceFF]] per candidate —
+    * allocation-free codegen), the normalizer Σd² is a two-stage
+    * integer aggregate, and sampling is a per-row predicate — nothing
+    * but the O(l) sampled rows ever leaves the executors. Two passes
+    * are unrolled here (the paper's O(log n) rounds converge in ~5
+    * even at n = 10⁹; a pipeline chains more of this same step);
+    * the final scan assigns every point to its nearest candidate to
+    * emit the weights the driver-side reclustering consumes.
+    *
+    * Determinism (the QueryDef rules, no RNG): the Bernoulli draw for
+    * row x is `u(x)·Σd² < l·d²_fp·2³²` in EXACT integer arithmetic —
+    * u(x) = first 8 md5 hex nibbles of "<pass>_<vec_id>" (a fixed
+    * uniform 32-bit draw per row per pass), d²_fp = floor(d²·10⁶) with
+    * d² from the native fold (bit-identical to the oracle's
+    * list_reduce), Σ as a BIGINT sum, the comparison in DECIMAL(38)/
+    * HUGEINT. Seed c0 = the minimum-id vector; ties in the final
+    * assignment break on candidate id. */
+  val q160_kmeanspp_seed = QueryDef(
+    "q160_kmeanspp_seed",
+    (s, dir) => {
+      import graft.functions.L2Distance.l2_ff
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val c0 = e.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"), lit(0L).as("pass"))
+      def u(pass: Int): Column = expr(
+        s"CAST(conv(substring(md5(concat('${pass}_', CAST(vec_id AS STRING))), 1, 8), 16, 10) AS DECIMAL(38,0))")
+      val lU = lit(8L * 4294967296L).cast("decimal(38,0)") // l=8 times 2^32
+      val d1 = e.crossJoin(broadcast(c0.select("cv")))
+        .select(col("vec_id"), col("embedding"),
+          floor(l2_ff(col("embedding"), col("cv")) * lit(1e6)).cast("long").as("dfp"))
+      val s1 = d1.agg(sum("dfp").cast("decimal(38,0)").as("ss"))
+      val c1 = c0.unionByName(
+        d1.crossJoin(broadcast(s1))
+          .filter(u(1) * col("ss") < col("dfp").cast("decimal(38,0)") * lU)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"), lit(1L).as("pass")))
+      // pass 2: d² to the NEAREST of C1; a selected point's own distance
+      // is exactly 0.0, so re-selection is impossible by construction
+      val m2 = e.crossJoin(broadcast(c1.select("cv")))
+        .select(col("vec_id"), l2_ff(col("embedding"), col("cv")).as("dd"))
+        .groupBy("vec_id").agg(floor(min("dd") * lit(1e6)).cast("long").as("dfp"))
+      val s2 = m2.agg(sum("dfp").cast("decimal(38,0)").as("ss"))
+      val c2 = e.join(m2, "vec_id").crossJoin(broadcast(s2))
+        .filter(u(2) * col("ss") < col("dfp").cast("decimal(38,0)") * lU)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"), lit(2L).as("pass"))
+      val cands = c1.unionByName(c2)
+      val assign = e.crossJoin(broadcast(cands.select("cid", "cv")))
+        .select(col("vec_id"), col("cid"), l2_ff(col("embedding"), col("cv")).as("dd"))
+      val w = Window.partitionBy("vec_id").orderBy("dd", "cid")
+      val weights = assign.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("cid").agg(count(lit(1)).as("weight"))
+      cands.select(col("cid").as("cand_id"), col("pass"))
+        .join(weights.withColumnRenamed("cid", "cand_id"), Seq("cand_id"), "left")
+        .select(col("cand_id"), col("pass"),
+          coalesce(col("weight"), lit(0L)).as("weight"))
+        .orderBy("cand_id")
+    },
+    {
+      def l2s(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, 65), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+      // first 8 md5 hex chars of `arg` as a 32-bit integer (nibble fold)
+      def hex8(arg: String) = "(" + (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+      }.mkString(" + ") + ")"
+      Some(s"""WITH c0 AS (
+              SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 1),
+            d1 AS (
+              SELECT e.vec_id, e.embedding,
+                     CAST(floor(${l2s("e.embedding", "c0.cv")} * 1e6) AS BIGINT) AS dfp
+              FROM embeddings e CROSS JOIN c0),
+            s1 AS (SELECT CAST(sum(dfp) AS HUGEINT) AS ss FROM d1),
+            c1 AS (
+              SELECT cid, cv, CAST(0 AS BIGINT) AS pass FROM c0
+              UNION ALL
+              SELECT d1.vec_id, d1.embedding, CAST(1 AS BIGINT)
+              FROM d1, s1
+              WHERE CAST(${hex8("'1_' || CAST(d1.vec_id AS VARCHAR)")} AS HUGEINT) * s1.ss
+                    < CAST(d1.dfp AS HUGEINT) * CAST(34359738368 AS HUGEINT)),
+            m2 AS (
+              SELECT e.vec_id,
+                     CAST(floor(min(${l2s("e.embedding", "c1.cv")}) * 1e6) AS BIGINT) AS dfp
+              FROM embeddings e CROSS JOIN c1 GROUP BY e.vec_id),
+            s2 AS (SELECT CAST(sum(dfp) AS HUGEINT) AS ss FROM m2),
+            cands AS (
+              SELECT cid, pass FROM c1
+              UNION ALL
+              SELECT m2.vec_id, CAST(2 AS BIGINT)
+              FROM m2, s2
+              WHERE CAST(${hex8("'2_' || CAST(m2.vec_id AS VARCHAR)")} AS HUGEINT) * s2.ss
+                    < CAST(m2.dfp AS HUGEINT) * CAST(34359738368 AS HUGEINT)),
+            cc AS (
+              SELECT cands.cid, cands.pass, x.embedding AS cv
+              FROM cands JOIN embeddings x ON x.vec_id = cands.cid),
+            assign AS (
+              SELECT e.vec_id, cc.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${l2s("e.embedding", "cc.cv")}, cc.cid) AS rn
+              FROM embeddings e CROSS JOIN cc),
+            w AS (SELECT cid, CAST(count(*) AS BIGINT) AS weight
+                  FROM assign WHERE rn = 1 GROUP BY cid)
+            SELECT cc.cid AS cand_id, cc.pass, COALESCE(w.weight, 0) AS weight
+            FROM cc LEFT JOIN w ON w.cid = cc.cid
+            ORDER BY cand_id""")
+    })
+
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
     q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers, q112_rrf_fusion,
     q131_pq_codes, q143_hard_negatives, q153_ann_recall, q156_power_iteration,
-    q158_dense_threshold, q159_lsh_recall_eval)
+    q158_dense_threshold, q159_lsh_recall_eval, q160_kmeanspp_seed)
 }

@@ -52,7 +52,8 @@ object ExplainDump {
       ("q155_token_budget — linear decile aggregation, partial before the shuffle", CorpusOps.q155_token_budget),
       ("q156_power_iteration — matvec as native dots + posexplode partial aggregation", VectorOps.q156_power_iteration),
       ("q158_dense_threshold — blocked exact X·Xᵀ: tile-grid join over packed blocks, typed per-partition multiply", VectorOps.q158_dense_threshold),
-      ("q159_lsh_recall_eval — derived-funnel recall vs exact ground truth, bounded eval join", VectorOps.q159_lsh_recall_eval))
+      ("q159_lsh_recall_eval — derived-funnel recall vs exact ground truth, bounded eval join", VectorOps.q159_lsh_recall_eval),
+      ("q160_kmeanspp_seed — k-means|| oversampling: per-pass broadcast candidates + linear scans, integer-exact Bernoulli draws", VectorOps.q160_kmeanspp_seed))
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append(s"Input: `$dir`. These plans back the contracts asserted in " +

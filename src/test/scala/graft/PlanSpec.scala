@@ -115,6 +115,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"— a corpus×corpus non-equi join does not survive a 100× corpus:\n${p.take(1500)}")
   }
 
+  test("k-means|| seeding joins the corpus only against broadcast candidate sets (q160)") {
+    val p = plan(VectorOps.q160_kmeanspp_seed)
+    assert(p.toLowerCase.contains("l2slicedistance"),
+      "distances must run through the native fused expression")
+    assert(!p.contains("CartesianProduct"),
+      "every corpus-side join must build on the bounded (<= 1+l*pass) " +
+        "candidate side — a shuffle cartesian means the seeding pass " +
+        "stopped being a linear scan")
+  }
+
   test("dense sweep tiles the block grid, not the row space (q158)") {
     val p = plan(VectorOps.q158_dense_threshold)
     assert(p.contains("SerializeFromObject"),
