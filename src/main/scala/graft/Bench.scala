@@ -115,12 +115,16 @@ object Bench {
     // per-query keys are the qNN prefix ("q44_dedup_minhash_lsh" -> "q44"),
     // 2-decimal values. Full names stay on stderr for humans.
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // JSON-number values with trailing zeros stripped ("0.40"→"0.4",
-    // "1.00"→"1"): lossless at the 2-decimal grid, and worth ~80 chars
-    // across 150+ entries — the line must stay inside the driver's
-    // bounded tail window.
+    // Per-query JSON values at ONE decimal, trailing zeros stripped
+    // ("0.52"→"0.5", "1.0"→"1"): at 161 entries the 2-decimal line hit
+    // 1899 chars — one short of the warn threshold and within variance
+    // of the driver's ~2000-char tail window. One decimal buys ~130
+    // chars of headroom for future rounds; the full 2-decimal per-query
+    // medians AND the raw interleaved samples stay on stderr
+    // ([bench]/[bench-runs] lines) for anyone reading numbers closer
+    // than the 0.05 s the JSON grid now resolves.
     def fj(v: Double): String = {
-      val s = f(v)
+      val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
     def short(k: String): String = if (k.startsWith("q")) k.takeWhile(_ != '_') else k

@@ -21,7 +21,12 @@ import graft.sources.Tables
   *
   * Prints seconds, candidate volume, found pairs, and recall vs exact
   * for each method. Usage:
-  *   sbt "runMain graft.tools.IvfProbe <sfDir> [nCells] [threshold]"
+  *   sbt "runMain graft.tools.IvfProbe <sfDir> [nCells] [threshold] [nProbe] [nTrain] [seedMode]"
+  * seedMode `rand` (md5 hyperplanes, the round-5 runs) or `kpp`
+  * (k-means|| oversampling seeding — q160's operator, probe-grade) —
+  * measuring whether principled seeding closes the trained-centroid
+  * recall ceiling the round-5 study hit (~0.77 at cos 0.45 with 3
+  * Lloyd steps from random seeds).
   */
 object IvfProbe {
   private def hyperplane(h: Int): Seq[Float] = (0 until 64).map { j =>
@@ -98,7 +103,55 @@ object IvfProbe {
     // measuring how much TRAINED cells close the random-centroid recall
     // gap.
     val nTrain = if (args.length > 4) args(4).toInt else 0
-    var centroids: Seq[Seq[Float]] = (0 until nCells).map(i => hyperplane(300 + i))
+    val seedMode = if (args.length > 5) args(5) else "rand"
+
+    /** k-means|| seeding (the q160 operator's shape, probe-grade): two
+      * oversampling passes at l = nCells/2 each, Bernoulli draw
+      * u(x) < l·d²(x,C)/Σd² with md5-hash uniforms — candidates land
+      * spread ∝ d², the k-means++ property the md5 seeds lack. The
+      * ~nCells candidates (weight-ranked, md5-plane-padded) become the
+      * starting centroids directly; optional Lloyd steps then refine. */
+    def kppSeed(): Seq[Seq[Float]] = {
+      val l = math.max(1, nCells / 2)
+      def u(pass: Int) = expr(
+        s"CAST(conv(substring(md5(concat('${pass}_', CAST(vec_id AS STRING))), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0")
+      // min squared L2 to the current centroid set, via |x|²−2x·c+|c|²
+      def d2col(cents: Seq[Seq[Float]]): Column =
+        cents.map { c =>
+          val c2 = c.map(x => x.toDouble * x).sum
+          norm2(col("embedding")) - lit(2.0) * dot_ff(typedLit(c), col("embedding")) + lit(c2)
+        }.reduce(least(_, _))
+      val x0 = e.orderBy("vec_id").limit(1).select("embedding")
+        .collect()(0).getSeq[Float](0).toSeq
+      var cents = Seq(x0)
+      (1 to 2).foreach { pass =>
+        val d2 = e.select(col("vec_id"), col("embedding"), d2col(cents).as("d2"))
+        val ssum = d2.agg(sum("d2")).collect()(0).getDouble(0)
+        val picked = d2.filter(u(pass) * lit(ssum) < lit(l.toDouble) * col("d2"))
+          .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+        cents = cents ++ picked
+        System.err.println(s"[ivf-probe] kpp pass $pass: +${picked.size} candidates")
+      }
+      // weight-rank the candidates (members of a nearest-candidate
+      // assignment), keep the heaviest nCells, pad with md5 planes
+      val ranked =
+        if (cents.size <= nCells) cents
+        else {
+          val scores = array(cents.zipWithIndex.map { case (c, i) =>
+            struct(d2col(Seq(c)).as("s"), lit(i).as("i"))
+          }: _*)
+          val w = e.select(array_sort(scores).getItem(0).getField("i").as("cell"))
+            .groupBy("cell").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          cents.zipWithIndex.sortBy { case (_, i) => (-w.getOrElse(i, 0L), i) }
+            .take(nCells).map(_._1)
+        }
+      ranked ++ (ranked.size until nCells).map(i => hyperplane(300 + i))
+    }
+
+    var centroids: Seq[Seq[Float]] =
+      if (seedMode == "kpp") kppSeed()
+      else (0 until nCells).map(i => hyperplane(300 + i))
     def cellScores(cs: Seq[Seq[Float]]) = array(cs.zipWithIndex.map { case (c, i) =>
       struct(dot_ff(typedLit(c), col("embedding")).as("s"), lit(i).as("i"))
     }: _*)
@@ -132,7 +185,7 @@ object IvfProbe {
     val ivfCands = assigned.select(col("vec_id").as("a"), col("cell"))
       .join(assigned.select(col("vec_id").as("b"), col("cell")), Seq("cell"))
       .filter(col("a") < col("b")).select("a", "b").distinct().cache()
-    timed(s"ivf$nCells/p$nProbe/t$nTrain", Some(ivfCands), verify(ivfCands), Some(exact))
+    timed(s"ivf$nCells/p$nProbe/t$nTrain/$seedMode", Some(ivfCands), verify(ivfCands), Some(exact))
 
     spark.stop()
   }
