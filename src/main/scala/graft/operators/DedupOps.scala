@@ -708,9 +708,78 @@ object DedupOps extends QueryModule {
             FROM cands LEFT JOIN common USING (a, b)
             GROUP BY 1 ORDER BY band"""))
 
+  /** INCREMENTAL (arrival-ordered) dedup — the batch twin of how a
+    * 100 TB pipeline actually runs near-dup: the index is APPENDED as
+    * documents arrive, never rebuilt, and each arriving document is
+    * checked against the PRIOR corpus only. Arrival order is the md5 of
+    * the doc id (the q150 arrival-hash device — deterministic, uniform,
+    * mirrored exactly by DuckDB's md5); every arrival is appended to
+    * the matching index, and a document is a dup — excluded from the
+    * KEPT corpus — iff some EARLIER-arriving document is a verified q43
+    * near-dup partner (exact Jaccard ≥ 0.8, the index-structure-
+    * agnostic pair set). Unlike q144's id-keyed survivorship, the kept
+    * set here is ORDER-dependent — the streaming semantic (each doc is
+    * judged against index state at its arrival) — which is exactly what
+    * IncrementalDedupSpec pins: per-micro-batch index appends reproduce
+    * this query for EVERY batch split. Output: per arrival shard (first
+    * hex char, 16 contiguous arrival segments — batch-boundary-free),
+    * arrivals, dups, kept docs, dup rate.
+    * Cost: the memoized [[SharedPairs]] (~|pairs|) + one linear pass
+    * over doc ids — the direction decision is a per-pair comparison,
+    * no new quadratic stage. */
+  val q161_incremental_dedup = QueryDef(
+    "q161_incremental_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("m"))
+      val pa = d.select(col("doc_id").as("a"), col("m").as("ma"))
+      val pb = d.select(col("doc_id").as("b"), col("m").as("mb"))
+      val flagged = SharedPairs(s, dir).select("a", "b")
+        .join(pa, "a").join(pb, "b")
+        .select(when(col("ma") < col("mb")
+            || (col("ma") === col("mb") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("doc_id"))
+        .distinct()
+        .withColumn("isdup", lit(1L))
+      d.withColumn("batch", substring(col("m"), 1, 1))
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy("batch")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(coalesce(col("isdup"), lit(0L))).cast("long").as("n_dup"))
+        .withColumn("n_kept", col("n_docs") - col("n_dup"))
+        .withColumn("dup_fp", expr("n_dup * 1000000 div n_docs"))
+        .orderBy("batch")
+    },
+    Some(s"""WITH $shinglesSql,
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            pairs AS (
+              SELECT a, b FROM common
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE c / (sa.n + sb.n - c) >= 0.8),
+            d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+            flagged AS (
+              SELECT DISTINCT CASE WHEN da.m < db.m
+                                     OR (da.m = db.m AND p.a < p.b)
+                                   THEN p.b ELSE p.a END AS doc_id
+              FROM pairs p
+              JOIN d da ON da.doc_id = p.a
+              JOIN d db ON db.doc_id = p.b)
+            SELECT substr(m, 1, 1) AS batch,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(f.doc_id) AS BIGINT) AS n_dup,
+                   CAST(count(*) - count(f.doc_id) AS BIGINT) AS n_kept,
+                   CAST(count(f.doc_id) * 1000000 // count(*) AS BIGINT) AS dup_fp
+            FROM d LEFT JOIN flagged f USING (doc_id)
+            GROUP BY 1 ORDER BY batch"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q42_dedup_exact_stats, q43_dedup_ngram_jaccard, q44_dedup_minhash_lsh,
     q45_dedup_simhash, q68_dedup_clusters, q94_dup_graph_stats,
     q132_jaccard_containment, q144_dedup_survivor, q147_weighted_jaccard,
-    q154_minhash_estimate, q157_lsh_precision)
+    q154_minhash_estimate, q157_lsh_precision, q161_incremental_dedup)
 }

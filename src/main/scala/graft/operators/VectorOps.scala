@@ -986,34 +986,54 @@ object VectorOps extends QueryModule {
     * list_reduce), Σ as a BIGINT sum, the comparison in DECIMAL(38)/
     * HUGEINT. Seed c0 = the minimum-id vector; ties in the final
     * assignment break on candidate id. */
+  /** q160's k-means|| oversampled seed set `(cid, cv, pass)` — the
+    * shared construction: c0 = the first vector, then two Bernoulli
+    * oversampling passes with EXACT-INTEGER draws (md5-hex uniform ×
+    * HUGEINT cross-multiplication — no float probability, so Spark and
+    * DuckDB select identical seeds). Factored out so the seeding eval
+    * (q162) consumes the same seeds q160 measures; [[kppSeeds]] is the
+    * memoized consumer path (SharedPairs convention: q160 itself still
+    * computes the pass — it IS the measured operator). */
+  private def kppCandsDf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.L2Distance.l2_ff
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val c0 = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), lit(0L).as("pass"))
+    def u(pass: Int): Column = expr(
+      s"CAST(conv(substring(md5(concat('${pass}_', CAST(vec_id AS STRING))), 1, 8), 16, 10) AS DECIMAL(38,0))")
+    val lU = lit(8L * 4294967296L).cast("decimal(38,0)") // l=8 times 2^32
+    val d1 = e.crossJoin(broadcast(c0.select("cv")))
+      .select(col("vec_id"), col("embedding"),
+        floor(l2_ff(col("embedding"), col("cv")) * lit(1e6)).cast("long").as("dfp"))
+    val s1 = d1.agg(sum("dfp").cast("decimal(38,0)").as("ss"))
+    val c1 = c0.unionByName(
+      d1.crossJoin(broadcast(s1))
+        .filter(u(1) * col("ss") < col("dfp").cast("decimal(38,0)") * lU)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"), lit(1L).as("pass")))
+    // pass 2: d² to the NEAREST of C1; a selected point's own distance
+    // is exactly 0.0, so re-selection is impossible by construction
+    val m2 = e.crossJoin(broadcast(c1.select("cv")))
+      .select(col("vec_id"), l2_ff(col("embedding"), col("cv")).as("dd"))
+      .groupBy("vec_id").agg(floor(min("dd") * lit(1e6)).cast("long").as("dfp"))
+    val s2 = m2.agg(sum("dfp").cast("decimal(38,0)").as("ss"))
+    val c2 = e.join(m2, "vec_id").crossJoin(broadcast(s2))
+      .filter(u(2) * col("ss") < col("dfp").cast("decimal(38,0)") * lU)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), lit(2L).as("pass"))
+    c1.unionByName(c2)
+  }
+
+  /** [[kppCandsDf]] materialized once per (session, sf dir) for
+    * consumers (q162's IVF eval) — scratch parquet, same design and
+    * bench-comparability note as SharedPairs/sharedBuckets. */
+  private def kppSeeds(s: SparkSession, dir: String): DataFrame =
+    ScratchMemo("kppseeds", s, dir) { kppCandsDf(s, dir) }
+
   val q160_kmeanspp_seed = QueryDef(
     "q160_kmeanspp_seed",
     (s, dir) => {
       import graft.functions.L2Distance.l2_ff
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val c0 = e.orderBy("vec_id").limit(1)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"), lit(0L).as("pass"))
-      def u(pass: Int): Column = expr(
-        s"CAST(conv(substring(md5(concat('${pass}_', CAST(vec_id AS STRING))), 1, 8), 16, 10) AS DECIMAL(38,0))")
-      val lU = lit(8L * 4294967296L).cast("decimal(38,0)") // l=8 times 2^32
-      val d1 = e.crossJoin(broadcast(c0.select("cv")))
-        .select(col("vec_id"), col("embedding"),
-          floor(l2_ff(col("embedding"), col("cv")) * lit(1e6)).cast("long").as("dfp"))
-      val s1 = d1.agg(sum("dfp").cast("decimal(38,0)").as("ss"))
-      val c1 = c0.unionByName(
-        d1.crossJoin(broadcast(s1))
-          .filter(u(1) * col("ss") < col("dfp").cast("decimal(38,0)") * lU)
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"), lit(1L).as("pass")))
-      // pass 2: d² to the NEAREST of C1; a selected point's own distance
-      // is exactly 0.0, so re-selection is impossible by construction
-      val m2 = e.crossJoin(broadcast(c1.select("cv")))
-        .select(col("vec_id"), l2_ff(col("embedding"), col("cv")).as("dd"))
-        .groupBy("vec_id").agg(floor(min("dd") * lit(1e6)).cast("long").as("dfp"))
-      val s2 = m2.agg(sum("dfp").cast("decimal(38,0)").as("ss"))
-      val c2 = e.join(m2, "vec_id").crossJoin(broadcast(s2))
-        .filter(u(2) * col("ss") < col("dfp").cast("decimal(38,0)") * lU)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"), lit(2L).as("pass"))
-      val cands = c1.unionByName(c2)
+      val cands = kppCandsDf(s, dir)
       val assign = e.crossJoin(broadcast(cands.select("cid", "cv")))
         .select(col("vec_id"), col("cid"), l2_ff(col("embedding"), col("cv")).as("dd"))
       val w = Window.partitionBy("vec_id").orderBy("dd", "cid")
@@ -1025,14 +1045,35 @@ object VectorOps extends QueryModule {
           coalesce(col("weight"), lit(0L)).as("weight"))
         .orderBy("cand_id")
     },
-    {
-      def l2s(a: String, b: String) =
-        s"list_reduce(list_transform(range(1, 65), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
-      // first 8 md5 hex chars of `arg` as a 32-bit integer (nibble fold)
-      def hex8(arg: String) = "(" + (0 until 8).map { i =>
-        s"(instr('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
-      }.mkString(" + ") + ")"
-      Some(s"""WITH c0 AS (
+    Some(s"""WITH $kppSeedSql,
+            assign AS (
+              SELECT e.vec_id, cc.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${l2sSql("e.embedding", "cc.cv")}, cc.cid) AS rn
+              FROM embeddings e CROSS JOIN cc),
+            w AS (SELECT cid, CAST(count(*) AS BIGINT) AS weight
+                  FROM assign WHERE rn = 1 GROUP BY cid)
+            SELECT cc.cid AS cand_id, cc.pass, COALESCE(w.weight, 0) AS weight
+            FROM cc LEFT JOIN w ON w.cid = cc.cid
+            ORDER BY cand_id"""))
+
+  /** Squared-L2 as a strict left-to-right `list_reduce` fold — the
+    * accumulation order of [[graft.functions.L2SliceDistanceFF]]. */
+  private def l2sSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, 65), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  /** First 8 md5 hex chars of `arg` as a 32-bit integer (nibble fold). */
+  private def hex8Sql(arg: String) = "(" + (0 until 8).map { i =>
+    s"(instr('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+  }.mkString(" + ") + ")"
+
+  /** Oracle mirror of [[kppCandsDf]] as a WITH-clause prefix ending in
+    * `cc(cid, pass, cv)` — shared by q160 (the measured seeding pass)
+    * and q162 (the eval consuming the same seeds). */
+  private lazy val kppSeedSql: String = {
+    def l2s(a: String, b: String) = l2sSql(a, b)
+    def hex8(arg: String) = hex8Sql(arg)
+    s"""c0 AS (
               SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 1),
             d1 AS (
               SELECT e.vec_id, e.embedding,
@@ -1060,22 +1101,105 @@ object VectorOps extends QueryModule {
                     < CAST(m2.dfp AS HUGEINT) * CAST(34359738368 AS HUGEINT)),
             cc AS (
               SELECT cands.cid, cands.pass, x.embedding AS cv
-              FROM cands JOIN embeddings x ON x.vec_id = cands.cid),
+              FROM cands JOIN embeddings x ON x.vec_id = cands.cid)"""
+  }
+
+  /** IVF SEEDING-QUALITY evaluation — closes the loop the round-5/6
+    * IvfProbe study measured off-line (kpp seeding lifts untrained
+    * recall 0.70 → 0.76 at sf0.1): recall@5 of a probe-4 IVF index
+    * whose cells are q160's k-means|| seeds, against the exact top-5
+    * ground truth (q46's linear scan, the q153 eval pattern). Every
+    * vector is assigned to its nearest seed (one broadcast of the
+    * bounded seed set + a linear scan — the IVF build), each query
+    * probes its 4 nearest cells, and a ground-truth neighbor is a HIT
+    * iff its assigned cell is probed. This is the decision query a
+    * pipeline runs BEFORE training/deploying an IVF index at 100 TB:
+    * same linear shapes as the index build itself, no quadratic stage;
+    * the seed set arrives via the memoized [[kppSeeds]] (one seeding
+    * pass serves q160's measurement and this eval). All comparisons are
+    * exact-fold L2/cosine with integer outputs, so the approximate
+    * index's quality metric is itself bit-deterministic. */
+  val q162_ivf_kpp_recall = QueryDef(
+    "q162_ivf_kpp_recall",
+    (s, dir) => {
+      import graft.functions.L2Distance.l2_ff
+      val e = t(s, dir, "embeddings")
+      val seeds = kppSeeds(s, dir).select("cid", "cv")
+      val wA = Window.partitionBy("vec_id").orderBy("dd", "cid")
+      val assign = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("cid"), l2_ff(col("embedding"), col("cv")).as("dd"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("vec_id").as("cid_v"), col("cid").as("cell"))
+      val probes = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .crossJoin(broadcast(seeds))
+        .select(col("qid"), col("cid"), l2_ff(col("qv"), col("cv")).as("dd"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy("dd", "cid")))
+        .filter(col("rn") <= 4)
+        .select(col("qid").as("p_qid"), col("cid").as("p_cell"))
+      val q = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          sqrt(norm2(col("embedding"))).as("qn"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        sqrt(norm2(col("embedding"))).as("cn"))
+      val wG = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      val gt = broadcast(q).join(c, col("qid") =!= col("cid"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(wG)).filter(col("rn") <= 5)
+        .select("qid", "cid")
+      gt.join(assign, col("cid") === col("cid_v"))
+        .join(probes, col("qid") === col("p_qid")
+          && col("cell") === col("p_cell"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).cast("long").as("n_hits"))
+        .join(gt.groupBy("qid").agg(count(lit(1)).cast("long").as("k")), Seq("qid"), "right")
+        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("k"))
+        .withColumn("recall_fp", expr("n_hits * 1000000 div k"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH $kppSeedSql,
             assign AS (
-              SELECT e.vec_id, cc.cid,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY ${l2s("e.embedding", "cc.cv")}, cc.cid) AS rn
-              FROM embeddings e CROSS JOIN cc),
-            w AS (SELECT cid, CAST(count(*) AS BIGINT) AS weight
-                  FROM assign WHERE rn = 1 GROUP BY cid)
-            SELECT cc.cid AS cand_id, cc.pass, COALESCE(w.weight, 0) AS weight
-            FROM cc LEFT JOIN w ON w.cid = cc.cid
-            ORDER BY cand_id""")
-    })
+              SELECT vec_id AS cid_v, cid AS cell FROM (
+                SELECT e.vec_id, cc.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${l2sSql("e.embedding", "cc.cv")}, cc.cid) AS rn
+                FROM embeddings e CROSS JOIN cc) s
+              WHERE rn = 1),
+            probes AS (
+              SELECT qid, cid AS cell FROM (
+                SELECT q.vec_id AS qid, cc.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY ${l2sSql("q.embedding", "cc.cv")}, cc.cid) AS rn
+                FROM embeddings q CROSS JOIN cc WHERE q.vec_id < 32) s
+              WHERE rn <= 4),
+            qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 32),
+            gt AS (
+              SELECT qid, cid FROM (
+                SELECT qv.qid, c.vec_id AS cid,
+                       row_number() OVER (PARTITION BY qv.qid ORDER BY
+                         ${dotSql("qv.qe", "c.embedding")}
+                           / (sqrt(${dotSql("qv.qe", "qv.qe")})
+                              * sqrt(${dotSql("c.embedding", "c.embedding")})) DESC,
+                         c.vec_id) AS rn
+                FROM qv JOIN embeddings c ON qv.qid <> c.vec_id) s
+              WHERE rn <= 5),
+            hits AS (
+              SELECT g.qid,
+                     CAST(count(*) FILTER (WHERE p.cell IS NOT NULL) AS BIGINT) AS n_hits,
+                     CAST(count(*) AS BIGINT) AS k
+              FROM gt g
+              JOIN assign a ON a.cid_v = g.cid
+              LEFT JOIN probes p ON p.qid = g.qid AND p.cell = a.cell
+              GROUP BY g.qid)
+            SELECT qid, n_hits, k,
+                   CAST(n_hits * 1000000 // k AS BIGINT) AS recall_fp
+            FROM hits ORDER BY qid"""))
 
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
     q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers, q112_rrf_fusion,
     q131_pq_codes, q143_hard_negatives, q153_ann_recall, q156_power_iteration,
-    q158_dense_threshold, q159_lsh_recall_eval, q160_kmeanspp_seed)
+    q158_dense_threshold, q159_lsh_recall_eval, q160_kmeanspp_seed,
+    q162_ivf_kpp_recall)
 }

@@ -53,7 +53,9 @@ object ExplainDump {
       ("q156_power_iteration — matvec as native dots + posexplode partial aggregation", VectorOps.q156_power_iteration),
       ("q158_dense_threshold — blocked exact X·Xᵀ: tile-grid join over packed blocks, typed per-partition multiply", VectorOps.q158_dense_threshold),
       ("q159_lsh_recall_eval — derived-funnel recall vs exact ground truth, bounded eval join", VectorOps.q159_lsh_recall_eval),
-      ("q160_kmeanspp_seed — k-means|| oversampling: per-pass broadcast candidates + linear scans, integer-exact Bernoulli draws", VectorOps.q160_kmeanspp_seed))
+      ("q160_kmeanspp_seed — k-means|| oversampling: per-pass broadcast candidates + linear scans, integer-exact Bernoulli draws", VectorOps.q160_kmeanspp_seed),
+      ("q161_incremental_dedup — arrival-ordered dup flags over the memoized pair set, linear id passes", DedupOps.q161_incremental_dedup),
+      ("q162_ivf_kpp_recall — IVF seeding eval: broadcast-seed assignment/probes vs exact-over-probes ground truth", VectorOps.q162_ivf_kpp_recall))
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append(s"Input: `$dir`. These plans back the contracts asserted in " +

@@ -125,6 +125,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "stopped being a linear scan")
   }
 
+  test("incremental dedup rides the memoized pair set + linear id passes (q161)") {
+    val p = plan(DedupOps.q161_incremental_dedup)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "arrival-ordered flagging must be equi-joins on the verified pair " +
+        "set and doc ids — no quadratic stage beyond the shared funnel")
+  }
+
+  test("IVF seeding eval: broadcast seed/probe sides, native distances (q162)") {
+    val p = plan(VectorOps.q162_ivf_kpp_recall)
+    assert(p.toLowerCase.contains("l2slicedistance"),
+      "assignment/probe distances must run through the native fused expression")
+    assert(p.toLowerCase.contains("dotproductff"),
+      "ground-truth cosine must use the native codegen dot product")
+    assert(!p.contains("CartesianProduct"),
+      "corpus-side joins must build on the bounded broadcast seed set " +
+        "(or the 32-probe side) — a shuffle cartesian means the IVF " +
+        "build stopped being a linear scan")
+  }
+
   test("dense sweep tiles the block grid, not the row space (q158)") {
     val p = plan(VectorOps.q158_dense_threshold)
     assert(p.contains("SerializeFromObject"),
