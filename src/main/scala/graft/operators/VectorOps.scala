@@ -1149,8 +1149,12 @@ object VectorOps extends QueryModule {
         .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
         .withColumn("rn", row_number().over(wG)).filter(col("rn") <= 5)
         .select("qid", "cid")
-      gt.join(assign, col("cid") === col("cid_v"))
-        .join(probes, col("qid") === col("p_qid")
+      // gt (Q*5) and probes (Q*4) are bounded eval sides — broadcast
+      // them so the corpus-sized assignment table never shuffles for
+      // this join (the assignment's own vec_id window is the one
+      // unavoidable linear shuffle).
+      broadcast(gt).join(assign, col("cid") === col("cid_v"))
+        .join(broadcast(probes), col("qid") === col("p_qid")
           && col("cell") === col("p_cell"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).cast("long").as("n_hits"))
         .join(gt.groupBy("qid").agg(count(lit(1)).cast("long").as("k")), Seq("qid"), "right")
