@@ -1,9 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
+
+case class IncDoc(doc_id: Long, text: String)
 
 /** Pins q161's load-bearing claim: the arrival-ordered batch
   * formulation ("dup iff some verified near-dup partner arrived
@@ -142,5 +145,62 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(incrementalFlagged(cuts) == expected,
         s"incremental run with $cuts batches diverged from the batch twin")
     }
+  }
+
+  test("a LIVE foreachBatch stream maintaining a parquet index reproduces the batch twin") {
+    // End-to-end through the real engine: documents arrive as a stream,
+    // each micro-batch is checked against the parquet index built from
+    // every prior batch (plus earlier arrivals within the batch), then
+    // appended — the q161 semantics as an actual readStream pipeline,
+    // not a simulation.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc-stream")
+    val indexPath = s"$tmp/index"
+    val ckpt = s"$tmp/ckpt"
+    docs.limit(0).write.parquet(indexPath) // empty schema-bearing index
+    val flagged = scala.collection.mutable.Set.empty[Long]
+    var batchesSeen = 0
+
+    val in = MemoryStream[IncDoc](spark, numPartitions = 1)
+    val q = in.toDS().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[IncDoc], _: Long) =>
+        val arr = batch.toDF()
+        if (!arr.isEmpty) {
+          batchesSeen += 1
+          val index = spark.read.parquet(indexPath)
+          val vsIndex = verifiedPairs(arr, index)
+            .select("l").distinct().collect().map(_.getLong(0))
+          val pos = arr.select(col("doc_id"),
+              md5(col("doc_id").cast("string")).as("m"))
+            .collect().map(r => (r.getLong(0), r.getString(1)))
+            .sortBy(identity[(Long, String)] _ andThen (t => (t._2, t._1)))
+            .map(_._1).zipWithIndex.toMap
+          val vsSelf = verifiedPairs(arr, arr)
+            .filter(col("l") =!= col("r"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .filter { case (l, r) => pos(r) < pos(l) }.map(_._1)
+          flagged.synchronized { flagged ++= vsIndex ++ vsSelf }
+          arr.write.mode("append").parquet(indexPath)
+        }
+        ()
+      }
+      .start()
+    try {
+      val ordered = docs
+        .withColumn("m", md5(col("doc_id").cast("string")))
+        .orderBy("m", "doc_id")
+        .select("doc_id", "text")
+        .collect().map(r => IncDoc(r.getLong(0), r.getString(1)))
+      for (chunk <- Seq(ordered.take(5), ordered.slice(5, 13), ordered.drop(13))) {
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    assert(batchesSeen >= 3, s"expected >=3 non-empty micro-batches, saw $batchesSeen")
+    assert(flagged.toSet == batchFlagged(),
+      "the live streaming index-append run diverged from the q161 batch twin")
   }
 }
