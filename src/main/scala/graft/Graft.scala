@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import graft.sources.Tables
 import graft.core.EngineSecurity
-import graft.streaming.{DurableEventLog, EventEngine, EventSession, MultiplexedDelivery}
+import graft.streaming.{DurableEventLog, EventEngine, EventSession, MultiplexedDelivery, WireServer}
 
 /** User-facing entry point — what a user of the reference switches to.
   *
@@ -53,6 +53,14 @@ object Graft {
 
   /** An R13 bidi session (Init/Ack/Close protocol) over an engine. */
   def session(engine: EventEngine): EventSession = new EventSession(engine)
+
+  /** The network boundary: a TCP server speaking the proto3-encoded
+    * [[graft.streaming.WireProtocol]] message layer (the reference's
+    * gRPC service surface over length-prefixed frames) — one
+    * [[EventSession]] per connection against this engine. Port 0 binds
+    * an ephemeral port; read it from `boundPort`. */
+  def wireServer(engine: EventEngine, port: Int = 0): WireServer =
+    new WireServer(engine, port)
 
   /** The many-groups scale path: one streaming query for all groups.
     * Pass `ledgerDir` to make pending/acked chunk state survive a

@@ -47,7 +47,7 @@ object ProtoWire {
     "UNSPECIFIED" -> 0, "CREATED" -> 1, "UPDATED" -> 2,
     "DELETED" -> 3, "ALL" -> 4)
 
-  private def writeVarint(out: java.io.ByteArrayOutputStream, n0: Long): Unit = {
+  private[streaming] def writeVarint(out: java.io.ByteArrayOutputStream, n0: Long): Unit = {
     var n = n0
     while ((n & ~0x7FL) != 0L) { out.write(((n & 0x7F) | 0x80).toInt); n >>>= 7 }
     out.write(n.toInt)

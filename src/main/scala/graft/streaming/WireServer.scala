@@ -1,0 +1,156 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.util.concurrent.ConcurrentHashMap
+import scala.util.control.NonFatal
+import graft.core.ResourceType
+import WireProtocol._
+
+/** The WIRE-FACING server boundary — the repo's stand-in for the
+  * reference's tonic gRPC servers (public_event_server.rs:52 unary
+  * create/delete + :192 bidi read_stream_group_messages;
+  * internal_event_server.rs:18 emit): real sockets, real bytes, the
+  * [[WireProtocol]] proto3 message layer, one [[EventSession]] per
+  * connection driving the SAME engine/dispatcher/authz stack the
+  * in-process facade uses. Length-prefixed TCP replaces gRPC/HTTP-2
+  * (offline sandbox, no codegen — the documented transport divergence).
+  *
+  * Protocol: every request frame is answered by zero or more
+  * Notification / WireError frames followed by exactly one Ok frame
+  * (the reply terminator), so a blocking client can drive the
+  * request/reply loop without framing ambiguity. In-session failures
+  * travel as WireError STREAM ELEMENTS (the reference's error channel,
+  * public_event_server.rs:325,395-401); only transport-level garbage
+  * closes the connection. A connection that disconnects with a live
+  * session is closed server-side (the reference's client-drop path) —
+  * competing sessions keep the group's delivery running.
+  *
+  * Scale role: this is the CONTROL plane (subscriptions, acks,
+  * chunk-id notification batches) — bounded metadata. The DATA plane
+  * (payload hydration) stays in Spark's distributed tables
+  * ([[DeliveryTable]]); a production deployment terminates many such
+  * connections against the driver exactly like the reference's server
+  * fronts NATS, and the per-connection thread model is sized for that
+  * control-plane load, not for bulk data. */
+final class WireServer(engine: EventEngine, port: Int = 0, maxBatch: Int = Int.MaxValue) {
+
+  private val server = new ServerSocket(port)
+  private val conns = ConcurrentHashMap.newKeySet[Socket]()
+  @volatile private var running = true
+
+  /** The bound port (useful with the ephemeral default). */
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        conns.add(sock)
+        val t = new Thread(() => serve(sock), s"graft-wire-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => () // closed in stop()
+        case NonFatal(_) => ()
+      }
+    }
+  }, "graft-wire-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val session = new EventSession(engine, maxBatch)
+    def send(rs: Seq[WireResponse]): Unit =
+      (rs :+ Ok).foreach(r => writeFrame(out, encodeResponse(r)))
+    def outbound(os: Seq[EventSession.Outbound]): Seq[WireResponse] = os.map {
+      case EventSession.Notification(chunk) => toNotification(chunk)
+      case EventSession.SessionError(m) => WireError(m)
+    }
+    try {
+      var open = true
+      while (open) readFrame(in) match {
+        case None => open = false // client went away
+        case Some(frame) =>
+          val reply: Seq[WireResponse] =
+            try {
+              decodeRequest(frame) match {
+                case Init(id, token) =>
+                  outbound(session.handle(EventSession.Init(id, token)))
+                case Ack(ids) =>
+                  outbound(session.handle(EventSession.Ack(ids)))
+                case Poll =>
+                  // the pull analog of the reference's push loop: an
+                  // empty ack settles nothing and returns what is
+                  // pending for THIS session (bounded by maxBatch)
+                  outbound(session.handle(EventSession.Ack(Seq.empty)))
+                case Close =>
+                  outbound(session.handle(EventSession.Close))
+                case CreateGroup(id, rt, rid, h, sub, et, token) =>
+                  engine.createStreamGroup(id, ResourceType.fromName(rt), rid, h, sub,
+                    if (et.isEmpty) graft.core.EventType.All else et, token)
+                  Seq.empty
+                case DeleteGroup(id) =>
+                  engine.deleteStreamGroup(id); Seq.empty
+                case Emit(rt, et, rid, rel, token) =>
+                  engine.emit(ResourceType.fromName(rt), et, rid, rel, token)
+                  Seq.empty
+              }
+            } catch {
+              // pre-session/unary failures: the reference returns a
+              // status instead of stream output — here the status is an
+              // error frame and the connection stays usable
+              case NonFatal(e) => Seq(WireError(Option(e.getMessage).getOrElse(e.toString)))
+            }
+          send(reply)
+      }
+    } catch {
+      case _: SocketException => () // reset mid-frame: treat as drop
+      case _: java.io.EOFException => () // torn frame on drop
+    } finally {
+      if (session.isOpen) session.handle(EventSession.Close)
+      conns.remove(sock)
+      try sock.close() catch { case NonFatal(_) => () }
+    }
+  }
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case NonFatal(_) => () }
+    conns.forEach(s => try s.close() catch { case NonFatal(_) => () })
+  }
+}
+
+/** Minimal blocking client for [[WireServer]] — one socket, one
+  * request/reply loop (the reference's clients are tonic-generated;
+  * this is the equivalent hand-rolled stub). */
+final class WireClient(host: String, port: Int) {
+  private val sock = new Socket(host, port)
+  private val in = new DataInputStream(sock.getInputStream)
+  private val out = new DataOutputStream(sock.getOutputStream)
+
+  /** Sends one request, reads frames through the Ok terminator. */
+  def call(req: WireRequest): Seq[WireResponse] = {
+    writeFrame(out, encodeRequest(req))
+    val replies = Seq.newBuilder[WireResponse]
+    var done = false
+    while (!done) readFrame(in) match {
+      case Some(frame) => decodeResponse(frame) match {
+        case Ok => done = true
+        case r => replies += r
+      }
+      case None => throw new java.io.EOFException("server closed mid-reply")
+    }
+    replies.result()
+  }
+
+  def notifications(rs: Seq[WireResponse]): Seq[Notification] =
+    rs.collect { case n: Notification => n }
+
+  def errors(rs: Seq[WireResponse]): Seq[String] =
+    rs.collect { case WireError(m) => m }
+
+  def disconnect(): Unit = sock.close()
+}

@@ -1,0 +1,179 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.core._
+import graft.streaming.{EventEngine, WireClient, WireServer}
+import graft.streaming.WireProtocol
+import graft.streaming.WireProtocol._
+
+/** The wire-facing boundary (WireServer/WireClient/WireProtocol):
+  * golden proto3 bytes, codec round-trips, and the reference's e2e flow
+  * (e2e/tests.rs:108-277) driven over REAL localhost sockets — create
+  * group, emit, pull-notify, ack, competing consumers, client-drop
+  * failover, and the pre-session error paths the reference returns as
+  * gRPC statuses (public_event_server.rs:249-270). */
+class WireBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-wire-spec")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- codec layer --------------------------------------------------
+
+  test("golden bytes: Init encodes as prost would (oneof arm 1, nested strings)") {
+    // WireRequest{ init: Init{ stream_group_id: "g1", token: "tok" } }
+    // inner: 0x0A 0x02 'g' '1'  |  0x12 0x03 't' 'o' 'k'   (9 bytes)
+    // outer: 0x0A 0x09 <inner>
+    val expected = Array[Byte](0x0A, 0x09, 0x0A, 0x02) ++
+      "g1".getBytes("UTF-8") ++ Array[Byte](0x12, 0x03) ++ "tok".getBytes("UTF-8")
+    assert(encodeRequest(Init("g1", Some("tok"))).sameElements(expected))
+  }
+
+  test("golden bytes: empty oneof arms keep presence as tag + length 0") {
+    assert(encodeRequest(Close).sameElements(Array[Byte](0x1A, 0x00)))  // field 3
+    assert(encodeRequest(Poll).sameElements(Array[Byte](0x3A, 0x00)))   // field 7
+    assert(encodeResponse(Ok).sameElements(Array[Byte](0x1A, 0x00)))    // field 3
+  }
+
+  test("request and response codecs round-trip every arm") {
+    val reqs: Seq[WireRequest] = Seq(
+      Init("group-1"), Init("group-1", Some("secret")),
+      Ack(Seq.empty), Ack(Seq("c1", "c2", "c3")),
+      Close, Poll,
+      CreateGroup("g", "PROJECT", "p1",
+        Hierarchy(projectId = "p1", collectionId = "c1", objectId = "o1"),
+        includeSub = true, "ALL", Some("tok")),
+      CreateGroup("g2", "OBJECT", "o9", Hierarchy(), includeSub = false, ""),
+      DeleteGroup("g"),
+      Emit("PROJECT", "CREATED", "p1",
+        RelationCtx(project = "p1", objectGroups = Seq("og1", "og2")), Some("t")))
+    reqs.foreach(r => assert(decodeRequest(encodeRequest(r)) == r, s"round-trip $r"))
+
+    val resps: Seq[WireResponse] = Seq(
+      Notification("g", "chunk-0", 3L, Seq("s1", "s2"), Seq("r1", "r2")),
+      Notification("g", "c", 0L, Seq.empty, Seq.empty),
+      WireError("boom"), Ok)
+    resps.foreach(r => assert(decodeResponse(encodeResponse(r)) == r, s"round-trip $r"))
+  }
+
+  test("frames round-trip over a stream boundary") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    WireProtocol.writeFrame(out, encodeRequest(Init("g")))
+    WireProtocol.writeFrame(out, encodeRequest(Poll))
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(decodeRequest(WireProtocol.readFrame(in).get) == Init("g"))
+    assert(decodeRequest(WireProtocol.readFrame(in).get) == Poll)
+    assert(WireProtocol.readFrame(in).isEmpty, "clean EOF at a frame boundary is None")
+  }
+
+  // ---- live socket layer --------------------------------------------
+
+  private def withServer(f: (EventEngine, WireServer) => Unit): Unit = {
+    val engine = new EventEngine(spark, trigger = Trigger.ProcessingTime("250 milliseconds"))
+    val server = new WireServer(engine)
+    try f(engine, server)
+    finally { server.stop(); engine.stop() }
+  }
+
+  private def connect(server: WireServer) = new WireClient("127.0.0.1", server.boundPort)
+
+  private def pollUntil(c: WireClient, engine: EventEngine,
+                        atLeast: Int = 1, tries: Int = 40): Seq[Notification] = {
+    var got = Seq.empty[Notification]
+    var n = 0
+    while (got.size < atLeast && n < tries) {
+      engine.processAllAvailable()
+      got = got ++ c.notifications(c.call(Poll))
+      if (got.size < atLeast) Thread.sleep(50)
+      n += 1
+    }
+    got
+  }
+
+  test("e2e over sockets: create -> emit -> notify -> ack (tests.rs:108-277 shape)") {
+    withServer { (engine, server) =>
+      val c = connect(server)
+      try {
+        assert(c.call(CreateGroup("group-1", "PROJECT", "project_id",
+          Hierarchy(projectId = "project_id"), includeSub = true, "ALL")).isEmpty)
+        assert(c.call(Emit("PROJECT", "ALL", "project_id", RelationCtx())).isEmpty)
+        // an init reply may already carry chunks (they then sit in
+        // flight to this session and will NOT be re-offered on polls)
+        val onInit = c.notifications(c.call(Init("group-1")))
+        val chunks = if (onInit.nonEmpty) onInit else pollUntil(c, engine)
+        assert(chunks.nonEmpty, "at least one notification must round-trip the wire")
+        assert(chunks.head.subjects == Seq("UPDATES.STORAGE._.project_id._"))
+        assert(chunks.head.resourceIds == Seq("project_id"))
+        // ack settles; subsequent polls stay empty
+        assert(c.errors(c.call(Ack(chunks.map(_.chunkId)))).isEmpty)
+        engine.processAllAvailable()
+        assert(c.notifications(c.call(Poll)).isEmpty)
+        assert(c.call(WireProtocol.Close).isEmpty)
+      } finally c.disconnect()
+    }
+  }
+
+  test("pre-session failures arrive as error frames, connection stays usable") {
+    withServer { (engine, server) =>
+      val c = connect(server)
+      try {
+        // ack before init — the reference's invalid_argument status
+        val e1 = c.errors(c.call(Ack(Seq("c0"))))
+        assert(e1.exists(_.contains("init message")), s"got $e1")
+        // init on an unknown group — pre-session throw becomes an error frame
+        val e2 = c.errors(c.call(Init("nope")))
+        assert(e2.nonEmpty)
+        // the same connection can still init a real group afterwards
+        c.call(CreateGroup("g2", "PROJECT", "p9",
+          Hierarchy(projectId = "p9"), includeSub = false, "ALL"))
+        assert(c.errors(c.call(Init("g2"))).isEmpty)
+      } finally c.disconnect()
+    }
+  }
+
+  test("two wire clients compete: disjoint chunks, drop fails over") {
+    withServer { (engine, server) =>
+      val admin = connect(server)
+      try {
+        admin.call(CreateGroup("cg", "PROJECT", "p1",
+          Hierarchy(projectId = "p1"), includeSub = true, "ALL"))
+        // several deliveries -> several chunks (one per micro-batch)
+        (1 to 3).foreach { i =>
+          admin.call(Emit("PROJECT", "ALL", "p1", RelationCtx()))
+          engine.processAllAvailable()
+        }
+        val c1 = connect(server); val c2 = connect(server)
+        val init1 = c1.notifications(c1.call(Init("cg")))
+        val init2 = c2.notifications(c2.call(Init("cg")))
+        val got1 = if (init1.nonEmpty) init1 else pollUntil(c1, engine, atLeast = 1)
+        val got2 = init2 ++ c2.notifications(c2.call(Poll))
+        val ids1 = got1.map(_.chunkId).toSet
+        val ids2 = got2.map(_.chunkId).toSet
+        assert((ids1 & ids2).isEmpty, "in-flight chunks must go to exactly one session")
+        // c2 may not ack a chunk in flight to c1
+        if (ids1.nonEmpty) {
+          val e = c2.errors(c2.call(Ack(Seq(ids1.head))))
+          assert(e.exists(_.contains("another session")), s"got $e")
+        }
+        // drop c1 without acking: its flights fail over to c2 once the
+        // server notices the dead connection and closes the session
+        c1.disconnect()
+        val recovered = pollUntil(c2, engine, atLeast = ids1.size, tries = 100)
+        assert(ids1.subsetOf(recovered.map(_.chunkId).toSet),
+          "a dropped client's unacked chunks must be re-offered to survivors")
+        c2.call(WireProtocol.Close)
+        c2.disconnect()
+      } finally admin.disconnect()
+    }
+  }
+}
