@@ -141,6 +141,41 @@ class WireBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("token gates hold over the wire: internal emit + public attach (R1/R8)") {
+    // the reference splits these across its internal and public servers
+    // (internal_event_server.rs:23-45; public_event_server.rs:56-100) —
+    // same gates, same engine, exercised through socket frames, token
+    // in-message (transport divergence documented in WireProtocol)
+    val engine = new EventEngine(spark,
+      trigger = Trigger.ProcessingTime("250 milliseconds"),
+      security = EngineSecurity(internalToken = Some("secret"),
+        authz = Some(AuthzProvider.AllowAll)))
+    val server = new WireServer(engine)
+    try {
+      val c = connect(server)
+      try {
+        // create needs a token under AllowAll (missing token rejected)
+        val e0 = c.errors(c.call(CreateGroup("tg", "PROJECT", "p1",
+          Hierarchy(projectId = "p1"), includeSub = true, "ALL")))
+        assert(e0.exists(_.contains("authentication header")), s"got $e0")
+        assert(c.errors(c.call(CreateGroup("tg", "PROJECT", "p1",
+          Hierarchy(projectId = "p1"), includeSub = true, "ALL", Some("any")))).isEmpty)
+        // emit: wrong token -> bad token; right token -> accepted
+        val e1 = c.errors(c.call(Emit("PROJECT", "ALL", "p1", RelationCtx(), Some("wrong"))))
+        assert(e1.exists(_.contains("bad token")), s"got $e1")
+        val e2 = c.errors(c.call(Emit("PROJECT", "ALL", "p1", RelationCtx())))
+        assert(e2.exists(_.contains("authentication header")), s"got $e2")
+        assert(c.errors(c.call(Emit("PROJECT", "ALL", "p1", RelationCtx(), Some("secret")))).isEmpty)
+        // attach re-authorizes: missing token rejected, token accepted
+        val e3 = c.errors(c.call(Init("tg")))
+        assert(e3.exists(_.contains("authentication header")), s"got $e3")
+        val onInit = c.notifications(c.call(Init("tg", Some("any"))))
+        val chunks = if (onInit.nonEmpty) onInit else pollUntil(c, engine)
+        assert(chunks.nonEmpty, "the authorized emit must be delivered")
+      } finally c.disconnect()
+    } finally { server.stop(); engine.stop() }
+  }
+
   test("two wire clients compete: disjoint chunks, drop fails over") {
     withServer { (engine, server) =>
       val admin = connect(server)
