@@ -60,7 +60,7 @@ object Graft {
     * [[EventSession]] per connection against this engine. Port 0 binds
     * an ephemeral port; read it from `boundPort`. */
   def wireServer(engine: EventEngine, port: Int = 0): WireServer =
-    new WireServer(engine, port)
+    WireServer(engine, port)
 
   /** The many-groups scale path: one streaming query for all groups.
     * Pass `ledgerDir` to make pending/acked chunk state survive a

@@ -4,8 +4,50 @@ import java.io.{DataInputStream, DataOutputStream}
 import java.net.{ServerSocket, Socket, SocketException}
 import java.util.concurrent.ConcurrentHashMap
 import scala.util.control.NonFatal
-import graft.core.ResourceType
+import graft.core.{Hierarchy, RelationCtx, ResourceType}
 import WireProtocol._
+
+/** The unary-RPC surface of the wire boundary (create/delete/emit) —
+  * [[ConsumerHost]] carries the session protocol, this carries the
+  * rest, so ONE server implementation fronts all three engines exactly
+  * the way one session protocol already serves them (the reference
+  * splits these across its public and internal tonic services;
+  * public_event_server.rs:52,177, internal_event_server.rs:18). */
+trait WireAdmin {
+  def createGroup(groupId: String, rt: ResourceType, resourceId: String,
+                  hierarchy: Hierarchy, includeSub: Boolean,
+                  eventType: String, token: Option[String]): Unit
+  def deleteGroup(groupId: String): Unit
+  def emit(rt: ResourceType, eventType: String, resourceId: String,
+           relation: RelationCtx, token: Option[String]): Unit
+}
+
+object WireAdmin {
+  def apply(e: EventEngine): WireAdmin = new WireAdmin {
+    def createGroup(id: String, rt: ResourceType, rid: String, h: Hierarchy,
+                    sub: Boolean, et: String, token: Option[String]): Unit =
+      e.createStreamGroup(id, rt, rid, h, sub, et, token)
+    def deleteGroup(id: String): Unit = e.deleteStreamGroup(id)
+    def emit(rt: ResourceType, et: String, rid: String, rel: RelationCtx,
+             token: Option[String]): Unit = e.emit(rt, et, rid, rel, token)
+  }
+  def apply(m: MultiplexedDelivery): WireAdmin = new WireAdmin {
+    def createGroup(id: String, rt: ResourceType, rid: String, h: Hierarchy,
+                    sub: Boolean, et: String, token: Option[String]): Unit =
+      m.addGroup(id, rt, rid, h, sub, et, token)
+    def deleteGroup(id: String): Unit = m.removeGroup(id)
+    def emit(rt: ResourceType, et: String, rid: String, rel: RelationCtx,
+             token: Option[String]): Unit = m.emit(rt, et, rid, rel, token = token)
+  }
+  def apply(d: DurableEventLog): WireAdmin = new WireAdmin {
+    def createGroup(id: String, rt: ResourceType, rid: String, h: Hierarchy,
+                    sub: Boolean, et: String, token: Option[String]): Unit =
+      d.addGroup(id, rt, rid, h, sub, et, token)
+    def deleteGroup(id: String): Unit = d.removeGroup(id)
+    def emit(rt: ResourceType, et: String, rid: String, rel: RelationCtx,
+             token: Option[String]): Unit = d.emit(rt, et, rid, rel, token)
+  }
+}
 
 /** The WIRE-FACING server boundary — the repo's stand-in for the
   * reference's tonic gRPC servers (public_event_server.rs:52 unary
@@ -33,7 +75,8 @@ import WireProtocol._
   * connections against the driver exactly like the reference's server
   * fronts NATS, and the per-connection thread model is sized for that
   * control-plane load, not for bulk data. */
-final class WireServer(engine: EventEngine, port: Int = 0, maxBatch: Int = Int.MaxValue) {
+final class WireServer(host: ConsumerHost, admin: WireAdmin,
+                       port: Int = 0, maxBatch: Int = Int.MaxValue) {
 
   private val server = new ServerSocket(port)
   private val conns = ConcurrentHashMap.newKeySet[Socket]()
@@ -62,7 +105,7 @@ final class WireServer(engine: EventEngine, port: Int = 0, maxBatch: Int = Int.M
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
-    val session = new EventSession(engine, maxBatch)
+    val session = new EventSession(host, maxBatch)
     def send(rs: Seq[WireResponse]): Unit =
       (rs :+ Ok).foreach(r => writeFrame(out, encodeResponse(r)))
     def outbound(os: Seq[EventSession.Outbound]): Seq[WireResponse] = os.map {
@@ -89,13 +132,13 @@ final class WireServer(engine: EventEngine, port: Int = 0, maxBatch: Int = Int.M
                 case Close =>
                   outbound(session.handle(EventSession.Close))
                 case CreateGroup(id, rt, rid, h, sub, et, token) =>
-                  engine.createStreamGroup(id, ResourceType.fromName(rt), rid, h, sub,
+                  admin.createGroup(id, ResourceType.fromName(rt), rid, h, sub,
                     if (et.isEmpty) graft.core.EventType.All else et, token)
                   Seq.empty
                 case DeleteGroup(id) =>
-                  engine.deleteStreamGroup(id); Seq.empty
+                  admin.deleteGroup(id); Seq.empty
                 case Emit(rt, et, rid, rel, token) =>
-                  engine.emit(ResourceType.fromName(rt), et, rid, rel, token)
+                  admin.emit(ResourceType.fromName(rt), et, rid, rel, token)
                   Seq.empty
               }
             } catch {
@@ -121,6 +164,17 @@ final class WireServer(engine: EventEngine, port: Int = 0, maxBatch: Int = Int.M
     try server.close() catch { case NonFatal(_) => () }
     conns.forEach(s => try s.close() catch { case NonFatal(_) => () })
   }
+}
+
+object WireServer {
+  def apply(e: EventEngine, port: Int = 0, maxBatch: Int = Int.MaxValue): WireServer =
+    new WireServer(e, WireAdmin(e), port, maxBatch)
+  def apply(m: MultiplexedDelivery, port: Int, maxBatch: Int): WireServer =
+    new WireServer(m, WireAdmin(m), port, maxBatch)
+  def apply(m: MultiplexedDelivery): WireServer = apply(m, 0, Int.MaxValue)
+  def apply(d: DurableEventLog, port: Int, maxBatch: Int): WireServer =
+    new WireServer(d, WireAdmin(d), port, maxBatch)
+  def apply(d: DurableEventLog): WireServer = apply(d, 0, Int.MaxValue)
 }
 
 /** Minimal blocking client for [[WireServer]] — one socket, one

@@ -80,7 +80,7 @@ class WireBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def withServer(f: (EventEngine, WireServer) => Unit): Unit = {
     val engine = new EventEngine(spark, trigger = Trigger.ProcessingTime("250 milliseconds"))
-    val server = new WireServer(engine)
+    val server = WireServer(engine)
     try f(engine, server)
     finally { server.stop(); engine.stop() }
   }
@@ -150,7 +150,7 @@ class WireBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
       trigger = Trigger.ProcessingTime("250 milliseconds"),
       security = EngineSecurity(internalToken = Some("secret"),
         authz = Some(AuthzProvider.AllowAll)))
-    val server = new WireServer(engine)
+    val server = WireServer(engine)
     try {
       val c = connect(server)
       try {
@@ -174,6 +174,45 @@ class WireBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(chunks.nonEmpty, "the authorized emit must be delivered")
       } finally c.disconnect()
     } finally { server.stop(); engine.stop() }
+  }
+
+  test("the same wire server fronts the multiplexed engine (one query, many groups)") {
+    import graft.streaming.MultiplexedDelivery
+    val mux = new MultiplexedDelivery(spark)
+    val server = WireServer(mux)
+    try {
+      val c = connect(server)
+      try {
+        c.call(CreateGroup("w-p1", "PROJECT", "p1",
+          Hierarchy(projectId = "p1"), includeSub = true, "ALL"))
+        c.call(CreateGroup("w-p2", "PROJECT", "p2",
+          Hierarchy(projectId = "p2"), includeSub = true, "ALL"))
+        mux.start() // engine lifecycle stays host-side, as in its spec
+        c.call(Emit("PROJECT", "ALL", "p1", RelationCtx()))
+        c.call(Emit("PROJECT", "ALL", "p2", RelationCtx()))
+        mux.processAllAvailable()
+        val c2 = connect(server)
+        try {
+          val on1 = c.notifications(c.call(Init("w-p1")))
+          val on2 = c2.notifications(c2.call(Init("w-p2")))
+          def drain(cl: WireClient, seed: Seq[Notification]): Seq[Notification] = {
+            var got = seed; var n = 0
+            while (got.isEmpty && n < 40) {
+              mux.processAllAvailable()
+              got = got ++ cl.notifications(cl.call(Poll)); n += 1
+              if (got.isEmpty) Thread.sleep(50)
+            }
+            got
+          }
+          val g1 = drain(c, on1); val g2 = drain(c2, on2)
+          assert(g1.flatMap(_.resourceIds).toSet == Set("p1"),
+            "group filtering must hold through the wire on the shared query")
+          assert(g2.flatMap(_.resourceIds).toSet == Set("p2"))
+          assert(c.errors(c.call(Ack(g1.map(_.chunkId)))).isEmpty)
+          assert(c2.errors(c2.call(Ack(g2.map(_.chunkId)))).isEmpty)
+        } finally c2.disconnect()
+      } finally c.disconnect()
+    } finally { server.stop(); mux.stop() }
   }
 
   test("two wire clients compete: disjoint chunks, drop fails over") {
