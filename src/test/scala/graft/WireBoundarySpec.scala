@@ -176,6 +176,29 @@ class WireBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { server.stop(); engine.stop() }
   }
 
+  test("malformed frames: garbage bodies answer with error frames, transport garbage drops the connection") {
+    withServer { (engine, server) =>
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      try {
+        // a well-framed but meaningless body -> WireError + Ok, connection lives
+        WireProtocol.writeFrame(out, Array[Byte](0x7F, 0x01, 0x00)) // unknown field, varint
+        val r1 = decodeResponse(WireProtocol.readFrame(in).get)
+        assert(r1.isInstanceOf[WireError], s"got $r1")
+        assert(decodeResponse(WireProtocol.readFrame(in).get) == Ok)
+        // the connection still serves real requests afterwards
+        WireProtocol.writeFrame(out, encodeRequest(Poll))
+        val r2 = decodeResponse(WireProtocol.readFrame(in).get)
+        assert(r2.isInstanceOf[WireError], "poll before init is an in-stream error")
+        assert(decodeResponse(WireProtocol.readFrame(in).get) == Ok)
+        // an insane length prefix is transport garbage -> server drops us
+        out.writeInt(Int.MaxValue); out.flush()
+        assert(WireProtocol.readFrame(in).isEmpty, "server must close on framing garbage")
+      } finally sock.close()
+    }
+  }
+
   test("the same wire server fronts the multiplexed engine (one query, many groups)") {
     import graft.streaming.MultiplexedDelivery
     val mux = new MultiplexedDelivery(spark)
