@@ -238,6 +238,35 @@ class WireBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { server.stop(); mux.stop() }
   }
 
+  test("the same wire server fronts the durable engine (parquet log + checkpointed delivery)") {
+    import graft.streaming.DurableEventLog
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wire-durable")
+    val log = new DurableEventLog(spark, s"$tmp/log", s"$tmp/ckpt")
+    val server = WireServer(log)
+    try {
+      log.startIngest()
+      val c = connect(server)
+      try {
+        c.call(CreateGroup("dg", "PROJECT", "p1",
+          Hierarchy(projectId = "p1"), includeSub = true, "ALL"))
+        assert(c.call(Emit("PROJECT", "ALL", "p1", RelationCtx())).isEmpty)
+        log.processAllAvailable()
+        // init starts the checkpointed delivery (attachConsumer)
+        val onInit = c.notifications(c.call(Init("dg")))
+        var got = onInit; var n = 0
+        while (got.isEmpty && n < 40) {
+          log.processAllAvailable()
+          got = got ++ c.notifications(c.call(Poll)); n += 1
+          if (got.isEmpty) Thread.sleep(50)
+        }
+        assert(got.flatMap(_.resourceIds).contains("p1"),
+          "the durable delivery must round-trip the wire")
+        assert(c.errors(c.call(Ack(got.map(_.chunkId)))).isEmpty)
+        assert(c.call(WireProtocol.Close).isEmpty)
+      } finally c.disconnect()
+    } finally { server.stop(); log.stop() }
+  }
+
   test("two wire clients compete: disjoint chunks, drop fails over") {
     withServer { (engine, server) =>
       val admin = connect(server)
