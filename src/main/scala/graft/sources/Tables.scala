@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (`TESTDATA.md`).
   *
@@ -20,16 +20,28 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's schema
-    // converter rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as
-    // Long and rebuild the timestamp at microsecond precision. `div`
-    // (integer division) is mandatory: a double round-trip would lose
-    // precision above 2^53 ns (~1970+104 days).
+    // The driver has shipped events.ts under two parquet encodings so far;
+    // both are normalized to TimestampType here so every consumer (incl. the
+    // strictly-typed unix_micros in TemporalOps) sees one schema:
+    //  - TIMESTAMP(NANOS): Spark's schema converter rejects it outright
+    //    (PARQUET_TYPE_ILLEGAL). Read nanos as Long and rebuild at
+    //    microsecond precision. `div` (integer division) is mandatory: a
+    //    double round-trip would lose precision above 2^53 ns.
+    //  - timestamp[us] with isAdjustedToUTC=false: Spark reads it as
+    //    TIMESTAMP_NTZ. The session TZ is pinned UTC in Verify/Bench/TimeQ,
+    //    so a cast to TimestampType is value-identical. Applied to EVERY
+    //    NTZ column (the 2026-08 regeneration also flipped o_orderdate /
+    //    l_shipdate) so consumers always see one post-load schema.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(path(dir, name))
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+    val raw = spark.read.parquet(path(dir, name))
+    val df = raw.schema.fields.foldLeft(raw) {
+      case (d, f) if f.dataType == TimestampNTZType =>
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
+      case (d, _) => d
+    }
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
     }
   }
 
