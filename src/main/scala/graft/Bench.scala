@@ -107,7 +107,14 @@ object Bench {
     System.err.println(
       s"[bench-runs] stream_replay ${replaySamples.map(x => f"$x%.2f").mkString(" ")}")
     val replay = replaySamples.sorted.apply(replaySamples.size / 2)
-    val all = results :+ ("stream_replay" -> replay)
+    val wireSamples = (1 to runs).map { _ =>
+      System.gc()
+      wireReplaySeconds(spark, sfDir)
+    }
+    System.err.println(
+      s"[bench-runs] wire_replay ${wireSamples.map(x => f"$x%.2f").mkString(" ")}")
+    val wire = wireSamples.sorted.apply(wireSamples.size / 2)
+    val all = results :+ ("stream_replay" -> replay) :+ ("wire_replay" -> wire)
     // The driver parses the JSON line out of a bounded 2000-char tail of
     // the sbt output. Round 3's line (80 full-length query names, 3
     // decimals) outgrew that window and the driver recorded
@@ -178,22 +185,7 @@ object Bench {
     // a single mega-batch.
     val batchRows = sys.env.getOrElse("SPARK_GRAFT_REPLAY_BATCH", "50000").toInt
     rows.grouped(batchRows).foreach { chunk =>
-      mux.emitAll(chunk.map { r =>
-        val (uid, et) = (r.getLong(1), r.getString(2))
-        val project = s"p${uid % 5}"
-        val ts = new java.sql.Timestamp(0L)
-        et match {
-          case "signup" =>
-            Event(ResourceType.Project, EventType.All, project, RelationCtx(), ts)
-          case "purchase" =>
-            Event(ResourceType.Collection, EventType.All, s"c$uid",
-              RelationCtx(project = project), ts)
-          case _ =>
-            Event(ResourceType.Object, EventType.All, s"o${r.getLong(0)}",
-              RelationCtx(project = project, collection = s"c$uid",
-                sharedObject = s"s${r.getLong(0)}", objectGroups = Seq(s"g${uid % 3}")), ts)
-        }
-      }.toSeq)
+      mux.emitAll(chunk.map(r => replayEvent(r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
       mux.processAllAvailable()
     }
     val elapsed = (System.nanoTime() - t0) / 1e9
@@ -203,6 +195,122 @@ object Bench {
     mux.stop()
     require(delivered >= rows.length,
       s"replay must deliver every event at least once ($delivered < ${rows.length})")
+    elapsed
+  }
+
+  /** The sf-row → hierarchy-event mapping shared by both replays. */
+  private def replayEvent(eventId: Long, uid: Long, et: String): graft.core.Event = {
+    import graft.core._
+    val project = s"p${uid % 5}"
+    val ts = new java.sql.Timestamp(0L)
+    et match {
+      case "signup" =>
+        Event(ResourceType.Project, EventType.All, project, RelationCtx(), ts)
+      case "purchase" =>
+        Event(ResourceType.Collection, EventType.All, s"c$uid",
+          RelationCtx(project = project), ts)
+      case _ =>
+        Event(ResourceType.Object, EventType.All, s"o$eventId",
+          RelationCtx(project = project, collection = s"c$uid",
+            sharedObject = s"s$eventId", objectGroups = Seq(s"g${uid % 3}")), ts)
+    }
+  }
+
+  /** Wire-boundary replay throughput (BASELINE.md "wire replay" row,
+    * round-7 verdict item #4): the SAME event stream as
+    * [[streamReplaySeconds]], but driven END-TO-END through the TCP wire
+    * boundary — producers emit proto3 `Emit` frames over sockets,
+    * consumers hold one live [[graft.streaming.EventSession]] each over
+    * their own connection and run the reference's notify → ack loop
+    * (public_event_server.rs:192, 250 ms pull cadence scaled down to
+    * keep the bench bounded). Returns elapsed seconds from first emit
+    * until every event's delivery row has round-tripped a socket and
+    * been acked. events/s = rows ÷ this.
+    *
+    * Scale shape: the wire is the CONTROL plane — frames carry chunk
+    * ids + subjects, payloads stay in the distributed delivery table —
+    * so the measured ceiling is per-event unary framing + the engine's
+    * micro-batch cadence, exactly the bound a reference deployment hits
+    * on its gRPC ingest path. */
+  private[graft] def wireReplaySeconds(spark: org.apache.spark.sql.SparkSession,
+                                       sfDir: String): Double = {
+    import graft.streaming.{MultiplexedDelivery, WireClient, WireServer}
+    import graft.streaming.WireProtocol._
+    val rows = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type").collect()
+    val mux = new MultiplexedDelivery(spark,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
+      sourcePartitions = sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTS", "8").toInt)
+    val server = WireServer(mux)
+    val admin = new WireClient("127.0.0.1", server.boundPort)
+    (0 until 5).foreach { p =>
+      val r = admin.call(CreateGroup(s"bench-p$p", "PROJECT", s"p$p",
+        graft.core.Hierarchy(projectId = s"p$p"), includeSub = true, "ALL"))
+      require(admin.errors(r).isEmpty, s"create failed: ${admin.errors(r)}")
+    }
+    mux.start()
+    val target = rows.length.toLong
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t0 = System.nanoTime()
+    // 5 consumers (one per group): Init, then the ack loop — each Ack
+    // settles the previous batch AND returns what is now pending, so
+    // one frame per iteration carries the whole notify→ack protocol.
+    val consumers = (0 until 5).map { p =>
+      val t = new Thread(() => {
+        val c = new WireClient("127.0.0.1", server.boundPort)
+        try {
+          var held = c.notifications(c.call(Init(s"bench-p$p"))).map(_.chunkId)
+          while (delivered.get < target && failure.get == null) {
+            val ns = c.notifications(c.call(Ack(held)))
+            held = ns.map(_.chunkId)
+            delivered.addAndGet(ns.map(_.resourceIds.size.toLong).sum)
+            if (ns.isEmpty) Thread.sleep(25)
+          }
+          if (held.nonEmpty) c.call(Ack(held))
+          c.call(Close)
+        } catch { case e: Throwable => failure.compareAndSet(null, e) }
+        finally c.disconnect()
+      }, s"wire-bench-consumer-$p")
+      t.start(); t
+    }
+    // 8 producer connections, each replaying its shard as unary Emit
+    // frames (the reference's internal_event_server.rs:18 ingest shape).
+    val nProd = sys.env.getOrElse("SPARK_GRAFT_WIRE_PRODUCERS", "8").toInt
+    val producers = (0 until nProd).map { i =>
+      val t = new Thread(() => {
+        val c = new WireClient("127.0.0.1", server.boundPort)
+        try {
+          var j = i
+          while (j < rows.length && failure.get == null) {
+            val r = rows(j)
+            val e = replayEvent(r.getLong(0), r.getLong(1), r.getString(2))
+            val rel = graft.core.RelationCtx(e.project, e.collection,
+              e.sharedObject, e.objectGroups)
+            val rs = c.call(Emit(e.resource, e.eventType, e.resourceId, rel))
+            if (c.errors(rs).nonEmpty)
+              throw new IllegalStateException(s"emit rejected: ${c.errors(rs)}")
+            j += nProd
+          }
+        } catch { case e: Throwable => failure.compareAndSet(null, e) }
+        finally c.disconnect()
+      }, s"wire-bench-producer-$i")
+      t.start(); t
+    }
+    producers.foreach(_.join())
+    val deadline = System.nanoTime() + 300L * 1000000000L
+    while (delivered.get < target && failure.get == null && System.nanoTime() < deadline) {
+      mux.processAllAvailable()
+      if (delivered.get < target) Thread.sleep(20)
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    consumers.foreach(_.join(10000))
+    if (failure.get != null) { server.stop(); mux.stop(); throw failure.get }
+    require(delivered.get >= target,
+      s"wire replay must deliver every event (${delivered.get} < $target)")
+    admin.disconnect()
+    server.stop()
+    mux.stop()
     elapsed
   }
 }

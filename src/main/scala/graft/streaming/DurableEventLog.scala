@@ -86,8 +86,13 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
            relation: RelationCtx, token: Option[String] = None): Unit = {
     security.requireInternal(token)
     Subjects.requireValidId(resourceId, "resourceId")
-    source.addData(Event(resource, eventType, resourceId, relation,
-      new Timestamp(sequence.incrementAndGet() * 1000L)))
+    // Serialize the row-encode (see MultiplexedDelivery.emit): the
+    // memory source's serializer reuses one UnsafeRow buffer and
+    // concurrent wire-connection emitters would tear rows otherwise.
+    source.synchronized {
+      source.addData(Event(resource, eventType, resourceId, relation,
+        new Timestamp(sequence.incrementAndGet() * 1000L)))
+    }
   }
 
   /** Ingest: fan out and append to the partitioned log. The project

@@ -132,8 +132,14 @@ final class EventEngine(val spark: SparkSession,
     relation.objectGroups.foreach(Subjects.requireValidId(_, "object group id"))
     require(resource != ResourceType.Unspecified && resource != ResourceType.All,
       s"cannot publish events for resource type ${resource.name}")
-    source.addData(Event(resource, eventType, resourceId, relation,
-      new Timestamp(sequence.incrementAndGet() * 1000L)))
+    // Serialize the row-encode: MemoryStream's serializer reuses one
+    // UnsafeRow buffer and only the batch append is internally locked —
+    // concurrent emitters (one thread per wire connection) would tear
+    // rows otherwise (see MultiplexedDelivery.emit).
+    source.synchronized {
+      source.addData(Event(resource, eventType, resourceId, relation,
+        new Timestamp(sequence.incrementAndGet() * 1000L)))
+    }
   }
 
   /** The fanned-out event log as a streaming DataFrame — R2/R4/R5. */

@@ -89,13 +89,19 @@ final class MultiplexedDelivery(val spark: SparkSession,
            token: Option[String] = None): Unit = {
     security.requireInternal(token)
     Subjects.requireValidId(resourceId, "resourceId")
-    source.addData(Event(resource, eventType, resourceId, relation, ts))
+    // MemoryStream.addData row-encodes through a serializer that reuses
+    // one UnsafeRow buffer; only the batch append is internally locked.
+    // Concurrent emitters (one thread per wire connection) must therefore
+    // serialize the encode too, or rows arrive torn ("Invalid byte array
+    // backed UnsafeRow" — found by the wire replay bench at 8 producers).
+    source.synchronized { source.addData(Event(resource, eventType, resourceId, relation, ts)) }
   }
 
   /** Bulk ingest — one offset per batch instead of per event (the
     * replay/backfill path; per-event addData serializes on the stream
     * lock and caps throughput on the driver). */
-  def emitAll(events: Iterable[Event]): Unit = source.addData(events)
+  def emitAll(events: Iterable[Event]): Unit =
+    source.synchronized { source.addData(events) }
 
   /** Register a group — no new streaming query is started; the shared
     * query picks the group up at its next micro-batch. `eventType`

@@ -103,8 +103,15 @@ final class WireServer(host: ConsumerHost, admin: WireAdmin,
   acceptor.start()
 
   private def serve(sock: Socket): Unit = {
-    val in = new DataInputStream(sock.getInputStream)
-    val out = new DataOutputStream(sock.getOutputStream)
+    // RPC socket hygiene: buffer both directions so a frame is one
+    // syscall (DataOutputStream.writeInt alone is four one-byte writes
+    // on a raw socket stream), and disable Nagle so the per-frame flush
+    // goes out immediately instead of waiting on the peer's delayed ACK
+    // (~40 ms per unary call otherwise — measured 530 ev/s vs 30k+ ev/s
+    // by the wire replay bench).
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
     val session = new EventSession(host, maxBatch)
     def send(rs: Seq[WireResponse]): Unit =
       (rs :+ Ok).foreach(r => writeFrame(out, encodeResponse(r)))
@@ -182,8 +189,9 @@ object WireServer {
   * this is the equivalent hand-rolled stub). */
 final class WireClient(host: String, port: Int) {
   private val sock = new Socket(host, port)
-  private val in = new DataInputStream(sock.getInputStream)
-  private val out = new DataOutputStream(sock.getOutputStream)
+  sock.setTcpNoDelay(true) // see serve(): unary calls stall on Nagle otherwise
+  private val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+  private val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
 
   /** Sends one request, reads frames through the Ok terminator. */
   def call(req: WireRequest): Seq[WireResponse] = {

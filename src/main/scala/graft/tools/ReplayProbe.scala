@@ -21,9 +21,11 @@ object ReplayProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val wire = args.length > 2 && args(2) == "wire"
     (1 to n).foreach { i =>
       System.gc()
-      val sec = graft.Bench.streamReplaySeconds(spark, sfDir)
+      val sec = if (wire) graft.Bench.wireReplaySeconds(spark, sfDir)
+                else graft.Bench.streamReplaySeconds(spark, sfDir)
       println(f"[replay-probe] run $i: $sec%.2f s")
     }
     spark.stop()
