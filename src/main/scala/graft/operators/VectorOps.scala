@@ -854,7 +854,15 @@ object VectorOps extends QueryModule {
     * oracle's `list_reduce` — so cosines are bit-identical and the
     * exact output hash-matches with zero tolerance. Threshold 0.45 =
     * q62's regime: q62 is the sub-quadratic approximate path, q158 the
-    * exact dense path; BASELINE.md carries both measurements. */
+    * exact dense path; BASELINE.md carries both measurements.
+    *
+    * Oracle cost (round-7 check of the round-6 "trim the all-pairs
+    * oracle" nice-to-have): the DuckDB side measured 0.18 s at the
+    * sf0.01 gate scale, so the blocked-SQL mirror is NOT taken — the
+    * exact sweep is inherently N²/2 dot products in any formulation;
+    * blocking only changes memory locality, which the driver's gate
+    * scale never stresses. Revisit only if a driver gate ever verifies
+    * at sf0.1+ (~100× the measured cost). */
   val q158_dense_threshold = QueryDef(
     "q158_dense_threshold",
     (s, dir) => {
