@@ -11,10 +11,13 @@ import graft.sources.Tables
   *
   * The Spark-side plumbing here is real and tested — schema, typed
   * Dataset, partition-batched iteration (the JVM analog of an Arrow
-  * batch UDF), deterministic outputs, partitioning on asset_id. The
-  * CODEC itself is stubbed (no image/audio libraries in this
-  * environment): [[MediaCodec.decodeStub]] derives features from raw
-  * bytes deterministically where a real build would call the decoder.
+  * batch UDF), deterministic outputs, partitioning on asset_id.
+  * CONTAINER decode is also real as of round 7: [[Containers]] carries
+  * pure-JVM BMP/WAV codecs (golden-byte-tested, oracle-checked by
+  * q163). Only the EMBEDDING step is a stand-in
+  * ([[MediaCodec.decodeStub]] derives features from raw bytes
+  * deterministically where a real build would call a model) — weights,
+  * not parsers, are what this offline environment cannot hold.
   *
   * Scale notes: media bytes never pass through a shuffle — features are
   * computed map-side and the heavy BINARY column is dropped before any

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.Multimodal
+import graft.multimodal.{Containers, Multimodal}
+import graft.sources.Tables
 
 /** Query-surface entries for the multimodal plumbing (binary media
   * columns + stubbed codec — see graft.multimodal.Multimodal). */
@@ -61,5 +62,78 @@ object MultimodalOps extends QueryModule {
             md5(text) AS payload_sig
             FROM documents ORDER BY asset_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q49_multimodal_meta, q50_multimodal_features)
+  /** REAL container codec round-trip (round 7): per document, a genuine
+    * 24-bit BMP (image docs) or PCM16 RIFF/WAVE (audio docs) is ENCODED
+    * from deterministic parameters and immediately DECODED by the
+    * independent parser in [[graft.multimodal.Containers]]; the emitted
+    * columns are what the DECODER read out of the bytes, while the
+    * oracle recomputes every value from the generating arithmetic. The
+    * probe columns are chosen to make format bugs break the hash:
+    * `px_first` is image-space (0,0) = the LAST stored row (bottom-up
+    * storage), `px_last` sits behind every per-row padding boundary,
+    * `file_bytes` is the header's size field (stride arithmetic), and
+    * `s_mid`/`s_last` are signed little-endian reads at odd offsets.
+    * Encode+decode run map-side per partition (the sanctioned
+    * multimodal byte-codec case); bytes never shuffle. */
+  val q163_media_codec = QueryDef(
+    "q163_media_codec",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+        .as[(Long, Long)]
+        .filter(_._1 % 3 != 2)
+        .mapPartitions(_.map { case (id, nc) =>
+          if (id % 3 == 0) {
+            val w = (nc % 64 + 1).toInt
+            val h = (nc % 48 + 1).toInt
+            val bytes = Containers.encodeBmp24(w, h, (x, y) =>
+              (((id + x) % 256).toInt, ((id + y) % 256).toInt,
+                ((id + x + y) % 256).toInt))
+            val d = Containers.decodeBmp24(bytes)
+            require(d.fileSize == bytes.length, "BMP size field mismatch")
+            (id, "image", d.width.toLong, d.height.toLong, d.fileSize.toLong,
+              d.firstPixel.toLong, d.lastPixel.toLong, -1L, -1L, -1L, -1L, -1L)
+          } else {
+            val n = (nc % 100 + 1).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 13 + i * 17) % 65536) - 32768).toShort)
+            val bytes = Containers.encodeWavPcm16(16000, samples)
+            val d = Containers.decodeWavPcm16(bytes)
+            (id, "audio", -1L, -1L, -1L, -1L, -1L, d.sampleRate.toLong,
+              d.nSamples.toLong, d.firstSample.toLong, d.midSample.toLong,
+              d.lastSample.toLong)
+          }
+        })
+        .toDF("asset_id", "kind", "wd", "ht", "file_bytes", "px_first", "px_last",
+          "sr", "n_samp", "s_first", "s_mid", "s_last")
+        .orderBy("asset_id")
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS asset_id, 'image' AS kind,
+            CAST(n_chars % 64 + 1 AS BIGINT) AS wd,
+            CAST(n_chars % 48 + 1 AS BIGINT) AS ht,
+            CAST(54 + (((n_chars % 64 + 1) * 3 + 3) // 4) * 4 * (n_chars % 48 + 1)
+                 AS BIGINT) AS file_bytes,
+            CAST((doc_id % 256) * 65536 + (doc_id % 256) * 256 + doc_id % 256
+                 AS BIGINT) AS px_first,
+            CAST(((doc_id + n_chars % 64) % 256) * 65536
+                 + ((doc_id + n_chars % 48) % 256) * 256
+                 + (doc_id + n_chars % 64 + n_chars % 48) % 256
+                 AS BIGINT) AS px_last,
+            CAST(-1 AS BIGINT) AS sr, CAST(-1 AS BIGINT) AS n_samp,
+            CAST(-1 AS BIGINT) AS s_first, CAST(-1 AS BIGINT) AS s_mid,
+            CAST(-1 AS BIGINT) AS s_last
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), 'audio',
+            -1, -1, -1, -1, -1,
+            16000, CAST(n_chars % 100 + 1 AS BIGINT),
+            CAST((doc_id * 13) % 65536 - 32768 AS BIGINT),
+            CAST((doc_id * 13 + ((n_chars % 100 + 1) // 2) * 17) % 65536 - 32768
+                 AS BIGINT),
+            CAST((doc_id * 13 + (n_chars % 100) * 17) % 65536 - 32768 AS BIGINT)
+            FROM documents WHERE doc_id % 3 = 1
+            ORDER BY asset_id"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q49_multimodal_meta, q50_multimodal_features, q163_media_codec)
 }

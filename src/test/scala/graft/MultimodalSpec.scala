@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.apache.spark.sql.SparkSession
-import graft.multimodal.{MediaCodec, Multimodal}
+import graft.multimodal.{Containers, MediaCodec, Multimodal}
 
 /** Pins the multimodal plumbing: schema, header/metadata synthesis,
   * stub-codec determinism, batch transforms, and that the binary column
@@ -124,5 +124,60 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ft.columns.contains("media"), "binary payload must not travel through shuffles")
     assert(ft.columns.toSet == Set("asset_id", "kind", "n_bytes", "header",
       "width", "height", "sample_rate", "payload_sig", "features"))
+  }
+
+  // ---- real container codecs (round 7) ------------------------------
+
+  test("golden bytes: a 1x1 red pixel encodes as a spec-exact 58-byte BMP") {
+    // Hand-written from the BMP spec: BITMAPFILEHEADER (14) +
+    // BITMAPINFOHEADER (40) + one BGR pixel padded to a 4-byte row.
+    // Any external viewer opens these bytes.
+    val golden = Array[Int](
+      0x42, 0x4D, 0x3A, 0, 0, 0, 0, 0, 0, 0, 0x36, 0, 0, 0, // "BM", size 58, offset 54
+      0x28, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0x18, 0, // header 40, 1x1, 1 plane, 24bpp
+      0, 0, 0, 0, 4, 0, 0, 0, 0x13, 0x0B, 0, 0, 0x13, 0x0B, 0, 0, // no compression, 4 data bytes, 72dpi
+      0, 0, 0, 0, 0, 0, 0, 0, // no palette
+      0, 0, 0xFF, 0 // BGR red + row pad
+    ).map(_.toByte)
+    val encoded = Containers.encodeBmp24(1, 1, (_, _) => (255, 0, 0))
+    assert(encoded.sameElements(golden),
+      s"BMP bytes diverge from the spec:\n got ${encoded.map("%02X".format(_)).mkString(" ")}")
+    val d = Containers.decodeBmp24(golden)
+    assert(d == Containers.BmpInfo(1, 1, 24, 58, 0xFF0000, 0xFF0000))
+  }
+
+  test("golden bytes: one PCM16 sample encodes as a spec-exact 46-byte WAV") {
+    val golden = Array[Int](
+      0x52, 0x49, 0x46, 0x46, 0x26, 0, 0, 0, // "RIFF", chunk size 38
+      0x57, 0x41, 0x56, 0x45, // "WAVE"
+      0x66, 0x6D, 0x74, 0x20, 0x10, 0, 0, 0, // "fmt ", 16
+      1, 0, 1, 0, // PCM, mono
+      0x80, 0x3E, 0, 0, 0, 0x7D, 0, 0, // 16000 Hz, 32000 B/s
+      2, 0, 0x10, 0, // block align 2, 16 bits
+      0x64, 0x61, 0x74, 0x61, 2, 0, 0, 0, // "data", 2 bytes
+      0xFE, 0xFF // sample -2, little-endian
+    ).map(_.toByte)
+    val encoded = Containers.encodeWavPcm16(16000, Array((-2).toShort))
+    assert(encoded.sameElements(golden),
+      s"WAV bytes diverge from the spec:\n got ${encoded.map("%02X".format(_)).mkString(" ")}")
+    val d = Containers.decodeWavPcm16(golden)
+    assert(d == Containers.WavInfo(16000, 1, 16, 1, -2, -2, -2))
+  }
+
+  test("BMP round-trip exercises bottom-up rows and stride padding") {
+    // 3x2: stride = 12 (9 data + 3 pad); y-dependent pixels mean a
+    // top-down or pad-blind decoder returns the wrong probes
+    val d = Containers.decodeBmp24(Containers.encodeBmp24(3, 2,
+      (x, y) => (10 * x + 1, 20 * y + 2, x + y)))
+    assert(d.width == 3 && d.height == 2)
+    assert(d.fileSize == 54 + 12 * 2)
+    assert(d.firstPixel == (1 << 16 | 2 << 8 | 0), "image-space (0,0) is the LAST stored row")
+    assert(d.lastPixel == (21 << 16 | 22 << 8 | 3))
+  }
+
+  test("WAV decoder walks chunks and reads signed samples at odd indices") {
+    val samples = Array.tabulate(7)(i => (i * 1000 - 3000).toShort) // includes negatives
+    val d = Containers.decodeWavPcm16(Containers.encodeWavPcm16(44100, samples))
+    assert(d == Containers.WavInfo(44100, 1, 16, 7, -3000, 0, 3000))
   }
 }
