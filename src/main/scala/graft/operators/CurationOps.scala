@@ -40,8 +40,12 @@ object CurationOps extends QueryModule {
         .distinct()
       val bench = grams.filter(col("doc_id") % 50 === 0)
         .select(col("g"), col("doc_id").as("bench_id"))
+      // the benchmark side is bounded BY CONSTRUCTION (eval suites stay
+      // eval-suite-sized at any corpus scale), so broadcast it — the
+      // corpus grams then never shuffle on g (post-distinct stats are
+      // unknown to the planner, which otherwise sort-merges both sides)
       grams.filter(col("doc_id") % 50 =!= 0)
-        .join(bench, "g")
+        .join(broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(countDistinct(col("g")).as("n_grams_shared"),
           countDistinct(col("bench_id")).as("n_bench_hits"))
