@@ -242,7 +242,7 @@ object Bench {
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
       sourcePartitions = sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTS", "8").toInt)
     val server = WireServer(mux)
-    val admin = new WireClient("127.0.0.1", server.boundPort)
+    val admin = new WireClient("127.0.0.1", server.boundPort, soTimeoutMillis = 120000)
     (0 until 5).foreach { p =>
       val r = admin.call(CreateGroup(s"bench-p$p", "PROJECT", s"p$p",
         graft.core.Hierarchy(projectId = s"p$p"), includeSub = true, "ALL"))
@@ -258,7 +258,7 @@ object Bench {
     // one frame per iteration carries the whole notify→ack protocol.
     val consumers = (0 until 5).map { p =>
       val t = new Thread(() => {
-        val c = new WireClient("127.0.0.1", server.boundPort)
+        val c = new WireClient("127.0.0.1", server.boundPort, soTimeoutMillis = 120000)
         try {
           var held = c.notifications(c.call(Init(s"bench-p$p"))).map(_.chunkId)
           while (delivered.get < target && failure.get == null) {
@@ -279,7 +279,7 @@ object Bench {
     val nProd = sys.env.getOrElse("SPARK_GRAFT_WIRE_PRODUCERS", "8").toInt
     val producers = (0 until nProd).map { i =>
       val t = new Thread(() => {
-        val c = new WireClient("127.0.0.1", server.boundPort)
+        val c = new WireClient("127.0.0.1", server.boundPort, soTimeoutMillis = 120000)
         try {
           var j = i
           while (j < rows.length && failure.get == null) {

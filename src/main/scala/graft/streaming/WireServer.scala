@@ -186,10 +186,14 @@ object WireServer {
 
 /** Minimal blocking client for [[WireServer]] — one socket, one
   * request/reply loop (the reference's clients are tonic-generated;
-  * this is the equivalent hand-rolled stub). */
-final class WireClient(host: String, port: Int) {
+  * this is the equivalent hand-rolled stub). `soTimeoutMillis` > 0
+  * bounds each blocking read (a reply that never comes surfaces as
+  * SocketTimeoutException instead of a hang — harnesses that must not
+  * wedge a driver, like the wire replay bench, set it). */
+final class WireClient(host: String, port: Int, soTimeoutMillis: Int = 0) {
   private val sock = new Socket(host, port)
   sock.setTcpNoDelay(true) // see serve(): unary calls stall on Nagle otherwise
+  if (soTimeoutMillis > 0) sock.setSoTimeout(soTimeoutMillis)
   private val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
   private val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
 
