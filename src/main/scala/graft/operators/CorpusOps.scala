@@ -210,23 +210,37 @@ object CorpusOps extends QueryModule {
     * cumulative token count is bucketed into deciles of the total
     * budget: each row says how many docs and tokens the k-th
     * best-quality decile contributes. All integer arithmetic. The
-    * ordered cumulative sum is a single global window by construction
-    * (a budget curve is a sorted scan); at corpus scale you run it per
-    * quality stratum and merge, same as any ranked-report query. */
+    * ordered cumulative sum runs per quality stratum and merges via a
+    * bounded prefix table — see the in-body comment. */
   val q155_token_budget = QueryDef(
     "q155_token_budget",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // DISTRIBUTED ordered cumsum (round-7 WindowExec audit): `score`
+      // is fixed-point chars-per-token — a VALUE-bounded keyspace — so
+      // the global (score desc, doc_id) running sum decomposes into an
+      // intra-score windowed sum after one hash shuffle on score, plus
+      // an exclusive prefix over the bounded per-score totals table
+      // (broadcast back); `total` becomes a 1-row aggregate instead of
+      // an unbounded single-partition window. Same values as the single
+      // global sort (the oracle keeps that formulation), no
+      // corpus-scale one-partition window — the q150/q74 device.
       val d = t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("tokens"),
           col("n_chars"))
         .withColumn("score", expr("n_chars * 1000 div tokens"))
-      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      val wIn = Window.partitionBy("score").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      d.withColumn("cum", sum("tokens").over(w))
-        .withColumn("total", sum("tokens").over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val wPre = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, -1) // bounded: one row per score value
+      val pre = d.groupBy("score").agg(sum("tokens").as("stok"))
+        .withColumn("prior", coalesce(sum("stok").over(wPre), lit(0L)))
+        .select("score", "prior")
+      val total = d.agg(sum("tokens").as("total"))
+      d.join(broadcast(pre), "score")
+        .withColumn("cum", col("prior") + sum("tokens").over(wIn))
+        .crossJoin(broadcast(total))
         .withColumn("decile", expr("(cum - 1) * 10 div total"))
         .groupBy("decile")
         .agg(count(lit(1)).cast("long").as("n_docs"),

@@ -153,10 +153,16 @@ object RetrievalOps extends QueryModule {
       val tf = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("tf"))
+      // top-500 FIRST via orderBy+limit (Spark plans TakeOrdered — a
+      // distributed per-partition top-k + merge), THEN rank the bounded
+      // 500 rows. The former global row_number pushed the ENTIRE vocab
+      // through one single-partition sort window — the classic
+      // 100 TB-unsafe shape (found by the round-7 WindowExec audit).
       val ranked = tf
+        .orderBy(col("tf").desc, col("token"))
+        .limit(500)
         .select(col("tf"), row_number().over(
           Window.orderBy(col("tf").desc, col("token"))).as("rk"))
-        .filter(col("rk") <= 500)
         .select(
           floor(log(col("rk").cast("double")) * 1e6).cast("long").as("x"),
           floor(log(col("tf").cast("double")) * 1e6).cast("long").as("y"))

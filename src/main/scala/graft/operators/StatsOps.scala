@@ -175,10 +175,15 @@ object StatsOps extends QueryModule {
     * values) kept ENTIRELY in integers: KS = max |F₁−F₂| is computed as
     * max |cum₁·n₂ − cum₂·n₁| over the merged support, deferring the
     * division to a final ratio of exact BIGINTs — no per-row floating
-    * point at all. The merged support is one bounded global-ordered
-    * window (distinct values only); at corpus scale this windows over
-    * the value QUANTIZATION (bin first), which changes one projection,
-    * not the shape. */
+    * point at all.
+    *
+    * DISTRIBUTED merged-support cumsum (round-7 WindowExec audit — the
+    * former single global-ordered window put the whole distinct-value
+    * support in one partition): values bucket by floor(value), a
+    * monotone, value-bounded key, so each running sum decomposes into
+    * an intra-bucket window after one hash shuffle on the bucket plus
+    * an exclusive prefix over the bounded per-bucket totals (broadcast
+    * back) — the q150/q74 device; identical values, oracle unchanged. */
   val q107_ks_test = QueryDef(
     "q107_ks_test",
     (s, dir) => {
@@ -187,10 +192,20 @@ object StatsOps extends QueryModule {
       val per = ev.groupBy("value")
         .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c2"))
-      val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .withColumn("b", floor(col("value")).cast("long"))
+      val wIn = Window.partitionBy("b").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPre = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1) // bounded: one row per bucket
+      val pre = per.groupBy("b")
+        .agg(sum("c1").as("b1"), sum("c2").as("b2"))
+        .withColumn("p1", coalesce(sum("b1").over(wPre), lit(0L)))
+        .withColumn("p2", coalesce(sum("b2").over(wPre), lit(0L)))
+        .select("b", "p1", "p2")
       per
-        .withColumn("cum1", sum("c1").over(w))
-        .withColumn("cum2", sum("c2").over(w))
+        .join(broadcast(pre), "b")
+        .withColumn("cum1", col("p1") + sum("c1").over(wIn))
+        .withColumn("cum2", col("p2") + sum("c2").over(wIn))
         .crossJoin(per.agg(sum("c1").cast("long").as("n1"), sum("c2").cast("long").as("n2")))
         .select(abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("d"),
           col("n1"), col("n2"))

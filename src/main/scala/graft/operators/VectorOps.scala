@@ -561,30 +561,56 @@ object VectorOps extends QueryModule {
     * and the sum is exact BIGINT, so engine-order effects can't move
     * the final ranking. Ranks join full-outer on the shared id space
     * (a doc missing from one tower contributes only the other's term —
-    * coalesce(0), not a renormalization). Both rank windows are
-    * top-k-bounded before the join at scale. */
+    * coalesce(0), not a renormalization).
+    *
+    * DISTRIBUTED GLOBAL RANK (round 7 — the WindowExec audit found both
+    * tower ranks ran as corpus-scale single-partition sort windows, and
+    * the old "top-k-bounded before the join" claim here was simply not
+    * what the code did): each global rank now decomposes over a
+    * BOUNDED-KEYSPACE bucket of its leading sort key — `lex_fp` is
+    * already fixed-point in [0, 10⁶]; cos buckets by floor(cos·1000) ∈
+    * [−1000, 1000], monotone in cos so bucket order extends the total
+    * order. rank = (exclusive prefix count of higher-bucket sizes — a
+    * window over the bounded bucket table, broadcast back) +
+    * (row_number within the bucket) — the q150/q74 shard device; values
+    * identical to the single sort, one hash shuffle on the bucket key
+    * instead of one global sort partition. */
   val q112_rrf_fusion = QueryDef(
     "q112_rrf_fusion",
     (s, dir) => {
-      val lexw = Window.orderBy(col("lex_fp").desc, col("doc_id"))
-      val lex = t(s, dir, "documents")
+      def shardedRank(df: org.apache.spark.sql.DataFrame, bucket: Column,
+                      ord: Seq[Column], rank: String): org.apache.spark.sql.DataFrame = {
+        val b = df.withColumn("b", bucket)
+        val sizes = b.groupBy("b").agg(count(lit(1)).as("bn"))
+        val wPre = Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1) // bounded: one row per bucket value
+        val pre = sizes
+          .withColumn("prior", coalesce(sum("bn").over(wPre), lit(0L)))
+          .select("b", "prior")
+        val wIn = Window.partitionBy("b").orderBy(ord: _*)
+        b.join(broadcast(pre), "b")
+          .withColumn(rank, (col("prior") + row_number().over(wIn)).cast("long"))
+          .drop("b", "prior")
+      }
+      val lex0 = t(s, dir, "documents")
         .select(col("doc_id"),
           expr("size(filter(split(text, ' '), w -> w = 'vector'))").cast("long").as("hits"),
           expr("size(split(text, ' '))").cast("long").as("n_tok"))
         .filter(col("hits") > 0)
         .withColumn("lex_fp", expr("hits * 1000000 div n_tok"))
-        .withColumn("r_lex", row_number().over(lexw).cast("long"))
+      val lex = shardedRank(lex0, col("lex_fp"),
+        Seq(col("lex_fp").desc, col("doc_id")), "r_lex")
         .select(col("doc_id").as("id"), col("r_lex"))
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 1)
         .select(col("embedding").as("qv"), sqrt(norm2(col("embedding"))).as("qn"))
-      val cosw = Window.orderBy(col("cos").desc, col("cid"))
-      val vec = e.filter(col("vec_id") =!= 1)
+      val vec0 = e.filter(col("vec_id") =!= 1)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"),
           sqrt(norm2(col("embedding"))).as("cn"))
         .crossJoin(broadcast(q))
         .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-        .withColumn("r_vec", row_number().over(cosw).cast("long"))
+      val vec = shardedRank(vec0, floor(col("cos") * 1000).cast("long"),
+        Seq(col("cos").desc, col("cid")), "r_vec")
         .select(col("cid").as("id"), col("r_vec"))
       lex.join(vec, Seq("id"), "full_outer")
         .withColumn("rrf_fp",

@@ -343,4 +343,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       "edges must come from the cached bounded adjacency in the iteration subplans")
   }
+
+  test("corpus-scale rank/cumsum windows are bucket-partitioned, never one global sort " +
+    "(q112/q155/q107)") {
+    // The round-7 WindowExec audit: any window whose input grows with the
+    // corpus must carry a partition spec (the bounded-keyspace prefix
+    // decomposition); only bounded tables (per-bucket totals, top-k
+    // results, the 256-shard table) may window globally. Pinned via the
+    // windowspecdefinition text of the optimized plans.
+    val rrf = plan(VectorOps.q112_rrf_fusion)
+    assert(rrf.contains("windowspecdefinition(b#") || rrf.contains("windowspecdefinition(b,"),
+      "q112 tower ranks must partition by the rank bucket:\n" +
+        rrf.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+    val budget = plan(CorpusOps.q155_token_budget)
+    assert(budget.contains("windowspecdefinition(score"),
+      "q155's corpus cumsum must partition by the score stratum")
+    val ks = plan(StatsOps.q107_ks_test)
+    assert(ks.contains("windowspecdefinition(b#") || ks.contains("windowspecdefinition(b,"),
+      "q107's support cumsum must partition by the value bucket")
+  }
 }
