@@ -176,14 +176,17 @@ object Bench {
       Hierarchy(projectId = s"p$p"), includeSubresources = true))
     mux.start()
     val t0 = System.nanoTime()
-    // 50k-row ingest batches: each micro-batch pays a fixed fan-out +
+    // Ingest batch sizing: each micro-batch pays a fixed fan-out +
     // subscription-join + partitioned-payload-write round, so fewer,
-    // larger batches raise throughput (probed with tools/ReplayProbe:
-    // 12.5k → 6.2 s, 25k → 3.2 s, 50k → 2.3 s, 100k → 1.5 s warm at
-    // sf0.1). 50k keeps multiple micro-batches in flight at bench scale
-    // (2 at sf0.1, 20 at the sf1 rehearsal) rather than degenerating to
-    // a single mega-batch.
-    val batchRows = sys.env.getOrElse("SPARK_GRAFT_REPLAY_BATCH", "50000").toInt
+    // larger batches raise throughput (ReplayProbe at sf0.1:
+    // 12.5k → 6.2 s, 25k → 3.2 s, 50k → 2.3 s, 100k → 1.5 s; at the
+    // sf1 rehearsal: 50k → 16.5 s, 100k → ~14 s, 125k → ~11.6 s,
+    // 200k → ~9 s). Default is SCALE-AWARE — max(50k, rows/8) — so the
+    // per-batch fixed cost amortizes at any input size while at least
+    // ~8 micro-batches stay in flight (a single mega-batch would stop
+    // exercising the streaming path at all).
+    val batchRows = sys.env.get("SPARK_GRAFT_REPLAY_BATCH").map(_.toInt)
+      .getOrElse(math.max(50000, rows.length / 8))
     rows.grouped(batchRows).foreach { chunk =>
       mux.emitAll(chunk.map(r => replayEvent(r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
       mux.processAllAvailable()
