@@ -134,6 +134,49 @@ object MultimodalOps extends QueryModule {
             FROM documents WHERE doc_id % 3 = 1
             ORDER BY asset_id"""))
 
+  /** COMPRESSED container round-trip (round 7): a genuine PNG — zlib
+    * IDAT, per-chunk CRC32, alternating None/Up scanline filters — is
+    * encoded per image doc and re-parsed by the independent decoder in
+    * [[graft.multimodal.Png]]. Deflate output is encoder-dependent, so
+    * unlike q163 the oracle checks DECODED values only: dimensions,
+    * the exact raw (pre-compression) byte count h·(1+3w), and probe
+    * pixels that are wrong under any filter/unfilter bug (the Up
+    * filter on odd rows makes every later row depend on correct
+    * unfiltering of the row above). */
+  val q164_png_codec = QueryDef(
+    "q164_png_codec",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+        .as[(Long, Long)]
+        .filter(_._1 % 3 == 0)
+        .mapPartitions(_.map { case (id, nc) =>
+          val w = (nc % 32 + 1).toInt
+          val h = (nc % 24 + 1).toInt
+          val bytes = graft.multimodal.Png.encode(w, h, (x, y) =>
+            (((id + x) % 256).toInt, ((id + y) % 256).toInt,
+              ((id + x + y) % 256).toInt))
+          val d = graft.multimodal.Png.decode(bytes)
+          (id, d.width.toLong, d.height.toLong, d.rawBytes.toLong,
+            d.firstPixel.toLong, d.lastPixel.toLong)
+        })
+        .toDF("asset_id", "wd", "ht", "raw_bytes", "px_first", "px_last")
+        .orderBy("asset_id")
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS asset_id,
+            CAST(n_chars % 32 + 1 AS BIGINT) AS wd,
+            CAST(n_chars % 24 + 1 AS BIGINT) AS ht,
+            CAST((n_chars % 24 + 1) * (1 + (n_chars % 32 + 1) * 3) AS BIGINT) AS raw_bytes,
+            CAST((doc_id % 256) * 65536 + (doc_id % 256) * 256 + doc_id % 256
+                 AS BIGINT) AS px_first,
+            CAST(((doc_id + n_chars % 32) % 256) * 65536
+                 + ((doc_id + n_chars % 24) % 256) * 256
+                 + (doc_id + n_chars % 32 + n_chars % 24) % 256
+                 AS BIGINT) AS px_last
+            FROM documents WHERE doc_id % 3 = 0
+            ORDER BY asset_id"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q49_multimodal_meta, q50_multimodal_features, q163_media_codec)
+    Seq(q49_multimodal_meta, q50_multimodal_features, q163_media_codec,
+      q164_png_codec)
 }

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.apache.spark.sql.SparkSession
-import graft.multimodal.{Containers, MediaCodec, Multimodal}
+import graft.multimodal.{Containers, MediaCodec, Multimodal, Png}
 
 /** Pins the multimodal plumbing: schema, header/metadata synthesis,
   * stub-codec determinism, batch transforms, and that the binary column
@@ -179,5 +179,100 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val samples = Array.tabulate(7)(i => (i * 1000 - 3000).toShort) // includes negatives
     val d = Containers.decodeWavPcm16(Containers.encodeWavPcm16(44100, samples))
     assert(d == Containers.WavInfo(44100, 1, 16, 7, -3000, 0, 3000))
+  }
+
+  // ---- PNG: the compressed container (round 7) ----------------------
+
+  private def pngPixel(x: Int, y: Int): (Int, Int, Int) = (x * 40 + 1, y * 50 + 2, x + y)
+
+  test("PNG round-trip: signature, CRCs, zlib, and None/Up unfiltering") {
+    val bytes = Png.encode(5, 4, pngPixel)
+    assert(bytes.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val d = Png.decode(bytes)
+    assert(d.width == 5 && d.height == 4 && d.bitDepth == 8 && d.colorType == 2)
+    assert(d.rawBytes == 4 * (1 + 15), "raw scanline bytes are h*(1+3w)")
+    assert(d.firstPixel == (1 << 16 | 2 << 8 | 0))
+    assert(d.lastPixel == (161 << 16 | 152 << 8 | 7))
+  }
+
+  test("PNG decode rejects a corrupted chunk CRC") {
+    val bytes = Png.encode(3, 3, pngPixel)
+    bytes(bytes.length - 20) = (bytes(bytes.length - 20) ^ 0x40).toByte // inside IDAT
+    val e = intercept[IllegalArgumentException](Png.decode(bytes))
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("PNG decode concatenates split IDAT chunks like real files") {
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + body.length)
+      b.putInt(body.length).put(tag.getBytes("US-ASCII")).put(body)
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      b.putInt(crc.getValue.toInt).array()
+    }
+    val whole = Png.encode(4, 4, pngPixel)
+    // locate the single IDAT chunk and split its body into two chunks
+    val bb = java.nio.ByteBuffer.wrap(whole)
+    var off = 8
+    while (new String(whole, off + 4, 4, "US-ASCII") != "IDAT") off += 12 + bb.getInt(off)
+    val len = bb.getInt(off)
+    val body = whole.slice(off + 8, off + 8 + len)
+    val (b1, b2) = body.splitAt(len / 2)
+    val rebuilt = whole.take(off) ++ chunk("IDAT", b1) ++ chunk("IDAT", b2) ++
+      whole.drop(off + 12 + len)
+    val d = Png.decode(rebuilt)
+    assert(d.nIdatChunks == 2 && d == Png.decode(whole).copy(nIdatChunks = 2))
+  }
+
+  test("PNG decoder unfilters all five standard filter types") {
+    // hand-build a 2-wide, 5-row image whose rows use filters
+    // 0,1,2,3,4 in order, then verify the decoder recovers the pixels
+    val w = 2; val stride = w * 3
+    val pixels = Array.tabulate(5, stride)((y, i) => (y * 37 + i * 11) % 256)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until 5) {
+      raw.write(y) // filter type = row index
+      for (i <- 0 until stride) {
+        val x = pixels(y)(i)
+        val a = if (i >= 3) pixels(y)(i - 3) else 0
+        val b = if (y > 0) pixels(y - 1)(i) else 0
+        val c = if (i >= 3 && y > 0) pixels(y - 1)(i - 3) else 0
+        val p = a + b - c
+        val paeth =
+          if (math.abs(p - a) <= math.abs(p - b) && math.abs(p - a) <= math.abs(p - c)) a
+          else if (math.abs(p - b) <= math.abs(p - c)) b else c
+        val enc = y match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth
+        }
+        raw.write(enc & 0xff)
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + body.length)
+      b.putInt(body.length).put(tag.getBytes("US-ASCII")).put(body)
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      b.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(5)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    val d = Png.decode(png)
+    def packed(y: Int, x: Int) =
+      (pixels(y)(x * 3) << 16) | (pixels(y)(x * 3 + 1) << 8) | pixels(y)(x * 3 + 2)
+    assert(d.firstPixel == packed(0, 0))
+    assert(d.lastPixel == packed(4, 1),
+      "last pixel is reachable only through Sub/Up/Average/Paeth unfiltering chains")
   }
 }
