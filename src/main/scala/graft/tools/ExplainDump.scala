@@ -55,7 +55,11 @@ object ExplainDump {
       ("q159_lsh_recall_eval — derived-funnel recall vs exact ground truth, bounded eval join", VectorOps.q159_lsh_recall_eval),
       ("q160_kmeanspp_seed — k-means|| oversampling: per-pass broadcast candidates + linear scans, integer-exact Bernoulli draws", VectorOps.q160_kmeanspp_seed),
       ("q161_incremental_dedup — arrival-ordered dup flags over the memoized pair set, linear id passes", DedupOps.q161_incremental_dedup),
-      ("q162_ivf_kpp_recall — IVF seeding eval: broadcast-seed assignment/probes vs exact-over-probes ground truth", VectorOps.q162_ivf_kpp_recall))
+      ("q162_ivf_kpp_recall — IVF seeding eval: broadcast-seed assignment/probes vs exact-over-probes ground truth", VectorOps.q162_ivf_kpp_recall),
+      ("q165_tpch_q4 — EXISTS as left-semi with a non-equi residual beside the key", TpchOps.q165_tpch_q4),
+      ("q166_tpch_q8 — nation joined in two roles; market filter below the join stack", TpchOps.q166_tpch_q8),
+      ("q175_tpch_q21 — double-correlated EXISTS/NOT-EXISTS decorrelated to one per-order aggregate", TpchOps.q175_tpch_q21),
+      ("q177_tpch_q2 — per-part argmin via derived-min join on the bounded aggregate", TpchOps.q177_tpch_q2))
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append(s"Input: `$dir`. These plans back the contracts asserted in " +

@@ -362,4 +362,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ks.contains("windowspecdefinition(b#") || ks.contains("windowspecdefinition(b,"),
       "q107's support cumsum must partition by the value bucket")
   }
+
+  test("TPC-H completion: EXISTS/NOT-IN shapes stay semi/anti joins, " +
+    "no cartesian in the multi-role star (q165/q166/q172/q175)") {
+    val q4 = plan(TpchOps.q165_tpch_q4)
+    assert(q4.contains("LeftSemi"),
+      "Q4's EXISTS must plan as a semi-join — a rewrite through distinct+inner " +
+        "would duplicate the probe side before deduplicating it")
+    assert(!q4.contains("CartesianProduct"))
+    val q8 = plan(TpchOps.q166_tpch_q8)
+    assert(!q8.contains("CartesianProduct"),
+      "the double-role nation join must stay keyed — both roles are equi-joins")
+    assert(q8.contains("BroadcastHashJoin"),
+      "Q8's dimension chain (nation/region/supplier/part) must broadcast")
+    val q16 = plan(TpchOps.q172_tpch_q16)
+    assert(q16.contains("LeftAnti"),
+      "Q16's NOT IN must plan as an anti-join against the bounded blacklist")
+    val q21 = plan(TpchOps.q175_tpch_q21)
+    assert(!q21.contains("CartesianProduct") && !q21.contains("BroadcastNestedLoopJoin"),
+      "the Q21 decorrelation exists to avoid per-outer-row rescans — its plan " +
+        "must contain only keyed joins and aggregates")
+  }
+
+  test("TPC-H completion: global scalar thresholds broadcast, never shuffle " +
+    "the fact side (q168/q171/q176)") {
+    // The 1-row aggregate cross-joined back must plan as a broadcast
+    // nested-loop against ONE row — not an exchange of the big side.
+    for ((q, label) <- Seq((TpchOps.q168_tpch_q11, "q168 mean-value"),
+        (TpchOps.q171_tpch_q15, "q171 max-revenue"),
+        (TpchOps.q176_tpch_q22, "q176 avg-balance"))) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$label scalar must broadcast:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"$label must not go cartesian")
+    }
+  }
 }
