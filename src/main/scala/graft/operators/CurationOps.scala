@@ -270,7 +270,79 @@ object CurationOps extends QueryModule {
                      - 0.002 * CAST(n_tok AS DOUBLE) - 3.0) * 1e6) AS BIGINT) > 0 AS keep
             FROM f ORDER BY doc_id"""))
 
+  /** Boilerplate-SPAN dedup (the C4/RefinedWeb line-level rule, at the
+    * granularity this corpus affords): chunk each document into DISJOINT
+    * 3-word spans (the fixture text has no newlines — spans stand in
+    * for lines), count each span's document frequency across the
+    * corpus, and per document report how much of it is boilerplate
+    * (spans appearing in ≥ 3 documents), a keep flag, and the md5 of
+    * the text REWRITTEN with boilerplate spans removed — the oracle
+    * checks the exact cleaned bytes, not just counts.
+    *
+    * This is the cross-document complement of q72's within-document
+    * repetition gate and differs from q43's near-dup shingles: spans
+    * are disjoint (each token counted once), the frequency is corpus-
+    * global, and the output is a REWRITE decision per span.
+    *
+    * Scale: the span table is linear in corpus tokens; the frequency
+    * aggregate and the span⋈frequency join both key on the span text
+    * (production would key on xxhash64 of it — 8-byte shuffle rows —
+    * exactly like q70; the oracle joins raw text, so this form does
+    * too). Map-side combine applies on both aggregations; the rewrite
+    * is a per-doc sorted collect of its own spans, bounded by document
+    * length, never by corpus size. */
+  val q178_span_boilerplate = QueryDef(
+    "q178_span_boilerplate",
+    (s, dir) => {
+      val segs = t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(words) div 3 - 1), i -> " +
+            "concat_ws(' ', words[3*i], words[3*i+1], words[3*i+2]))"))
+          .as(Seq("pos", "seg")))
+      val freq = segs.select("doc_id", "seg").distinct()
+        .groupBy("seg").agg(count(lit(1)).cast("long").as("df"))
+      segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_seg"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).cast("long").as("n_bp"),
+          md5(array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN df < 3 THEN struct(pos, seg) END)), x -> x.seg)"),
+            " ")).as("clean_md5"))
+        .withColumn("bp_ratio_fp", expr("n_bp * 1000000 div n_seg"))
+        .withColumn("keep", col("bp_ratio_fp") < 300000)
+        .select("doc_id", "n_seg", "n_bp", "bp_ratio_fp", "keep", "clean_md5")
+        .orderBy("doc_id")
+    },
+    Some("""WITH doc AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= 3),
+            segs AS (
+              SELECT doc_id, u.pos AS pos, u.seg AS seg
+              FROM (SELECT doc_id, unnest(list_transform(range(len(ws) // 3),
+                      i -> struct_pack(pos := i,
+                        seg := ws[3*i+1] || ' ' || ws[3*i+2] || ' ' || ws[3*i+3]))) AS u
+                    FROM doc)),
+            freq AS (
+              SELECT seg, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT doc_id, seg FROM segs) GROUP BY seg),
+            per_doc AS (
+              SELECT s.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_seg,
+                     CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bp,
+                     md5(coalesce(string_agg(s.seg, ' ' ORDER BY s.pos)
+                       FILTER (WHERE df < 3), '')) AS clean_md5
+              FROM segs s JOIN freq f ON s.seg = f.seg
+              GROUP BY s.doc_id)
+            SELECT doc_id, n_seg, n_bp,
+                   n_bp * 1000000 // n_seg AS bp_ratio_fp,
+                   (n_bp * 1000000 // n_seg) < 300000 AS keep,
+                   clean_md5
+            FROM per_doc ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q70_decontaminate, q71_pii_scrub, q72_quality_repetition, q73_domain_mix,
-    q74_sequence_pack, q111_model_gate)
+    q74_sequence_pack, q111_model_gate, q178_span_boilerplate)
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-LAYOUT operators: the write-side lever that turns min/max file
+  * statistics into multi-column skipping at 100 TB.
+  *
+  * A single sort column gives perfect pruning on that column and none
+  * on any other; interleaving the bits of two columns (the Z-order /
+  * Morton curve — the public technique behind Delta's OPTIMIZE ZORDER
+  * and an Iceberg sort-order option) gives BOTH columns locality: any
+  * run of consecutive z values covers a bounded rectangle in (x, y), so
+  * every row group of a z-sorted file carries tight min/max ranges on
+  * both columns and a predicate on either (or both) skips most groups.
+  *
+  * q179 derives the curve itself as data — oracle-checked bit
+  * arithmetic — and reports the per-bucket bounding rectangles that
+  * make the locality claim inspectable. `LayoutSpec` completes the
+  * story END-TO-END: it writes the same rows z-sorted vs
+  * insertion-ordered with small parquet row groups and measures the
+  * actual per-row-group min/max coverage from the footers — the
+  * measured skipping advantage, not the textbook one.
+  */
+object LayoutOps extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** 8-bit × 8-bit Morton interleave of two bounded ints as a Column:
+    * bit k of x lands at position 2k, bit k of y at 2k+1. */
+  def morton8(x: Column, y: Column): Column =
+    (0 until 8).map { k =>
+      shiftleft(shiftright(x, k).bitwiseAND(lit(1L)), 2 * k) +
+        shiftleft(shiftright(y, k).bitwiseAND(lit(1L)), 2 * k + 1)
+    }.reduce(_ + _)
+
+  /** The same interleave as SQL text (for the oracle). */
+  def morton8Sql(x: String, y: String): String =
+    (0 until 8).map { k =>
+      s"((($x >> $k) & 1) << ${2 * k}) + ((($y >> $k) & 1) << ${2 * k + 1})"
+    }.mkString(" + ")
+
+  /** Z-ORDER LAYOUT PROFILE: map events onto an 8-bit × 8-bit Morton
+    * curve over (user_id, ⌊value⌋) and report, per 1024-wide z bucket
+    * (= one 32×32 tile of the (x,y) plane), the row count and the exact
+    * bounding rectangle. The output IS the layout argument: every
+    * bucket's rectangle is provably ≤ 32×32 regardless of data skew, so
+    * a file written per bucket (or a row group covering ~one bucket)
+    * prunes on either column independently. Bit-exact in both engines —
+    * integer shifts and masks only.
+    *
+    * Scale: one linear projection + one aggregation on the bucket key
+    * (bounded keyspace: 64 buckets at 8+8 bits). The WRITE-side use is
+    * `repartitionByRange(col("z"))` + `sortWithinPartitions("z")` —
+    * measured in LayoutSpec; this query is the skew-aware planning view
+    * a pipeline inspects before committing a layout. */
+  val q179_zorder_layout = QueryDef(
+    "q179_zorder_layout",
+    (s, dir) => {
+      val x = col("user_id").bitwiseAND(lit(255L))
+      val y = floor(col("value")).cast("long").bitwiseAND(lit(255L))
+      t(s, dir, "events")
+        .select(x.as("x"), y.as("y"))
+        .withColumn("z", morton8(col("x"), col("y")))
+        .withColumn("zbucket", expr("z div 1024"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"),
+          min("z").as("z_min"), max("z").as("z_max"))
+        .orderBy("zbucket")
+    },
+    Some(s"""WITH pts AS (
+              SELECT (user_id & 255) AS x,
+                     (CAST(floor(value) AS BIGINT) & 255) AS y
+              FROM events),
+            zs AS (
+              SELECT x, y, ${morton8Sql("x", "y")} AS z FROM pts)
+            SELECT z // 1024 AS zbucket,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max,
+                   min(z) AS z_min, max(z) AS z_max
+            FROM zs GROUP BY 1 ORDER BY zbucket"""))
+
+  override val defs: Seq[QueryDef] = Seq(q179_zorder_layout)
+}
