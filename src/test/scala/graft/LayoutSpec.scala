@@ -101,6 +101,9 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val (zGroups, zArea, zBoxHits) = footerStats(zPath)
     val (nGroups, nArea, nBoxHits) = footerStats(naivePath)
+    info(s"z-sorted: $zGroups groups, area $zArea, box overlaps $zBoxHits; " +
+      s"insertion: $nGroups groups, area $nArea, box overlaps $nBoxHits " +
+      f"(area ratio ${nArea.toDouble / zArea}%.1fx)")
 
     assert(zGroups >= 4 && nGroups >= 4,
       s"need several row groups for the comparison to mean anything, got z=$zGroups naive=$nGroups")
