@@ -83,5 +83,83 @@ object LayoutOps extends QueryModule {
                    min(z) AS z_min, max(z) AS z_max
             FROM zs GROUP BY 1 ORDER BY zbucket"""))
 
-  override val defs: Seq[QueryDef] = Seq(q179_zorder_layout)
+  /** Z-ORDER PRUNING EVALUATION — the layout measured on data, the way
+    * q153/q157/q159 measure the ANN/LSH indexes: for a concrete 2-D
+    * predicate box, how many z buckets (≙ files or row groups at scale)
+    * must a min/max-pruning reader open, how many rows does it read,
+    * and how many actually match? `read_amp_fp` (rows read per matching
+    * row, fixed-point ×10⁶) is the number a pipeline owner checks
+    * before committing a layout — a full scan's read amplification is
+    * total/matching; the z layout's should sit near 1. The box is
+    * deliberately NOT tile-aligned (tiles are 32×32; a tile-aligned box
+    * measures exactly 1.0 by construction), so the reported
+    * amplification includes the partial-edge-tile cost a real predicate
+    * pays.
+    *
+    * The bucket stats are the q179 aggregate (bounded: ≤64 rows); the
+    * box overlap test runs against those 64 rows, and the exact match
+    * count is one more linear scan. No join touches corpus² anything. */
+  val q180_zorder_prune_eval = QueryDef(
+    "q180_zorder_prune_eval",
+    (s, dir) => {
+      val (bx0, bx1, by0, by1) = (40L, 100L, 70L, 150L)
+      val x = col("user_id").bitwiseAND(lit(255L))
+      val y = floor(col("value")).cast("long").bitwiseAND(lit(255L))
+      val pts = t(s, dir, "events")
+        .select(x.as("x"), y.as("y"))
+        .withColumn("z", morton8(col("x"), col("y")))
+      val buckets = pts
+        .groupBy(expr("z div 1024").as("zbucket"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+      val read = buckets.agg(
+        count(lit(1)).cast("long").as("n_buckets_total"),
+        sum(when(col("x_min") <= bx1 && col("x_max") >= bx0
+          && col("y_min") <= by1 && col("y_max") >= by0, 1L).otherwise(0L))
+          .cast("long").as("n_buckets_read"),
+        sum(when(col("x_min") <= bx1 && col("x_max") >= bx0
+          && col("y_min") <= by1 && col("y_max") >= by0, col("n_events")).otherwise(0L))
+          .cast("long").as("rows_read"),
+        sum(col("n_events")).cast("long").as("rows_total"))
+      val matched = pts.filter(col("x").between(bx0, bx1) && col("y").between(by0, by1))
+        .agg(count(lit(1)).cast("long").as("rows_match"))
+      read.crossJoin(matched)
+        .withColumn("read_amp_fp", expr("rows_read * 1000000 div rows_match"))
+        .withColumn("scan_amp_fp", expr("rows_total * 1000000 div rows_match"))
+        .select("n_buckets_total", "n_buckets_read", "rows_total", "rows_read",
+          "rows_match", "read_amp_fp", "scan_amp_fp")
+    },
+    Some(s"""WITH pts AS (
+              SELECT (user_id & 255) AS x,
+                     (CAST(floor(value) AS BIGINT) & 255) AS y
+              FROM events),
+            zs AS (
+              SELECT x, y, ${morton8Sql("x", "y")} AS z FROM pts),
+            buckets AS (
+              SELECT z // 1024 AS zbucket,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     min(x) AS x_min, max(x) AS x_max,
+                     min(y) AS y_min, max(y) AS y_max
+              FROM zs GROUP BY 1),
+            read AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_buckets_total,
+                     CAST(sum(CASE WHEN x_min <= 100 AND x_max >= 40
+                                    AND y_min <= 150 AND y_max >= 70
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_read,
+                     CAST(sum(CASE WHEN x_min <= 100 AND x_max >= 40
+                                    AND y_min <= 150 AND y_max >= 70
+                                   THEN n_events ELSE 0 END) AS BIGINT) AS rows_read,
+                     CAST(sum(n_events) AS BIGINT) AS rows_total
+              FROM buckets),
+            matched AS (
+              SELECT CAST(count(*) AS BIGINT) AS rows_match FROM pts
+              WHERE x BETWEEN 40 AND 100 AND y BETWEEN 70 AND 150)
+            SELECT n_buckets_total, n_buckets_read, rows_total, rows_read,
+                   rows_match,
+                   rows_read * 1000000 // rows_match AS read_amp_fp,
+                   rows_total * 1000000 // rows_match AS scan_amp_fp
+            FROM read, matched"""))
+
+  override val defs: Seq[QueryDef] = Seq(q179_zorder_layout, q180_zorder_prune_eval)
 }

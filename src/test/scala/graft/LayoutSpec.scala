@@ -118,6 +118,50 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"z-sorted layout must let the box skip at least one group ($zBoxHits of $zGroups)")
   }
 
+  test("streaming ingest can cluster-on-write: every z-sorted micro-batch file " +
+    "bounds (x,y) tighter than its insertion-ordered twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{Dataset, Row}
+    import spark.implicits._
+    // the 100 TB shape: an ingest stream whose foreachBatch sink sorts
+    // each micro-batch by z before writing, so files are born skippable
+    // instead of needing a separate compaction pass
+    val rows = Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        col("user_id").bitwiseAND(lit(255L)).as("x"),
+        floor(col("value")).cast("long").bitwiseAND(lit(255L)).as("y"))
+      .withColumn("z", LayoutOps.morton8(col("x"), col("y")))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    val tmp = Files.createTempDirectory("graft-layout-stream").toFile
+    tmp.deleteOnExit()
+    val zPath = s"${tmp.getAbsolutePath}/z"
+    val naivePath = s"${tmp.getAbsolutePath}/naive"
+
+    val in = MemoryStream[(Long, Long, Long, Long)](spark, numPartitions = 1)
+    val q = in.toDS().toDF("event_id", "x", "y", "z")
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.coalesce(1).sortWithinPartitions("z")
+          .write.mode("append").parquet(zPath)
+        batch.coalesce(1).sortWithinPartitions("event_id")
+          .write.mode("append").parquet(naivePath)
+        ()
+      }
+      .start()
+    try {
+      rows.grouped(2500).foreach { g => in.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+
+    val (zGroups, zArea, _) = footerStats(zPath)
+    val (nGroups, nArea, _) = footerStats(naivePath)
+    assert(zGroups >= 4 && nGroups >= 4)
+    assert(zArea * 2 <= nArea,
+      s"per-micro-batch z sort must still bound rectangles: z=$zArea naive=$nArea")
+    info(s"streaming: z $zGroups groups area $zArea vs naive $nGroups groups area $nArea " +
+      f"(${nArea.toDouble / zArea}%.1fx)")
+  }
+
   test("morton8 is a bijection on the 16-bit domain and tiles 32x32 per 1024-z run") {
     // local mirror of the Column math: the curve's defining properties
     def m(x: Int, y: Int): Int =
