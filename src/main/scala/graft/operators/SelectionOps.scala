@@ -1,0 +1,579 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.DotProduct.dot_ff
+import graft.sources.Tables
+
+/** Data-SELECTION operators — the curation decisions a training-data
+  * pipeline makes after cleaning: which near-identical content to drop
+  * (semantic dedup, exact substring dedup), which documents to keep for
+  * a target domain (importance weighting), and how to split without
+  * leaking duplicates across the train/eval boundary.
+  *
+  * All four are corpus-linear or index-shaped (never all-pairs over the
+  * corpus): q181 partitions the quadratic inside derived √N-sized
+  * cells, q182 is an inverted-index equi-join on n-gram keys, q183 is
+  * two bounded-key aggregations plus a broadcast join, q184 rides the
+  * memoized q43 pair funnel. Windows are all partitioned by doc_id.
+  */
+object SelectionOps extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Random centroid c's 64 components: first md5 nibble of "seed_dim",
+    * centered — the q48/q75 hyperplane generator at seed block 200+
+    * (uncorrelated with the LSH planes at 0-287 and the k-means seeds at
+    * 100-103). ±x.5 values are exact in float/double, so products and
+    * the left-to-right fold match the oracle's
+    * (instr(md5(...))-8.5)·CAST(embedding AS DOUBLE) bit-for-bit. */
+  private def centroid(c: Int): Seq[Float] = (0 until 64).map { j =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${200 + c}_$j".getBytes("UTF-8"))
+    (((hex(0) >> 4) & 0xf) - 7.5).toFloat
+  }
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Corpus-derived cell count for q181 — same no-conf contract as
+    * [[VectorOps.lshShape]]: k = 2^clamp(2, 6, ⌊log₂N⌋/2 − 2), i.e.
+    * k ≈ √N/4, so expected cell occupancy ≈ 4√N and the within-cell
+    * pairwise volume ≈ N²/k ≈ N^1.5 — sub-quadratic by construction.
+    * Integer bit-length (no float log), mirrored in the oracle as
+    * `length(bin(cnt)) - 1`. The 64 cap exists because the oracle must
+    * enumerate centroid seeds statically; production would raise it
+    * (SemDeDup runs k = 50k cells on 5B embeddings). */
+  private[graft] def cellCount(n: Long): Int = {
+    val ilog2 = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+    1 << math.max(2, math.min(6, ilog2 / 2 - 2))
+  }
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * partition the embedding space into k derived cells (argmax-dot
+    * against deterministic random centroids — the one-shot stand-in for
+    * the paper's k-means, k from [[cellCount]]), compute exact pairwise
+    * cosine ONLY within cells, and for every pair ≥ 0.45 drop the
+    * member with the HIGHER similarity to its cell centroid — the
+    * paper's keep-the-atypical rule, which retains the diverse example
+    * and drops the redundant one. The dup rule is the paper's
+    * upper-triangle max test (an item is a dup iff some higher-priority
+    * item in its cell matches it), not connected components.
+    *
+    * Determinism: cell assignment = first-max argmax over dots whose
+    * accumulation order matches the oracle's list_reduce; centroid
+    * means and all similarity terms are per-term-floored BIGINT sums
+    * (order-independent under any aggregation tree); the priority key
+    * csim_fp is a floored fixed-point integer with vec_id tie-break.
+    *
+    * Scale shape: assignment is map-only (k literal-array native dots
+    * per row — no shuffle); centroid means are one partial-aggregable
+    * groupBy over N·64 component rows; cell stats (k·64 and k rows) are
+    * BROADCAST back; the only data-sized joins are equi-joins on the
+    * cell id. The within-cell self-join is the deliberate quadratic —
+    * N²/k ≈ N^1.5 by the k derivation — and at production k (≥50k
+    * cells) each cell is one task's worth of pairs. With only k
+    * distinct join keys the cell join can skew; cells are the parallel
+    * unit (one cell ≫ one partition ⇒ salt the pair enumeration the
+    * [[Skew]] way — not needed at fixture occupancies). Cross-cell dup
+    * pairs are invisible by design — the paper's own documented recall
+    * trade, MEASURED by q185 (0.71 at sf0.01/k=4, 0.35 at sf0.1/k=8).
+    *
+    * Negative result (measured, not assumed): refining the random
+    * centroids with one or two Lloyd steps before partitioning moves
+    * q185's recall ≤ ±2 points on this corpus (0.347 → 0.340 → 0.354
+    * at sf0.1) — at cos 0.45 in 64-d the dup pairs sit at the
+    * near-orthogonal background rate, where NO coarse partition
+    * co-locates them (the round-5 IvfProbe conclusion, BASELINE.md).
+    * SemDeDup's cell partition pays off on corpora with real cluster
+    * structure and high thresholds; in this regime the exact answer is
+    * q158's dense sweep, and a k-means refinement would buy plan
+    * depth, not recall — so the operator keeps the one-shot
+    * deterministic partition. */
+  val q181_semantic_dedup = QueryDef(
+    "q181_semantic_dedup",
+    (s, dir) => {
+      val n = ScratchMemo.countOnce("nvec", s, dir)(t(s, dir, "embeddings").count())
+      val k = cellCount(n)
+      val e = t(s, dir, "embeddings")
+      val dcols = (0 until k).map(c => dot_ff(typedLit(centroid(c)), col("embedding")))
+      val asg = e.select(col("vec_id"), col("embedding"), array(dcols: _*).as("ds"))
+        .withColumn("cluster", expr("CAST(array_position(ds, array_max(ds)) - 1 AS BIGINT)"))
+        .drop("ds")
+      val comps = asg.select(col("vec_id"), col("cluster"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("cluster"), col("pos").as("dim"),
+          col("col").cast("double").as("x"))
+      val cval = comps.groupBy("cluster", "dim")
+        .agg(sum(floor(col("x") * lit(1e10)).cast("long")).cast("long").as("s_fp"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          (col("s_fp").cast("double") / (col("n").cast("double") * lit(1e10))).as("cv"))
+      val ncl = cval.groupBy("cluster")
+        .agg(sum(floor(col("cv") * col("cv") * lit(1e9)).cast("long")).cast("long").as("nc_fp"))
+      val prio = comps.join(broadcast(cval), Seq("cluster", "dim"))
+        .groupBy("vec_id", "cluster")
+        .agg(sum(floor(col("x") * col("cv") * lit(1e9)).cast("long")).cast("long").as("dvc_fp"),
+          sum(floor(col("x") * col("x") * lit(1e9)).cast("long")).cast("long").as("nv_fp"))
+        .join(broadcast(ncl), "cluster")
+        .select(col("vec_id"), col("cluster"),
+          floor(col("dvc_fp").cast("double")
+            / (sqrt(col("nv_fp").cast("double")) * sqrt(col("nc_fp").cast("double")))
+            * lit(1e9)).cast("long").as("csim_fp"))
+      val base = asg.join(prio.select("vec_id", "csim_fp"), "vec_id")
+        .withColumn("nm", sqrt(dot_ff(col("embedding"), col("embedding"))))
+      val xa = base.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("av"),
+        col("nm").as("na"), col("csim_fp").as("ca"))
+      val xb = base.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("bv"),
+        col("nm").as("nb"), col("csim_fp").as("cb"))
+      val losers = xa.join(xb, "cluster").filter(col("a") < col("b"))
+        .withColumn("cos", dot_ff(col("av"), col("bv")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .select(when(col("ca") < col("cb")
+          || (col("ca") === col("cb") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+        .distinct()
+      prio.join(losers, prio("vec_id") === losers("v"), "left")
+        .select(col("vec_id"), col("cluster"), col("csim_fp"),
+          col("v").isNotNull.as("is_dup"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+            ks AS (SELECT 1 << GREATEST(2, LEAST(6, (length(bin(cnt)) - 1) // 2 - 2)) AS k FROM n),
+            cw AS (
+              SELECT c.c,
+                     list((instr('0123456789abcdef',
+                            substr(md5(CAST(200 + c.c AS VARCHAR) || '_' || CAST(d.j AS VARCHAR)), 1, 1)) - 8.5)
+                          ORDER BY d.j) AS wv
+              FROM range(0, 64) c(c), range(0, 64) d(j), ks
+              WHERE c.c < ks.k GROUP BY c.c),
+            sc AS (
+              SELECT e.vec_id, p.c,
+                     list_reduce(list_transform(range(1, 65),
+                       x -> p.wv[x] * CAST(e.embedding[x] AS DOUBLE)), (a, b) -> a + b) AS d
+              FROM embeddings e, cw p),
+            scl AS (SELECT vec_id, list(d ORDER BY c) AS ds FROM sc GROUP BY vec_id),
+            asg AS (SELECT vec_id,
+                      CAST(list_position(ds, list_aggregate(ds, 'max')) - 1 AS BIGINT) AS cluster
+                    FROM scl),
+            comps AS (
+              SELECT a.vec_id, a.cluster, d.j AS dim,
+                     CAST(e.embedding[d.j + 1] AS DOUBLE) AS x
+              FROM asg a JOIN embeddings e USING (vec_id), range(0, 64) d(j)),
+            cval AS (
+              SELECT cluster, dim,
+                     CAST(sum(CAST(floor(x * 10000000000.0) AS BIGINT)) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 10000000000.0) AS cv
+              FROM comps GROUP BY 1, 2),
+            ncl AS (
+              SELECT cluster,
+                     CAST(sum(CAST(floor(cv * cv * 1000000000.0) AS BIGINT)) AS BIGINT) AS nc_fp
+              FROM cval GROUP BY 1),
+            prio AS (
+              SELECT v.vec_id, v.cluster,
+                     CAST(floor(CAST(dvc_fp AS DOUBLE)
+                       / (sqrt(CAST(nv_fp AS DOUBLE)) * sqrt(CAST(nc_fp AS DOUBLE)))
+                       * 1000000000.0) AS BIGINT) AS csim_fp
+              FROM (SELECT c.vec_id, c.cluster,
+                      CAST(sum(CAST(floor(c.x * w.cv * 1000000000.0) AS BIGINT)) AS BIGINT) AS dvc_fp,
+                      CAST(sum(CAST(floor(c.x * c.x * 1000000000.0) AS BIGINT)) AS BIGINT) AS nv_fp
+                    FROM comps c JOIN cval w ON c.cluster = w.cluster AND c.dim = w.dim
+                    GROUP BY 1, 2) v
+              JOIN ncl USING (cluster)),
+            pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b, px.csim_fp AS ca, py.csim_fp AS cb
+              FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+              JOIN prio px ON px.vec_id = x.vec_id
+              JOIN prio py ON py.vec_id = y.vec_id
+              JOIN embeddings ex ON ex.vec_id = x.vec_id
+              JOIN embeddings ey ON ey.vec_id = y.vec_id
+              WHERE ${dotSql("ex.embedding", "ey.embedding")}
+                      / (sqrt(${dotSql("ex.embedding", "ex.embedding")})
+                         * sqrt(${dotSql("ey.embedding", "ey.embedding")})) >= 0.45),
+            losers AS (
+              SELECT DISTINCT CASE WHEN ca < cb OR (ca = cb AND a < b) THEN b ELSE a END AS v
+              FROM pairs)
+            SELECT p.vec_id, p.cluster, p.csim_fp, (l.v IS NOT NULL) AS is_dup
+            FROM prio p LEFT JOIN losers l ON l.v = p.vec_id
+            ORDER BY p.vec_id"""))
+
+  /** EXACT duplicate-substring spans (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" semantics, arXiv:
+    * 2107.06499, re-expressed as an inverted-index join instead of a
+    * suffix array): every 8-token window (stride 1) is keyed; a window
+    * whose key occurs ≥ 2 times ANYWHERE in the corpus (within- or
+    * cross-document) is a duplicated window; per document, overlapping
+    * duplicated windows MERGE into maximal token spans (running-max-end
+    * islands — the q128 device, partitioned by doc_id), and the text is
+    * REWRITTEN with every duplicated span removed (`clean_md5` pins the
+    * exact cleaned bytes, the q178 contract). Catches every duplicated
+    * substring of ≥ 8 tokens; shorter dups are invisible (the window
+    * width is the detection floor — the paper uses 50 BPE tokens).
+    * Divergence from the paper: ALL copies of a duplicated span are
+    * removed, not all-but-one — removing "all but the first" needs a
+    * corpus-global occurrence order over merged spans, which is
+    * ill-defined once overlapping windows merge differently per doc;
+    * the conservative form is what C4-style pipelines ship.
+    *
+    * Scale shape: windows are corpus-linear (Σ n_tok rows); the only
+    * corpus-sized operations are one groupBy on the 8-byte window hash
+    * (xxhash64 in Spark, the gram string in the oracle — the q43
+    * collision-odds note applies) and one semi-join of windows against
+    * duplicated keys; islands/coverage/rewrite are windows PARTITIONED
+    * BY doc_id. A suffix array would find variable-length dups ≥ any
+    * floor in O(N log N), but its construction is a 20-pass
+    * prefix-doubling sort; the fixed-floor windowed form is one shuffle
+    * and is what production near-dedup pipelines run. */
+  val q182_dup_spans = QueryDef(
+    "q182_dup_spans",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val nt = docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"))
+      val wins = docs.filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(ws) - 8), i -> concat_ws(' ', slice(ws, i + 1, 8)))")))
+        .select(col("doc_id"), col("pos").as("p"), xxhash64(col("col")).as("gk"))
+      val dupKeys = wins.groupBy("gk").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      val dups = wins.join(dupKeys.select("gk"), "gk", "left_semi")
+      val wOrd = Window.partitionBy("doc_id").orderBy("p")
+      val islands = dups
+        .withColumn("pe", max(col("p") + 8).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni", when(col("pe").isNull || col("p") > col("pe"), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("ni")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("p")).as("st"), (max(col("p")) + 8).as("en"))
+      val spanStats = islands.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("en") - col("st")).cast("long").as("dup_tokens"))
+      // per-token coverage: token t is inside a dup span iff a dup
+      // window STARTS at some p ∈ [t-7, t] — running max of (p+8) over
+      // dup starts, including the current row, never re-expands spans
+      val toks = docs.select(col("doc_id"), posexplode(col("ws")))
+        .select(col("doc_id"), col("pos").as("tp"), col("col").as("w"))
+      val cov = toks.join(dups.select(col("doc_id"), col("p").as("tp"), lit(1).as("ds")),
+          Seq("doc_id", "tp"), "left")
+        .withColumn("ce", max(when(col("ds").isNotNull, col("tp") + 8)).over(
+          Window.partitionBy("doc_id").orderBy("tp")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("covered", coalesce(col("ce") > col("tp"), lit(false)))
+      val cleaned = cov.groupBy("doc_id")
+        .agg(expr("md5(concat_ws(' ', transform(filter(array_sort(collect_list(" +
+          "struct(tp, covered, w))), x -> NOT x.covered), x -> x.w)))").as("clean_md5"))
+      nt.join(spanStats, Seq("doc_id"), "left")
+        .join(cleaned, "doc_id")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          floor(coalesce(col("dup_tokens"), lit(0L)) * lit(1000000L) / col("n_tok"))
+            .cast("long").as("dup_frac_fp"),
+          col("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            nt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM d),
+            wins AS (
+              SELECT doc_id, i.p,
+                     array_to_string(ws[i.p + 1:i.p + 8], ' ') AS gk
+              FROM d, unnest(range(len(ws) - 7)) AS i(p)
+              WHERE len(ws) >= 8),
+            dupk AS (SELECT gk FROM wins GROUP BY gk HAVING count(*) >= 2),
+            dups AS (SELECT doc_id, p FROM wins WHERE gk IN (SELECT gk FROM dupk)),
+            isl0 AS (
+              SELECT doc_id, p,
+                     max(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM dups),
+            isl1 AS (
+              SELECT doc_id, p,
+                     sum(CASE WHEN pe IS NULL OR p > pe THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+              FROM isl0),
+            islands AS (
+              SELECT doc_id, isl, min(p) AS st, max(p) + 8 AS en
+              FROM isl1 GROUP BY 1, 2),
+            stats AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(en - st) AS BIGINT) AS dup_tokens
+              FROM islands GROUP BY 1),
+            toks AS (
+              SELECT doc_id, i.tp, ws[i.tp + 1] AS w
+              FROM d, unnest(range(len(ws))) AS i(tp)),
+            cov AS (
+              SELECT t.doc_id, t.tp, t.w,
+                     max(CASE WHEN u.p IS NOT NULL THEN t.tp + 8 END)
+                       OVER (PARTITION BY t.doc_id ORDER BY t.tp
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+              FROM toks t LEFT JOIN dups u ON u.doc_id = t.doc_id AND u.p = t.tp),
+            cleaned AS (
+              SELECT doc_id,
+                     md5(coalesce(string_agg(w, ' ' ORDER BY tp)
+                       FILTER (WHERE NOT coalesce(ce > tp, false)), '')) AS clean_md5
+              FROM cov GROUP BY doc_id)
+            SELECT nt.doc_id, nt.n_tok,
+                   coalesce(s.n_spans, 0) AS n_spans,
+                   coalesce(s.dup_tokens, 0) AS dup_tokens,
+                   CAST(floor(coalesce(s.dup_tokens, 0) * 1000000 / nt.n_tok) AS BIGINT) AS dup_frac_fp,
+                   c.clean_md5
+            FROM nt LEFT JOIN stats s ON s.doc_id = nt.doc_id
+            JOIN cleaned c ON c.doc_id = nt.doc_id
+            ORDER BY nt.doc_id"""))
+
+  /** Hex-nibble value of `expr`'s md5 at 1-based position i — the q65
+    * bucket device, shared by both engines verbatim. */
+  private def nib(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substring(md5($h), $i, 1)) - 1)"
+  private def nibSql(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substr(md5($h), $i, 1)) - 1)"
+
+  /** DSIR-style IMPORTANCE WEIGHTING (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * hashed-bigram bag-of-ngrams features (256 md5 buckets), target
+    * distribution = the English slice, raw = the whole corpus; a
+    * document's log importance weight is Σ_bigram ln p̂_target(bucket) −
+    * ln p̂_raw(bucket) with add-one smoothing, and the resample is
+    * GUMBEL TOP-K — g = log w + Gumbel(0,1), take the top 100 — which
+    * draws k docs without replacement with probability ∝ w, exactly the
+    * paper's sampled (not argmax) selection. The Gumbel noise is
+    * content-addressed (u from 4 md5 nibbles of 'gum:'||doc_id, 16-bit
+    * resolution, doc_id tie-break), so the sample is reproducible on
+    * any engine and any partitioning — no RNG state, same contract as
+    * q65/q86.
+    *
+    * Determinism: bucket log-ratio terms are floored to BIGINT once per
+    * bucket (256 rows) from exact integer counts; per-doc weights are
+    * integer dot products count·term_fp; the Gumbel term is floored to
+    * the same 1e-6 grid. Scale shape: two corpus aggregations (doc →
+    * bucket counts; bucket totals), one BROADCAST of the 256-row term
+    * table, and a distributed top-k (TakeOrdered — never a global
+    * sort). */
+  val q183_dsir_importance = QueryDef(
+    "q183_dsir_importance",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val big = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")).as("bg"))
+        .withColumn("bucket",
+          (expr(nib("bg", 1)) * 16 + expr(nib("bg", 2))).cast("long"))
+      val docBuckets = big.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      val rawC = big.groupBy("bucket").agg(count(lit(1)).as("cr"))
+      val tgtC = big.filter(col("lang") === "en")
+        .groupBy("bucket").agg(count(lit(1)).as("ct"))
+      val totals = rawC.agg(sum("cr").cast("long").as("tr")).crossJoin(
+        tgtC.agg(sum("ct").cast("long").as("tt")))
+      val terms = s.range(256).select(col("id").as("bucket"))
+        .join(rawC, Seq("bucket"), "left").join(tgtC, Seq("bucket"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          floor((log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+              / (col("tt") + 256).cast("double"))
+            - log((coalesce(col("cr"), lit(0L)) + 1).cast("double")
+              / (col("tr") + 256).cast("double"))) * lit(1e6))
+            .cast("long").as("term_fp"))
+      val logw = docBuckets.join(broadcast(terms), "bucket")
+        .groupBy("doc_id")
+        .agg(sum("cnt").cast("long").as("n_big"),
+          sum(col("cnt") * col("term_fp")).cast("long").as("logw_fp"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(logw, Seq("doc_id"), "left")
+        .withColumn("u16",
+          (expr(nib("concat('gum:', CAST(doc_id AS STRING))", 1)) * 4096
+            + expr(nib("concat('gum:', CAST(doc_id AS STRING))", 2)) * 256
+            + expr(nib("concat('gum:', CAST(doc_id AS STRING))", 3)) * 16
+            + expr(nib("concat('gum:', CAST(doc_id AS STRING))", 4))).cast("double"))
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("logw_fp"), lit(0L)).as("logw_fp"),
+          (coalesce(col("logw_fp"), lit(0L))
+            + floor(-log(-log((col("u16") + 0.5) / 65536.0)) * lit(1e6)).cast("long"))
+            .as("g_fp"))
+        .orderBy(col("g_fp").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some(s"""WITH big AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(range(len(ws) - 1),
+                       i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+              FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+              WHERE len(ws) >= 2),
+            bb AS (SELECT doc_id, lang,
+                     CAST(${nibSql("bg", 1)} * 16 + ${nibSql("bg", 2)} AS BIGINT) AS bucket
+                   FROM big),
+            db AS (SELECT doc_id, bucket, count(*) AS cnt FROM bb GROUP BY 1, 2),
+            rawc AS (SELECT bucket, count(*) AS cr FROM bb GROUP BY 1),
+            tgtc AS (SELECT bucket, count(*) AS ct FROM bb WHERE lang = 'en' GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rawc) AS tr,
+                           (SELECT CAST(sum(ct) AS BIGINT) FROM tgtc) AS tt),
+            terms AS (
+              SELECT r.b AS bucket,
+                     CAST(floor((ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + 256 AS DOUBLE))
+                       - ln(CAST(coalesce(w.cr, 0) + 1 AS DOUBLE) / CAST(tot.tr + 256 AS DOUBLE))) * 1e6) AS BIGINT) AS term_fp
+              FROM range(0, 256) r(b)
+              LEFT JOIN rawc w ON w.bucket = r.b
+              LEFT JOIN tgtc t ON t.bucket = r.b
+              CROSS JOIN tot),
+            logw AS (
+              SELECT db.doc_id, CAST(sum(db.cnt) AS BIGINT) AS n_big,
+                     CAST(sum(db.cnt * terms.term_fp) AS BIGINT) AS logw_fp
+              FROM db JOIN terms USING (bucket) GROUP BY 1),
+            scored AS (
+              SELECT d.doc_id, d.lang,
+                     coalesce(l.n_big, 0) AS n_big,
+                     coalesce(l.logw_fp, 0) AS logw_fp,
+                     CAST(coalesce(l.logw_fp, 0)
+                       + CAST(floor(-ln(-ln((CAST(${nibSql("'gum:' || CAST(d.doc_id AS VARCHAR)", 1)} * 4096
+                           + ${nibSql("'gum:' || CAST(d.doc_id AS VARCHAR)", 2)} * 256
+                           + ${nibSql("'gum:' || CAST(d.doc_id AS VARCHAR)", 3)} * 16
+                           + ${nibSql("'gum:' || CAST(d.doc_id AS VARCHAR)", 4)} AS DOUBLE) + 0.5) / 65536.0)) * 1e6) AS BIGINT)
+                       AS BIGINT) AS g_fp
+              FROM documents d LEFT JOIN logw l ON l.doc_id = d.doc_id)
+            SELECT doc_id, lang, n_big, logw_fp, g_fp
+            FROM scored ORDER BY g_fp DESC, doc_id LIMIT 100"""))
+
+  /** CLUSTER-SAFE train/val/test split — q65's content-addressed split
+    * re-keyed on the NEAR-DUP CLUSTER id instead of the doc id, so a
+    * whole transitive dup cluster (q68's connected components over the
+    * q43 Jaccard graph) lands in ONE split and near-duplicates can
+    * never leak across the train/eval boundary (the contamination mode
+    * q70's exact-substring decontamination cannot catch). Singleton
+    * docs key on their own id; clustered docs on the component
+    * representative. By construction no cluster spans two splits, so
+    * the proof obligation the output carries is the per-split census:
+    * docs, distinct clusters, docs that arrived via a multi-doc
+    * cluster, and chars.
+    *
+    * Scale shape: the funnel (shingle index join + Jaccard verify +
+    * components) is the memoized q43/q68 machinery; this operator adds
+    * one broadcast-sized left join (cluster assignments ≪ corpus) and
+    * one 3-group aggregation. */
+  val q184_cluster_safe_split = QueryDef(
+    "q184_cluster_safe_split",
+    (s, dir) => {
+      val clusters = DedupOps.q68_dedup_clusters.run(s, dir)
+      val keyed = t(s, dir, "documents")
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("ck", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("bucket",
+          (expr(nib("CAST(ck AS STRING)", 1)) * 16
+            + expr(nib("CAST(ck AS STRING)", 2))).cast("long"))
+        .withColumn("split",
+          when(col("bucket") < 205, "train")
+            .when(col("bucket") < 230, "val")
+            .otherwise("test"))
+      keyed.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("ck")).as("n_clusters"),
+          sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_clustered_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id,
+                     string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                       || ' ' || string_split(text, ' ')[i+3] AS sh
+              FROM documents, unnest(range(len(string_split(text, ' ')) - 2)) AS t(i)
+              WHERE len(string_split(text, ' ')) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            pairs AS (
+              SELECT a, b FROM common
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE c / (sa.n + sb.n - c) >= 0.8),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach AS (
+              SELECT DISTINCT a AS src, a AS dst FROM edges
+              UNION
+              SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst),
+            comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+            keyed AS (
+              SELECT d.doc_id, d.n_chars, c.cluster_id,
+                     coalesce(c.cluster_id, d.doc_id) AS ck
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+            assigned AS (
+              SELECT doc_id, n_chars, cluster_id, ck,
+                     ${nibSql("CAST(ck AS VARCHAR)", 1)} * 16
+                       + ${nibSql("CAST(ck AS VARCHAR)", 2)} AS bucket
+              FROM keyed)
+            SELECT CASE WHEN bucket < 205 THEN 'train'
+                        WHEN bucket < 230 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(count(DISTINCT ck) AS BIGINT) AS n_clusters,
+                   CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM assigned GROUP BY 1 ORDER BY split"""))
+
+  /** SEMANTIC-DEDUP RECALL EVAL — the q159/q162/q180 pattern applied to
+    * q181: of the EXACT pairs at cos ≥ 0.45 (q158's dense-sweep ground
+    * truth, read from the shared `dense` materialization), how many fall
+    * WITHIN one of q181's derived cells — i.e. are visible to the
+    * cell-partitioned dedup at all? Cross-cell pairs are SemDeDup's
+    * documented blind spot; this query measures that blind spot on data
+    * instead of trusting the partition. Broadcast-sized joins only (the
+    * exact pair set and the k-row assignment side columns ride equi-
+    * joins on vec_id); one scalar aggregate out. */
+  val q185_semdedup_recall_eval = QueryDef(
+    "q185_semdedup_recall_eval",
+    (s, dir) => {
+      val exact = ScratchMemo("dense", s, dir) { VectorOps.q158_dense_threshold.run(s, dir) }
+      val n = ScratchMemo.countOnce("nvec", s, dir)(t(s, dir, "embeddings").count())
+      val k = cellCount(n)
+      val e = t(s, dir, "embeddings")
+      val dcols = (0 until k).map(c => dot_ff(typedLit(centroid(c)), col("embedding")))
+      val asg = e.select(col("vec_id"), array(dcols: _*).as("ds"))
+        .withColumn("cluster", expr("CAST(array_position(ds, array_max(ds)) - 1 AS BIGINT)"))
+        .select(col("vec_id"), col("cluster"))
+      exact.select(col("a"), col("b"))
+        .join(asg.select(col("vec_id").as("a"), col("cluster").as("cla")), "a")
+        .join(asg.select(col("vec_id").as("b"), col("cluster").as("clb")), "b")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("cla") === col("clb"), 1L).otherwise(0L)).cast("long").as("n_within"),
+          floor(sum(when(col("cla") === col("clb"), 1L).otherwise(0L)) * lit(1000000L)
+            / count(lit(1))).cast("long").as("recall_fp"))
+    },
+    Some(s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+            ks AS (SELECT 1 << GREATEST(2, LEAST(6, (length(bin(cnt)) - 1) // 2 - 2)) AS k FROM n),
+            cw AS (
+              SELECT c.c,
+                     list((instr('0123456789abcdef',
+                            substr(md5(CAST(200 + c.c AS VARCHAR) || '_' || CAST(d.j AS VARCHAR)), 1, 1)) - 8.5)
+                          ORDER BY d.j) AS wv
+              FROM range(0, 64) c(c), range(0, 64) d(j), ks
+              WHERE c.c < ks.k GROUP BY c.c),
+            sc AS (
+              SELECT e.vec_id, p.c,
+                     list_reduce(list_transform(range(1, 65),
+                       x -> p.wv[x] * CAST(e.embedding[x] AS DOUBLE)), (a, b) -> a + b) AS d
+              FROM embeddings e, cw p),
+            scl AS (SELECT vec_id, list(d ORDER BY c) AS ds FROM sc GROUP BY vec_id),
+            asg AS (SELECT vec_id,
+                      CAST(list_position(ds, list_aggregate(ds, 'max')) - 1 AS BIGINT) AS cluster
+                    FROM scl),
+            v AS (SELECT vec_id, embedding,
+                         sqrt(${dotSql("embedding", "embedding")}) AS nm
+                  FROM embeddings),
+            exact AS (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM v x JOIN v y ON x.vec_id < y.vec_id
+              WHERE ${dotSql("x.embedding", "y.embedding")} / (x.nm * y.nm) >= 0.45)
+            SELECT count(*) AS n_exact,
+                   CAST(sum(CASE WHEN xa.cluster = xb.cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+                   CAST(floor(sum(CASE WHEN xa.cluster = xb.cluster THEN 1 ELSE 0 END) * 1000000
+                     / count(*)) AS BIGINT) AS recall_fp
+            FROM exact
+            JOIN asg xa ON xa.vec_id = exact.a
+            JOIN asg xb ON xb.vec_id = exact.b"""))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q181_semantic_dedup, q182_dup_spans, q183_dsir_importance, q184_cluster_safe_split,
+      q185_semdedup_recall_eval)
+}

@@ -397,4 +397,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!p.contains("CartesianProduct"), s"$label must not go cartesian")
     }
   }
+
+  test("semantic dedup: map-only cell assignment, broadcast centroid stats, " +
+    "cell-keyed pair join — never corpus x corpus (q181)") {
+    val p = plan(SelectionOps.q181_semantic_dedup)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the within-cell pairwise must ride the cluster equi-join — an all-pairs " +
+        s"plan is the failure SemDeDup exists to avoid:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k·64-row centroid stats must broadcast back, not shuffle the components")
+  }
+
+  test("dup-span windows and rewrite stay partitioned by doc_id; the window " +
+    "key join is equi (q182)") {
+    val p = plan(SelectionOps.q182_dup_spans)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "window-key matching must be an equi-join on the gram hash")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(specs.nonEmpty && !specs.linesIterator.exists(l => !l.contains("doc_id")),
+      s"every island/coverage window must be partitioned by doc_id — an " +
+        s"unpartitioned window is a single-task corpus sort at 100 TB:\n$specs")
+  }
+
+  test("DSIR importance: the 256-row term table broadcasts; selection is " +
+    "distributed top-k, not a global sort (q183)") {
+    val p = plan(SelectionOps.q183_dsir_importance)
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket terms must broadcast onto doc bucket counts")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-100 must plan as TakeOrdered (per-partition k + merge), " +
+        s"never a global Sort:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semdedup recall eval joins ground truth to assignments on vec_id " +
+    "only (q185)") {
+    val p = plan(SelectionOps.q185_semdedup_recall_eval)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the eval must stay keyed — ground truth is the memoized dense table")
+  }
 }

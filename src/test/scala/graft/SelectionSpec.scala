@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SelectionOps
+
+/** Brute-force references for the SelectionOps family: the operators'
+  * distributed formulations (cell-partitioned pairwise, inverted-index
+  * window join + islands) must equal a direct single-threaded
+  * computation of the same definitions on the sf0.001 fixture — the
+  * IncrementalDedupSpec style of pinning a formulation, independent of
+  * the DuckDB oracle (which pins cross-engine value identity).
+  */
+class SelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-selection-spec")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- shared devices (must match SelectionOps bit-for-bit) -----------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def centroid(c: Int): Array[Float] = (0 until 64).map { j =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${200 + c}_$j".getBytes("UTF-8"))
+    (((hex(0) >> 4) & 0xf) - 7.5).toFloat
+  }.toArray
+
+  /** Left-to-right float→double fold — DotProductFF's accumulation. */
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  test("cellCount derivation: k ≈ √N/4, clamped to [4, 64]") {
+    assert(SelectionOps.cellCount(1) == 4)
+    assert(SelectionOps.cellCount(500) == 4)
+    assert(SelectionOps.cellCount(5000) == 16)
+    assert(SelectionOps.cellCount(50000) == 32)
+    assert(SelectionOps.cellCount(1L << 40) == 64)
+  }
+
+  test("q181 equals the brute-force SemDeDup rule on sf0.001") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val k = SelectionOps.cellCount(vecs.length.toLong)
+    val cents = (0 until k).map(centroid)
+
+    // assignment: first-max argmax
+    val asg = vecs.map { case (id, v) =>
+      val ds = cents.map(c => dot(c, v))
+      val mx = ds.max
+      (id, ds.indexWhere(_ == mx).toLong, v)
+    }
+
+    // centroid means + priority, in the operator's fixed-point terms
+    val byCluster = asg.groupBy(_._2)
+    val cval: Map[(Long, Int), Double] = byCluster.flatMap { case (cl, ms) =>
+      (0 until 64).map { d =>
+        val sfp = ms.map(m => math.floor(m._3(d).toDouble * 1e10).toLong).sum
+        (cl, d) -> sfp.toDouble / (ms.length.toDouble * 1e10)
+      }
+    }
+    val nclFp: Map[Long, Long] = byCluster.map { case (cl, _) =>
+      cl -> (0 until 64).map(d => math.floor(cval((cl, d)) * cval((cl, d)) * 1e9).toLong).sum
+    }
+    val csimFp: Map[Long, Long] = asg.map { case (id, cl, v) =>
+      val dvc = (0 until 64).map(d => math.floor(v(d).toDouble * cval((cl, d)) * 1e9).toLong).sum
+      val nv = (0 until 64).map(d => math.floor(v(d).toDouble * v(d).toDouble * 1e9).toLong).sum
+      id -> math.floor(dvc.toDouble / (math.sqrt(nv.toDouble) * math.sqrt(nclFp(cl).toDouble)) * 1e9).toLong
+    }.toMap
+
+    // within-cell pairs, keep-the-atypical losers
+    val losers = scala.collection.mutable.Set[Long]()
+    for {
+      (_, ms) <- byCluster
+      i <- ms.indices; j <- (i + 1) until ms.length
+    } {
+      val (a, b) = if (ms(i)._1 < ms(j)._1) (ms(i), ms(j)) else (ms(j), ms(i))
+      val cos = dot(a._3, b._3) / (math.sqrt(dot(a._3, a._3)) * math.sqrt(dot(b._3, b._3)))
+      if (cos >= 0.45) {
+        val (ca, cb) = (csimFp(a._1), csimFp(b._1))
+        losers += (if (ca < cb || (ca == cb && a._1 < b._1)) b._1 else a._1)
+      }
+    }
+
+    val got = SelectionOps.q181_semantic_dedup.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == vecs.length)
+    asg.foreach { case (id, cl, _) =>
+      val (gcl, gcs, gdup) = got(id)
+      assert(gcl == cl, s"cluster mismatch for $id")
+      assert(gcs == csimFp(id), s"csim_fp mismatch for $id")
+      assert(gdup == losers.contains(id), s"is_dup mismatch for $id")
+    }
+    assert(losers.nonEmpty, "fixture should contain semantic dups")
+    assert(losers.size < vecs.length / 2, "dup rule should not mark most of the corpus")
+  }
+
+  test("q182 equals the brute-force window/island computation on sf0.001") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val words = docs.map { case (id, tx) => (id, tx.split(" ", -1)) }
+
+    // corpus-global duplicated 8-token window keys
+    val winCount = scala.collection.mutable.Map[String, Int]()
+    val docWins = words.map { case (id, ws) =>
+      val wins = (0 to ws.length - 8).map(p => (p, ws.slice(p, p + 8).mkString(" ")))
+      wins.foreach { case (_, g) => winCount(g) = winCount.getOrElse(g, 0) + 1 }
+      (id, ws, wins)
+    }
+
+    val expected = docWins.map { case (id, ws, wins) =>
+      val dupStarts = wins.collect { case (p, g) if winCount(g) >= 2 => p }
+      // merge overlapping [p, p+8) into maximal spans
+      val spans = dupStarts.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, p) => acc match {
+          case (s0, e0) :: rest if p <= e0 => (s0, math.max(e0, p + 8)) :: rest
+          case _ => (p, p + 8) :: acc
+        }
+      }.reverse
+      val dupTok = spans.map { case (s0, e0) => e0 - s0 }.sum.toLong
+      val covered = Array.fill(ws.length)(false)
+      spans.foreach { case (s0, e0) => (s0 until e0).foreach(covered(_) = true) }
+      val cleaned = ws.zipWithIndex.collect { case (w, i) if !covered(i) => w }.mkString(" ")
+      id -> ((ws.length.toLong, spans.length.toLong, dupTok,
+        math.floor(dupTok.toDouble * 1000000.0 / ws.length).toLong, md5hex(cleaned)))
+    }.toMap
+
+    val got = SelectionOps.q182_dup_spans.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got.size == docs.length)
+    expected.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"doc $id: got ${got(id)} expected $exp")
+    }
+    assert(expected.values.exists(_._3 > 0), "fixture should contain duplicated spans")
+    assert(expected.values.exists(_._3 == 0), "fixture should contain clean docs")
+  }
+
+  test("q184: doc-keyed split leaks near-dup clusters; cluster-keyed split cannot") {
+    import graft.operators.DedupOps
+    val clusters = DedupOps.q68_dedup_clusters.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty, "fixture should have near-dup clusters")
+    def split(key: Long): String = {
+      val h = md5hex(key.toString)
+      val bucket = Integer.parseInt(h.substring(0, 2), 16)
+      if (bucket < 205) "train" else if (bucket < 230) "val" else "test"
+    }
+    // q65's doc-keyed rule: at least one multi-doc cluster straddles
+    // splits on this fixture — the leakage q184 exists to prevent
+    val leaky = clusters.groupBy(_._2).values
+      .exists(ms => ms.length >= 2 && ms.map(m => split(m._1)).distinct.length > 1)
+    assert(leaky, "fixture's clusters should demonstrate doc-keyed leakage")
+    // cluster-keyed: by construction every member shares split(cluster_id)
+    val byCluster = clusters.groupBy(_._2).values
+    byCluster.foreach { ms =>
+      assert(ms.map(m => split(m._2)).distinct.length == 1)
+    }
+    // census consistency against the operator output
+    val out = SelectionOps.q184_cluster_safe_split.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.map(_._2).sum == nDocs, "splits must partition the corpus")
+    assert(out.map(_._4).sum == clusters.length.toLong,
+      "clustered-doc census must equal the cluster table size")
+  }
+}
