@@ -573,7 +573,165 @@ object SelectionOps extends QueryModule {
             JOIN asg xa ON xa.vec_id = exact.a
             JOIN asg xb ON xb.vec_id = exact.b"""))
 
+  /** Bounded-depth distributed SUFFIX ARRAY over the corpus via PREFIX
+    * DOUBLING (Manber–Myers 1990) — the index behind variable-length
+    * exact-substring dedup (Lee et al., arXiv:2107.06499, build suffix
+    * arrays over the whole training corpus). Six doubling rounds rank
+    * every (doc, pos) suffix by its first 2⁶ = 64 characters (shorter
+    * suffixes sort first among equals — the -1 sentinel — which is
+    * exactly bounded-substring lexicographic order), so the engine
+    * never materializes suffix strings: each round is one equi-join of
+    * the rank table against itself shifted by 2ʲ and one
+    * [[GlobalRank.orderRank]] re-rank (range partition + parallel local
+    * windows — NO single-task corpus sort anywhere). The final
+    * canonical sa_pos is [[GlobalRank.rowNumber]] with (rank, doc_id,
+    * pos) tie-break, which the oracle mirrors as `row_number() OVER
+    * (ORDER BY substr(text, pos+1, 64), doc_id, pos)` — engine-
+    * identical by the doubling invariant (rank equality classes after
+    * round j = equality of 2ʲ⁺¹-char bounded prefixes).
+    *
+    * The depth bound is the honest scale dial: rounds ∝ log₂(longest
+    * match you care to distinguish), each round a fixed number of
+    * shuffles of (doc, pos, rank) triples — the O(N log N) profile of
+    * distributed SA construction, linear state per round. Materialized
+    * once per (session, dir) ([[ScratchMemo]]): q186 samples it, q187
+    * derives duplicate statistics — the build-once/consume-many
+    * pipeline shape. */
+  private def suffixArray(s: SparkSession, dir: String): DataFrame =
+    ScratchMemo("sa", s, dir) {
+      val chars = t(s, dir, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), length(col("text")).cast("long") - 1)).as("pos"),
+          col("text"))
+        .select(col("doc_id"), col("pos"),
+          ascii(expr("substring(text, pos + 1, 1)")).cast("long").as("r"))
+      var base = chars
+      for (j <- 0 until 6) {
+        val step = 1 << j
+        val nxt = base.select(col("doc_id"), (col("pos") - step).as("pos"),
+          col("r").as("r2"))
+        val joined = base.join(nxt, Seq("doc_id", "pos"), "left")
+          .withColumn("r2", coalesce(col("r2"), lit(-1L)))
+        // localCheckpoint: truncate the per-round lineage (6 chained
+        // range-shuffles would otherwise re-execute on every action)
+        base = GlobalRank.orderRank(joined, Seq(col("r"), col("r2")), "rn")
+          .select(col("doc_id"), col("pos"), col("rn").as("r"))
+          .localCheckpoint(true)
+      }
+      GlobalRank.rowNumber(base, Seq(col("r"), col("doc_id"), col("pos")), "sa_pos")
+        .select(col("sa_pos"), col("doc_id"), col("pos"))
+    }
+
+  /** The suffix array itself, deterministically SAMPLED (every 97th
+    * rank) so the gate verifies the full construction — a wrong rank
+    * anywhere shifts some sampled sa_pos — without dumping N rows.
+    * prefix16 rides along as human-readable evidence. */
+  val q186_suffix_array = QueryDef(
+    "q186_suffix_array",
+    (s, dir) => {
+      suffixArray(s, dir)
+        .filter(col("sa_pos") % 97 === 1)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+        .select(col("sa_pos"), col("doc_id"), col("pos"),
+          expr("substring(text, pos + 1, 16)").as("pfx16"))
+        .orderBy("sa_pos")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+            sfx AS (
+              SELECT doc_id, i.pos, substr(text, i.pos + 1, 64) AS pfx,
+                     substr(text, i.pos + 1, 16) AS pfx16
+              FROM d, unnest(range(L)) AS i(pos)),
+            sa AS (
+              SELECT doc_id, pos, pfx16,
+                     row_number() OVER (ORDER BY pfx, doc_id, pos) AS sa_pos
+              FROM sfx)
+            SELECT sa_pos, doc_id, pos, pfx16
+            FROM sa WHERE sa_pos % 97 = 1 ORDER BY sa_pos"""))
+
+  /** Per-document LONGEST CROSS-DOCUMENT MATCH from the suffix array:
+    * for each SA-adjacent pair from different documents, the LCP of
+    * their (64-bounded) prefixes, assigned to both endpoint docs; per
+    * doc, the max and the count of distinct positions with a ≥30-char
+    * cross-doc match. Adjacent pairs suffice for the per-doc MAX: the
+    * best cross-doc pair (a, b) has every SA entry between them
+    * sharing ≥ that LCP, and somewhere in that interval doc membership
+    * switches — that adjacent cross-doc pair achieves the same LCP.
+    * LCP is a 6-step dyadic descent on Spark (chained codegen'd
+    * substring equalities — any value < 64 is its binary expansion) and
+    * a prefix-equality count in the oracle, both clamped by the bounded
+    * prefix lengths (two identical short suffixes share exactly their
+    * length). The 64 cap is q186's depth bound: matches longer than 64
+    * chars report 64 (45 of 500 docs sit at the cap at sf0.01 —
+    * FIXTURES-scale evidence that the corpus's dup families repeat
+    * long spans). One equi-join on sa_pos, one broadcast of the doc
+    * texts, one per-doc aggregation — SA consumers never sort the
+    * corpus again. */
+  val q187_sa_dup_lengths = QueryDef(
+    "q187_sa_dup_lengths",
+    (s, dir) => {
+      val txt = broadcast(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      val withPfx = suffixArray(s, dir).join(txt, "doc_id")
+        .select(col("sa_pos"), col("doc_id"), col("pos"),
+          expr("substring(text, pos + 1, 64)").as("pfx"))
+      val x = withPfx.select(col("sa_pos"), col("doc_id").as("da"),
+        col("pos").as("pa"), col("pfx").as("fa"))
+      val y = withPfx.select((col("sa_pos") - 1).as("sa_pos"),
+        col("doc_id").as("db"), col("pos").as("pb"), col("pfx").as("fb"))
+      var adj = x.join(y, "sa_pos").filter(col("da") =!= col("db"))
+        .withColumn("acc", lit(0))
+      // the 64-step makes full equality reach 64 (the dyadic steps alone
+      // top out at 63); any over-count from comparing empty tails is
+      // removed by the length clamp below
+      for (stp <- Seq(64, 32, 16, 8, 4, 2, 1))
+        adj = adj.withColumn("acc",
+          when(expr(s"substring(fa, acc + 1, $stp)") === expr(s"substring(fb, acc + 1, $stp)"),
+            col("acc") + stp).otherwise(col("acc")))
+      val lcps = adj.withColumn("lcp",
+        least(col("acc"), length(col("fa")), length(col("fb"))).cast("long"))
+      val assigned = lcps.select(col("da").as("doc_id"), col("pa").as("pos"), col("lcp"))
+        .union(lcps.select(col("db").as("doc_id"), col("pb").as("pos"), col("lcp")))
+      val perDoc = assigned.groupBy("doc_id")
+        .agg(max("lcp").as("mx"),
+          countDistinct(when(col("lcp") >= 30, col("pos"))).cast("long").as("np"))
+      t(s, dir, "documents").select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("mx"), lit(0L)).as("max_xdoc_lcp"),
+          coalesce(col("np"), lit(0L)).as("n_pos30"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+            sfx AS (
+              SELECT doc_id, i.pos, substr(text, i.pos + 1, 64) AS pfx
+              FROM d, unnest(range(L)) AS i(pos)),
+            sa AS (
+              SELECT doc_id, pos, pfx,
+                     row_number() OVER (ORDER BY pfx, doc_id, pos) AS sa_pos
+              FROM sfx),
+            adj AS (
+              SELECT x.doc_id AS da, x.pos AS pa, y.doc_id AS db, y.pos AS pb,
+                     least(CAST(list_sum(list_transform(range(1, 65),
+                         i -> CASE WHEN substr(x.pfx, 1, i) = substr(y.pfx, 1, i)
+                              THEN 1 ELSE 0 END)) AS BIGINT),
+                       length(x.pfx), length(y.pfx)) AS lcp
+              FROM sa x JOIN sa y ON y.sa_pos = x.sa_pos + 1
+              WHERE x.doc_id <> y.doc_id),
+            asg AS (
+              SELECT da AS doc_id, pa AS pos, lcp FROM adj
+              UNION ALL
+              SELECT db AS doc_id, pb AS pos, lcp FROM adj),
+            pd AS (
+              SELECT doc_id, CAST(max(lcp) AS BIGINT) AS mx,
+                     CAST(count(DISTINCT CASE WHEN lcp >= 30 THEN pos END) AS BIGINT) AS np
+              FROM asg GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(pd.mx, 0) AS max_xdoc_lcp,
+                   coalesce(pd.np, 0) AS n_pos30
+            FROM d LEFT JOIN pd ON pd.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q181_semantic_dedup, q182_dup_spans, q183_dsir_importance, q184_cluster_safe_split,
-      q185_semdedup_recall_eval)
+      q185_semdedup_recall_eval, q186_suffix_array, q187_sa_dup_lengths)
 }

@@ -59,7 +59,14 @@ object ExplainDump {
       ("q165_tpch_q4 — EXISTS as left-semi with a non-equi residual beside the key", TpchOps.q165_tpch_q4),
       ("q166_tpch_q8 — nation joined in two roles; market filter below the join stack", TpchOps.q166_tpch_q8),
       ("q175_tpch_q21 — double-correlated EXISTS/NOT-EXISTS decorrelated to one per-order aggregate", TpchOps.q175_tpch_q21),
-      ("q177_tpch_q2 — per-part argmin via derived-min join on the bounded aggregate", TpchOps.q177_tpch_q2))
+      ("q177_tpch_q2 — per-part argmin via derived-min join on the bounded aggregate", TpchOps.q177_tpch_q2),
+      ("q181_semantic_dedup — map-only cell argmax, broadcast centroid stats, cell-keyed pairwise", SelectionOps.q181_semantic_dedup),
+      ("q182_dup_spans — inverted-index window join; islands/coverage windows partitioned by doc_id", SelectionOps.q182_dup_spans),
+      ("q183_dsir_importance — broadcast 256-bucket term table + TakeOrdered Gumbel top-k", SelectionOps.q183_dsir_importance),
+      ("q184_cluster_safe_split — memoized dup clusters re-keying the content-addressed split", SelectionOps.q184_cluster_safe_split),
+      ("q185_semdedup_recall_eval — exact dense ground truth joined to cell assignments on vec_id", SelectionOps.q185_semdedup_recall_eval),
+      ("q186_suffix_array — sampled read of the memoized prefix-doubling SA build", SelectionOps.q186_suffix_array),
+      ("q187_sa_dup_lengths — SA-adjacent equi-join + dyadic LCP descent, per-doc aggregation", SelectionOps.q187_sa_dup_lengths))
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append(s"Input: `$dir`. These plans back the contracts asserted in " +

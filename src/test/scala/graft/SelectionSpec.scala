@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.SelectionOps
+import graft.operators.{GlobalRank, SelectionOps}
 
 /** Brute-force references for the SelectionOps family: the operators'
   * distributed formulations (cell-partitioned pairwise, inverted-index
@@ -151,6 +151,80 @@ class SelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(expected.values.exists(_._3 > 0), "fixture should contain duplicated spans")
     assert(expected.values.exists(_._3 == 0), "fixture should contain clean docs")
+  }
+
+  test("GlobalRank: decomposed ranks equal the single-partition truth; " +
+    "windows stay partitioned by the range-partition id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // keys with heavy ties and skew — the case where splitting a key
+    // across range partitions would corrupt both devices
+    val rows = (0 until 5000).map(i => ((i * 7919) % 23, (i * 104729) % 5, i))
+    val df = rows.toDF("k1", "k2", "id")
+    val ranked = GlobalRank.orderRank(df, Seq(col("k1"), col("k2")), "r")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(3)))
+    // order/equality-faithful: same key -> same rank, key order -> rank order
+    val byKey = ranked.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
+    assert(byKey.values.forall(_.size == 1), "equal keys must get equal ranks")
+    val sortedKeys = byKey.keys.toSeq.sorted
+    val rankOf = byKey.map { case (k, vs) => k -> vs.head }
+    sortedKeys.sliding(2).foreach {
+      case Seq(a, b) => assert(rankOf(a) < rankOf(b), s"rank order broken at $a -> $b")
+      case _ =>
+    }
+    val rn = GlobalRank.rowNumber(df, Seq(col("k1"), col("k2"), col("id")), "rn")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val expectedRn = rows.sorted.zipWithIndex.map { case ((a, b, c), i) => (a, b, c, i + 1L) }
+    assert(rn.sortBy(_._4).toSeq == expectedRn, "rowNumber must be the exact global 1..N")
+    // the plan must rank inside range partitions, never one global window
+    val p = GlobalRank.orderRank(df, Seq(col("k1"), col("k2")), "r")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).mkString
+    assert(specs.contains("__pid"), s"window must be partitioned by __pid:\n$specs")
+  }
+
+  test("q186/q187: the prefix-doubling SA equals a direct bounded-suffix sort " +
+    "on sf0.001") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // direct construction: sort all (doc, pos) by 64-bounded suffix
+    val sfx = docs.flatMap { case (id, tx) =>
+      (0 until tx.length).map(p => (tx.substring(p, math.min(p + 64, tx.length)), id, p.toLong))
+    }
+    val sa = sfx.sortBy(x => (x._1, x._2, x._3)).zipWithIndex
+      .map { case ((pfx, id, p), i) => (i + 1L, id, p, pfx) }
+    val expectSample = sa.filter(_._1 % 97 == 1)
+      .map { case (sp, id, p, pfx) => (sp, id, p, pfx.take(16)) }
+    val got = SelectionOps.q186_suffix_array.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == expectSample.toSeq,
+      s"sampled SA mismatch: got ${got.take(3).mkString(",")} expected ${expectSample.take(3).mkString(",")}")
+
+    // q187 from the direct SA: adjacent cross-doc LCPs, per-doc max + n_pos30
+    def lcp(a: String, b: String): Long = {
+      var i = 0
+      while (i < math.min(a.length, b.length) && a(i) == b(i)) i += 1
+      i.toLong
+    }
+    val asg = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    sa.sliding(2).foreach {
+      case Array((_, ida, pa, fa), (_, idb, pb, fb)) if ida != idb =>
+        val l = lcp(fa, fb)
+        asg += ((ida, pa, l)); asg += ((idb, pb, l))
+      case _ =>
+    }
+    val exp = asg.groupBy(_._1).map { case (id, vs) =>
+      id -> ((vs.map(_._3).max, vs.filter(_._3 >= 30).map(_._2).distinct.size.toLong))
+    }
+    val got187 = SelectionOps.q187_sa_dup_lengths.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got187.size == docs.length)
+    docs.foreach { case (id, _) =>
+      assert(got187(id) == exp.getOrElse(id, (0L, 0L)), s"doc $id mismatch")
+    }
+    assert(exp.values.exists(_._1 >= 30), "fixture should contain long cross-doc matches")
   }
 
   test("q184: doc-keyed split leaks near-dup clusters; cluster-keyed split cannot") {
