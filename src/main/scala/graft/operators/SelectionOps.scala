@@ -325,6 +325,9 @@ object SelectionOps extends QueryModule {
     * bucket device, shared by both engines verbatim. */
   private def nib(h: String, i: Int): String =
     s"(instr('0123456789abcdef', substring(md5($h), $i, 1)) - 1)"
+  /** Nibble of an ALREADY-COMPUTED md5 column (hash once, extract many). */
+  private def nibH(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
   private def nibSql(h: String, i: Int): String =
     s"(instr('0123456789abcdef', substr(md5($h), $i, 1)) - 1)"
 
@@ -345,10 +348,12 @@ object SelectionOps extends QueryModule {
     * Determinism: bucket log-ratio terms are floored to BIGINT once per
     * bucket (256 rows) from exact integer counts; per-doc weights are
     * integer dot products count·term_fp; the Gumbel term is floored to
-    * the same 1e-6 grid. Scale shape: two corpus aggregations (doc →
-    * bucket counts; bucket totals), one BROADCAST of the 256-row term
-    * table, and a distributed top-k (TakeOrdered — never a global
-    * sort). */
+    * the same 1e-6 grid. Scale shape: ONE pass over the bigram
+    * occurrences (explode + one md5 each) into the cached per-doc
+    * bucket-count aggregate; raw and target bucket totals re-aggregate
+    * THAT (≤ N_docs·256 rows), never the occurrences; one BROADCAST of
+    * the 256-row term table; selection is distributed top-k
+    * (TakeOrdered — never a global sort). */
   val q183_dsir_importance = QueryDef(
     "q183_dsir_importance",
     (s, dir) => {
@@ -357,12 +362,24 @@ object SelectionOps extends QueryModule {
         .filter(size(col("ws")) >= 2)
         .select(col("doc_id"), col("lang"), explode(expr(
           "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")).as("bg"))
+        // one md5 per occurrence (the q65 pattern) — computing it inside
+        // each nibble extraction doubled the hash work (bench: 1.8 s)
+        .withColumn("h", md5(col("bg")))
         .withColumn("bucket",
-          (expr(nib("bg", 1)) * 16 + expr(nib("bg", 2))).cast("long"))
-      val docBuckets = big.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
-      val rawC = big.groupBy("bucket").agg(count(lit(1)).as("cr"))
-      val tgtC = big.filter(col("lang") === "en")
-        .groupBy("bucket").agg(count(lit(1)).as("ct"))
+          (expr(nibH("h", 1)) * 16 + expr(nibH("h", 2))).cast("long"))
+      // ONE pass over the occurrences: bucket totals re-aggregate the
+      // per-doc counts (lang rides the key — functionally dependent on
+      // doc_id) instead of re-running the explode+hash per consumer
+      // (measured: three scans of `big` dominated the query)
+      // cache: three consumers (per-doc weights, raw totals, target
+      // totals) read this ≤ N_docs·256-row aggregate — without it each
+      // re-runs the explode+hash pass (the q45 signature-table pattern;
+      // Verify/Bench clearCache() hygiene bounds its lifetime)
+      val docBuckets = big.groupBy("doc_id", "lang", "bucket")
+        .agg(count(lit(1)).as("cnt")).cache()
+      val rawC = docBuckets.groupBy("bucket").agg(sum("cnt").cast("long").as("cr"))
+      val tgtC = docBuckets.filter(col("lang") === "en")
+        .groupBy("bucket").agg(sum("cnt").cast("long").as("ct"))
       val totals = rawC.agg(sum("cr").cast("long").as("tr")).crossJoin(
         tgtC.agg(sum("ct").cast("long").as("tt")))
       val terms = s.range(256).select(col("id").as("bucket"))
@@ -380,11 +397,10 @@ object SelectionOps extends QueryModule {
           sum(col("cnt") * col("term_fp")).cast("long").as("logw_fp"))
       docs.select(col("doc_id"), col("lang"))
         .join(logw, Seq("doc_id"), "left")
+        .withColumn("gh", md5(concat(lit("gum:"), col("doc_id").cast("string"))))
         .withColumn("u16",
-          (expr(nib("concat('gum:', CAST(doc_id AS STRING))", 1)) * 4096
-            + expr(nib("concat('gum:', CAST(doc_id AS STRING))", 2)) * 256
-            + expr(nib("concat('gum:', CAST(doc_id AS STRING))", 3)) * 16
-            + expr(nib("concat('gum:', CAST(doc_id AS STRING))", 4))).cast("double"))
+          (expr(nibH("gh", 1)) * 4096 + expr(nibH("gh", 2)) * 256
+            + expr(nibH("gh", 3)) * 16 + expr(nibH("gh", 4))).cast("double"))
         .select(col("doc_id"), col("lang"),
           coalesce(col("n_big"), lit(0L)).as("n_big"),
           coalesce(col("logw_fp"), lit(0L)).as("logw_fp"),
@@ -609,10 +625,14 @@ object SelectionOps extends QueryModule {
       var base = chars
       for (j <- 0 until 6) {
         val step = 1 << j
-        val nxt = base.select(col("doc_id"), (col("pos") - step).as("pos"),
-          col("r").as("r2"))
-        val joined = base.join(nxt, Seq("doc_id", "pos"), "left")
-          .withColumn("r2", coalesce(col("r2"), lit(-1L)))
+        // rank of the suffix 2^j positions ahead via lead() over the
+        // per-doc window — one shuffle to doc layout instead of the
+        // two-sided self-join shuffle (suffixes never cross documents,
+        // so the window partition is doc_id, bounded by doc length)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val joined = base.withColumn("r2",
+          coalesce(lead(col("r"), step).over(w), lit(-1L)))
         // localCheckpoint: truncate the per-round lineage (6 chained
         // range-shuffles would otherwise re-execute on every action)
         base = GlobalRank.orderRank(joined, Seq(col("r"), col("r2")), "rn")
