@@ -371,12 +371,14 @@ object SelectionOps extends QueryModule {
       // per-doc counts (lang rides the key — functionally dependent on
       // doc_id) instead of re-running the explode+hash per consumer
       // (measured: three scans of `big` dominated the query)
-      // cache: three consumers (per-doc weights, raw totals, target
-      // totals) read this ≤ N_docs·256-row aggregate — without it each
-      // re-runs the explode+hash pass (the q45 signature-table pattern;
-      // Verify/Bench clearCache() hygiene bounds its lifetime)
+      // localCheckpoint: three consumers (per-doc weights, raw totals,
+      // target totals) read this ≤ N_docs·256-row aggregate — without
+      // pinning it each re-runs the explode+hash pass over the corpus.
+      // Eager checkpoint rather than .cache(): measured at sf1, repeated
+      // cache create/drop cycles degraded later executions in the same
+      // session (7 s → 45 s), while checkpoint blocks free with the RDD.
       val docBuckets = big.groupBy("doc_id", "lang", "bucket")
-        .agg(count(lit(1)).as("cnt")).cache()
+        .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
       val rawC = docBuckets.groupBy("bucket").agg(sum("cnt").cast("long").as("cr"))
       val tgtC = docBuckets.filter(col("lang") === "en")
         .groupBy("bucket").agg(sum("cnt").cast("long").as("ct"))
