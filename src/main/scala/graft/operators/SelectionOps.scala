@@ -222,31 +222,53 @@ object SelectionOps extends QueryModule {
     * floor in O(N log N), but its construction is a 20-pass
     * prefix-doubling sort; the fixed-floor windowed form is one shuffle
     * and is what production near-dedup pipelines run. */
+  /** The q182 window/island stats core, parameterized over the input
+    * corpus slice so a composed pipeline (q188) can RE-COUNT duplicated
+    * windows among its survivors — the counts genuinely change after a
+    * dedup stage removes family members. Input: (doc_id, text). Output:
+    * (doc_id, n_tok, n_spans, dup_tokens), one row per input doc. */
+  private def dupSpanStats(docsWithText: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsWithText
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val nt = docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"))
+    val wins = docs.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(ws) - 8), i -> concat_ws(' ', slice(ws, i + 1, 8)))")))
+      .select(col("doc_id"), col("pos").as("p"), xxhash64(col("col")).as("gk"))
+    val dupKeys = wins.groupBy("gk").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val dups = wins.join(dupKeys.select("gk"), "gk", "left_semi")
+    val wOrd = Window.partitionBy("doc_id").orderBy("p")
+    val islands = dups
+      .withColumn("pe", max(col("p") + 8).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni", when(col("pe").isNull || col("p") > col("pe"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("p")).as("st"), (max(col("p")) + 8).as("en"))
+    val spanStats = islands.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st")).cast("long").as("dup_tokens"))
+    nt.join(spanStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   val q182_dup_spans = QueryDef(
     "q182_dup_spans",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val nt = docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"))
+      val stats = dupSpanStats(t(s, dir, "documents").select(col("doc_id"), col("text")))
       val wins = docs.filter(size(col("ws")) >= 8)
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, size(ws) - 8), i -> concat_ws(' ', slice(ws, i + 1, 8)))")))
         .select(col("doc_id"), col("pos").as("p"), xxhash64(col("col")).as("gk"))
       val dupKeys = wins.groupBy("gk").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       val dups = wins.join(dupKeys.select("gk"), "gk", "left_semi")
-      val wOrd = Window.partitionBy("doc_id").orderBy("p")
-      val islands = dups
-        .withColumn("pe", max(col("p") + 8).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("ni", when(col("pe").isNull || col("p") > col("pe"), 1L).otherwise(0L))
-        .withColumn("isl", sum(col("ni")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("doc_id"), col("isl"))
-        .agg(min(col("p")).as("st"), (max(col("p")) + 8).as("en"))
-      val spanStats = islands.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("en") - col("st")).cast("long").as("dup_tokens"))
       // per-token coverage: token t is inside a dup span iff a dup
       // window STARTS at some p ∈ [t-7, t] — running max of (p+8) over
       // dup starts, including the current row, never re-expands spans
@@ -261,12 +283,9 @@ object SelectionOps extends QueryModule {
       val cleaned = cov.groupBy("doc_id")
         .agg(expr("md5(concat_ws(' ', transform(filter(array_sort(collect_list(" +
           "struct(tp, covered, w))), x -> NOT x.covered), x -> x.w)))").as("clean_md5"))
-      nt.join(spanStats, Seq("doc_id"), "left")
-        .join(cleaned, "doc_id")
-        .select(col("doc_id"), col("n_tok"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-          floor(coalesce(col("dup_tokens"), lit(0L)) * lit(1000000L) / col("n_tok"))
+      stats.join(cleaned, "doc_id")
+        .select(col("doc_id"), col("n_tok"), col("n_spans"), col("dup_tokens"),
+          floor(col("dup_tokens") * lit(1000000L) / col("n_tok"))
             .cast("long").as("dup_frac_fp"),
           col("clean_md5"))
         .orderBy("doc_id")
@@ -354,9 +373,11 @@ object SelectionOps extends QueryModule {
     * THAT (≤ N_docs·256 rows), never the occurrences; one BROADCAST of
     * the 256-row term table; selection is distributed top-k
     * (TakeOrdered — never a global sort). */
-  val q183_dsir_importance = QueryDef(
-    "q183_dsir_importance",
-    (s, dir) => {
+  /** Per-doc DSIR log importance weights (doc_id, lang, n_big,
+    * logw_fp) — the learned-weights core of q183, shared with the
+    * composed pipeline (q188) which aggregates the weights instead of
+    * sampling. */
+  private def importanceWeights(s: SparkSession, dir: String): DataFrame = {
       val docs = t(s, dir, "documents")
       val big = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
@@ -399,14 +420,21 @@ object SelectionOps extends QueryModule {
           sum(col("cnt") * col("term_fp")).cast("long").as("logw_fp"))
       docs.select(col("doc_id"), col("lang"))
         .join(logw, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("logw_fp"), lit(0L)).as("logw_fp"))
+  }
+
+  val q183_dsir_importance = QueryDef(
+    "q183_dsir_importance",
+    (s, dir) => {
+      importanceWeights(s, dir)
         .withColumn("gh", md5(concat(lit("gum:"), col("doc_id").cast("string"))))
         .withColumn("u16",
           (expr(nibH("gh", 1)) * 4096 + expr(nibH("gh", 2)) * 256
             + expr(nibH("gh", 3)) * 16 + expr(nibH("gh", 4))).cast("double"))
-        .select(col("doc_id"), col("lang"),
-          coalesce(col("n_big"), lit(0L)).as("n_big"),
-          coalesce(col("logw_fp"), lit(0L)).as("logw_fp"),
-          (coalesce(col("logw_fp"), lit(0L))
+        .select(col("doc_id"), col("lang"), col("n_big"), col("logw_fp"),
+          (col("logw_fp")
             + floor(-log(-log((col("u16") + 0.5) / 65536.0)) * lit(1e6)).cast("long"))
             .as("g_fp"))
         .orderBy(col("g_fp").desc, col("doc_id"))
@@ -753,7 +781,160 @@ object SelectionOps extends QueryModule {
             FROM d LEFT JOIN pd ON pd.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
 
+  /** The COMPOSED curation pipeline — the selection stages chained the
+    * way a production job runs them, with the load-bearing property
+    * that stage 2's statistics are computed ON STAGE 1's OUTPUT:
+    *
+    *  1. near-dup survivorship — keep each q68 cluster's representative
+    *     (min doc_id) plus all singletons (the q144 rule over the
+    *     memoized pair funnel);
+    *  2. substring gate RE-COUNTED AMONG SURVIVORS — the q182 window
+    *     pass over the surviving corpus only ([[dupSpanStats]] is
+    *     parameterized for exactly this): a window that was "duplicated"
+    *     only because family members repeated it stops counting once
+    *     the members are gone, so this gate catches cross-family
+    *     repetition the survivorship stage cannot;
+    *  3. cluster-safe split (the q184 rule) on the kept docs;
+    *  4. census per (split, lang) with the mean DSIR log-weight
+    *     ([[importanceWeights]], learned on the RAW corpus as the paper
+    *     does) — the mix report a curation run hands to the training
+    *     scheduler.
+    *
+    * Every expensive build is shared: the pair funnel and clusters are
+    * the q43/q68 memoized machinery, the survivor window pass is linear
+    * in surviving tokens, the weights one corpus pass + broadcasts. */
+  val q188_selection_pipeline = QueryDef(
+    "q188_selection_pipeline",
+    (s, dir) => {
+      val clusters = DedupOps.q68_dedup_clusters.run(s, dir)
+      val docs = t(s, dir, "documents")
+      val surv = docs.join(clusters, Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .withColumn("ck", coalesce(col("cluster_id"), col("doc_id")))
+      val fr = dupSpanStats(surv.select(col("doc_id"), col("text")))
+      val kept = surv.join(fr.select(col("doc_id"),
+          floor(col("dup_tokens") * lit(1000000L) / col("n_tok"))
+            .cast("long").as("dfp")), "doc_id")
+        .filter(col("dfp") < 500000)
+      val lw = importanceWeights(s, dir).select(col("doc_id"), col("logw_fp"))
+      kept.join(lw, Seq("doc_id"), "left")
+        .withColumn("h", md5(col("ck").cast("string")))
+        .withColumn("bucket",
+          (expr(nibH("h", 1)) * 16 + expr(nibH("h", 2))).cast("long"))
+        .withColumn("split",
+          when(col("bucket") < 205, "train")
+            .when(col("bucket") < 230, "val")
+            .otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          floor(avg(coalesce(col("logw_fp"), lit(0L)))).cast("long").as("mean_logw_fp"))
+        .orderBy("split", "lang")
+    },
+    Some(s"""WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id,
+                     string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                       || ' ' || string_split(text, ' ')[i+3] AS sh
+              FROM documents, unnest(range(len(string_split(text, ' ')) - 2)) AS t(i)
+              WHERE len(string_split(text, ' ')) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            jpairs AS (
+              SELECT a, b FROM common
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE c / (sa.n + sb.n - c) >= 0.8),
+            edges AS (SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs),
+            reach AS (
+              SELECT DISTINCT a AS src, a AS dst FROM edges
+              UNION
+              SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst),
+            comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+            surv AS (
+              SELECT d.doc_id, d.lang, d.n_chars,
+                     coalesce(c.cluster_id, d.doc_id) AS ck
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+              WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id),
+            sd AS (
+              SELECT s.doc_id, string_split(d2.text, ' ') AS ws
+              FROM surv s JOIN documents d2 ON d2.doc_id = s.doc_id),
+            nt2 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM sd),
+            wins2 AS (
+              SELECT doc_id, i.p, array_to_string(ws[i.p + 1:i.p + 8], ' ') AS gk
+              FROM sd, unnest(range(len(ws) - 7)) AS i(p)
+              WHERE len(ws) >= 8),
+            dupk2 AS (SELECT gk FROM wins2 GROUP BY gk HAVING count(*) >= 2),
+            dups2 AS (SELECT doc_id, p FROM wins2 WHERE gk IN (SELECT gk FROM dupk2)),
+            isl0b AS (
+              SELECT doc_id, p,
+                     max(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM dups2),
+            isl1b AS (
+              SELECT doc_id, p,
+                     sum(CASE WHEN pe IS NULL OR p > pe THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+              FROM isl0b),
+            islands2 AS (
+              SELECT doc_id, isl, min(p) AS st, max(p) + 8 AS en
+              FROM isl1b GROUP BY 1, 2),
+            stats2 AS (
+              SELECT doc_id, CAST(sum(en - st) AS BIGINT) AS dup_tokens
+              FROM islands2 GROUP BY 1),
+            gate AS (
+              SELECT nt2.doc_id FROM nt2
+              LEFT JOIN stats2 ON stats2.doc_id = nt2.doc_id
+              WHERE CAST(floor(coalesce(stats2.dup_tokens, 0) * 1000000 / nt2.n_tok) AS BIGINT) < 500000),
+            big AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(range(len(ws) - 1),
+                       i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+              FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+              WHERE len(ws) >= 2),
+            bb AS (SELECT doc_id, lang,
+                     CAST(${nibSql("bg", 1)} * 16 + ${nibSql("bg", 2)} AS BIGINT) AS bucket
+                   FROM big),
+            db AS (SELECT doc_id, bucket, count(*) AS cnt FROM bb GROUP BY 1, 2),
+            rawc AS (SELECT bucket, count(*) AS cr FROM bb GROUP BY 1),
+            tgtc AS (SELECT bucket, count(*) AS ct FROM bb WHERE lang = 'en' GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rawc) AS tr,
+                           (SELECT CAST(sum(ct) AS BIGINT) FROM tgtc) AS tt),
+            terms AS (
+              SELECT r.b AS bucket,
+                     CAST(floor((ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + 256 AS DOUBLE))
+                       - ln(CAST(coalesce(w.cr, 0) + 1 AS DOUBLE) / CAST(tot.tr + 256 AS DOUBLE))) * 1e6) AS BIGINT) AS term_fp
+              FROM range(0, 256) r(b)
+              LEFT JOIN rawc w ON w.bucket = r.b
+              LEFT JOIN tgtc t ON t.bucket = r.b
+              CROSS JOIN tot),
+            logw AS (
+              SELECT db.doc_id,
+                     CAST(sum(db.cnt * terms.term_fp) AS BIGINT) AS logw_fp
+              FROM db JOIN terms USING (bucket) GROUP BY 1),
+            kept AS (
+              SELECT s.doc_id, s.lang, s.n_chars, s.ck
+              FROM surv s JOIN gate g ON g.doc_id = s.doc_id),
+            assigned AS (
+              SELECT kept.*,
+                     ${nibSql("CAST(ck AS VARCHAR)", 1)} * 16
+                       + ${nibSql("CAST(ck AS VARCHAR)", 2)} AS bucket
+              FROM kept)
+            SELECT CASE WHEN bucket < 205 THEN 'train'
+                        WHEN bucket < 230 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                   CAST(floor(avg(coalesce(l.logw_fp, 0))) AS BIGINT) AS mean_logw_fp
+            FROM assigned LEFT JOIN logw l ON l.doc_id = assigned.doc_id
+            GROUP BY 1, 2 ORDER BY split, lang"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q181_semantic_dedup, q182_dup_spans, q183_dsir_importance, q184_cluster_safe_split,
-      q185_semdedup_recall_eval, q186_suffix_array, q187_sa_dup_lengths)
+      q185_semdedup_recall_eval, q186_suffix_array, q187_sa_dup_lengths,
+      q188_selection_pipeline)
 }

@@ -66,7 +66,8 @@ object ExplainDump {
       ("q184_cluster_safe_split — memoized dup clusters re-keying the content-addressed split", SelectionOps.q184_cluster_safe_split),
       ("q185_semdedup_recall_eval — exact dense ground truth joined to cell assignments on vec_id", SelectionOps.q185_semdedup_recall_eval),
       ("q186_suffix_array — sampled read of the memoized prefix-doubling SA build", SelectionOps.q186_suffix_array),
-      ("q187_sa_dup_lengths — SA-adjacent equi-join + dyadic LCP descent, per-doc aggregation", SelectionOps.q187_sa_dup_lengths))
+      ("q187_sa_dup_lengths — SA-adjacent equi-join + dyadic LCP descent, per-doc aggregation", SelectionOps.q187_sa_dup_lengths),
+      ("q188_selection_pipeline — composed survivorship → survivor-corpus recount → split → census", SelectionOps.q188_selection_pipeline))
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append(s"Input: `$dir`. These plans back the contracts asserted in " +

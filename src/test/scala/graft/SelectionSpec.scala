@@ -227,6 +227,63 @@ class SelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exp.values.exists(_._1 >= 30), "fixture should contain long cross-doc matches")
   }
 
+  test("q188 equals the brute-force composed pipeline, and its substring gate " +
+    "runs on the SURVIVOR corpus (stage outputs chain)") {
+    import graft.operators.DedupOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val clusters = DedupOps.q68_dedup_clusters.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // stage 1: survivorship
+    val surv = docs.filter { case (id, _, _, _) =>
+      clusters.get(id).forall(_ == id)
+    }
+    assert(surv.length < docs.length, "survivorship must drop members")
+    // stage 2: window recount among survivors only
+    def dupFrac(corpus: Array[(Long, String)]): Map[Long, (Long, Long)] = {
+      val winCount = scala.collection.mutable.Map[String, Int]()
+      val perDoc = corpus.map { case (id, tx) =>
+        val ws = tx.split(" ", -1)
+        val wins = (0 to ws.length - 8).map(p => (p, ws.slice(p, p + 8).mkString(" ")))
+        wins.foreach { case (_, g) => winCount(g) = winCount.getOrElse(g, 0) + 1 }
+        (id, ws.length.toLong, wins)
+      }
+      perDoc.map { case (id, n, wins) =>
+        val dupStarts = wins.collect { case (p, g) if winCount(g) >= 2 => p }
+        val spans = dupStarts.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, p) if p <= e0 => (s0, math.max(e0, p + 8)) :: rest
+          case (acc, p) => (p, p + 8) :: acc
+        }
+        id -> ((n, spans.map { case (s0, e0) => (e0 - s0).toLong }.sum))
+      }.toMap
+    }
+    val rawFrac = dupFrac(docs.map(d => (d._1, d._4)))
+    val survFrac = dupFrac(surv.map(d => (d._1, d._4)))
+    def fails(m: Map[Long, (Long, Long)], id: Long): Boolean = {
+      val (n, dup) = m(id)
+      math.floor(dup.toDouble * 1000000.0 / n).toLong >= 500000
+    }
+    val rawFails = surv.count(d => fails(rawFrac, d._1))
+    val survFails = surv.count(d => fails(survFrac, d._1))
+    assert(rawFails > survFails,
+      "the recount must differ from the raw-corpus gate — otherwise stage 2 " +
+        s"isn't consuming stage 1's output (raw=$rawFails surv=$survFails)")
+    // stages 3-4: split + census with mean DSIR weight from the operator's
+    // own importance surface (q183's logw is oracle-pinned separately)
+    val kept = surv.filter(d => !fails(survFrac, d._1))
+    def split(key: Long): String = {
+      val b = Integer.parseInt(md5hex(key.toString).substring(0, 2), 16)
+      if (b < 205) "train" else if (b < 230) "val" else "test"
+    }
+    val expCensus = kept.groupBy(d => (split(clusters.getOrElse(d._1, d._1)), d._2))
+      .map { case (k, ds) => k -> ((ds.length.toLong, ds.map(_._3).sum)) }
+    val got = SelectionOps.q188_selection_pipeline.run(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expCensus.keySet)
+    expCensus.foreach { case (k, v) => assert(got(k) == v, s"census mismatch at $k") }
+  }
+
   test("q184: doc-keyed split leaks near-dup clusters; cluster-keyed split cannot") {
     import graft.operators.DedupOps
     val clusters = DedupOps.q68_dedup_clusters.run(spark, sfDir).collect()
