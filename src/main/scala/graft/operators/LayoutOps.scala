@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Data-LAYOUT operators: the write-side lever that turns min/max file
@@ -161,5 +162,79 @@ object LayoutOps extends QueryModule {
                    rows_total * 1000000 // rows_match AS scan_amp_fp
             FROM read, matched"""))
 
-  override val defs: Seq[QueryDef] = Seq(q179_zorder_layout, q180_zorder_prune_eval)
+  /** SMALL-FILE COMPACTION PLAN — the OTHER half of lakehouse table
+    * maintenance next to q179's z-order: streaming ingest writes one
+    * file per (partition, micro-batch, task), and a year of 250 ms
+    * triggers leaves millions of KB-sized files whose open/footer cost
+    * dominates scans long before row count does. The public fix (Delta
+    * OPTIMIZE bin-packing, Iceberg rewrite_data_files) plans, per table
+    * partition, which small files coalesce into which target-sized
+    * output ("bin"), then rewrites each bin as one file.
+    *
+    * The file inventory is derived deterministically from data: one
+    * "file" per (event_date, user_id % 64) — exactly the layout a
+    * by-user-bucketed streaming sink produces — with logical size
+    * Σ length(props). The plan orders each partition's files largest
+    * first and assigns bin = ⌊cumulative-bytes-before / target⌋: the
+    * distributed form of greedy bin-packing (every bin lands in
+    * [target − max_file, target + max_file); first-fit-decreasing's
+    * sequential free-list cannot run on a cluster, and this bound is
+    * what Delta's own OPTIMIZE settles for). Output = the task list a
+    * rewrite job executes, one row per bin with its size and file span.
+    *
+    * Scale: planning is one linear aggregation (file inventory) plus a
+    * window over ≤64 rows per date partition — BOUNDED per partition by
+    * the bucket count, never corpus-growing, and partitions plan in
+    * parallel (the per-partition independence is why OPTIMIZE
+    * parallelizes). `CompactionSpec` executes a plan against real
+    * parquet: post-compaction file count == bin count, rows preserved. */
+  val q190_compaction_binpack = QueryDef(
+    "q190_compaction_binpack",
+    (s, dir) => {
+      val target = 1024L
+      val files = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("event_date"),
+          expr("user_id % 64").as("file_id"))
+        .agg(sum(length(col("props"))).cast("long").as("bytes"),
+          count(lit(1)).cast("long").as("n_rows"))
+      val w = Window.partitionBy("event_date")
+        .orderBy(col("bytes").desc, col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before", coalesce(sum("bytes").over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_before div $target"))
+        .groupBy("event_date", "bin")
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum("bytes").cast("long").as("bin_bytes"),
+          max("bytes").cast("long").as("max_file_bytes"),
+          sum("n_rows").cast("long").as("n_rows"),
+          min("file_id").cast("long").as("file_id_min"),
+          max("file_id").cast("long").as("file_id_max"))
+        .orderBy("event_date", "bin")
+    },
+    Some("""WITH files AS (
+              SELECT CAST(ts AS DATE) AS event_date,
+                     user_id % 64 AS file_id,
+                     CAST(sum(length(props)) AS BIGINT) AS bytes,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM events GROUP BY 1, 2),
+            planned AS (
+              SELECT event_date, file_id, bytes, n_rows,
+                     CAST(coalesce(sum(bytes) OVER (PARTITION BY event_date
+                       ORDER BY bytes DESC, file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       // 1024 AS BIGINT) AS bin
+              FROM files)
+            SELECT event_date, bin,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+                   CAST(max(bytes) AS BIGINT) AS max_file_bytes,
+                   CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                   CAST(min(file_id) AS BIGINT) AS file_id_min,
+                   CAST(max(file_id) AS BIGINT) AS file_id_max
+            FROM planned GROUP BY event_date, bin
+            ORDER BY event_date, bin"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q179_zorder_layout, q180_zorder_prune_eval, q190_compaction_binpack)
 }

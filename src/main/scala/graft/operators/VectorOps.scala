@@ -1234,10 +1234,136 @@ object VectorOps extends QueryModule {
                    CAST(n_hits * 1000000 // k AS BIGINT) AS recall_fp
             FROM hits ORDER BY qid"""))
 
+  /** PQ ASYMMETRIC-DISTANCE (ADC) RECALL EVALUATION — closes the
+    * quantization funnel the way q159/q162 close the LSH/IVF ones: the
+    * q131 codes are only worth their 32× compression if searching the
+    * CODES (never the vectors) still surfaces the true neighbors. Per
+    * probe (the 32 bounded queries, q153's exact-over-probes rule), the
+    * classic ADC machinery:
+    *
+    *  - a per-probe LOOKUP TABLE — l2 from the probe's k-th 8-dim slice
+    *    to each of the 16 block centroids (32·8·16 = 4096 rows, built
+    *    from two broadcast-bounded sides and broadcast onward);
+    *  - the approximate distance of probe q to vector x = Σ_k
+    *    LUT[q][k][code(x,k)] — an equi-join of the linear codes table
+    *    against the broadcast LUT on (block, code) plus a partial-agg
+    *    sum: the scan touches 8 SMALLINT codes per vector, not 256
+    *    bytes of floats, which is the entire point at 100 TB;
+    *  - recall@5: how many of the exact top-5 (full-width l2, the
+    *    ground truth) the ADC top-5 recovers, per probe.
+    *
+    * Determinism: each LUT term is floored to ×10⁶ fixed point BEFORE
+    * the 8-term sum (integer sums are order-free; QueryDef rules), and
+    * both rankings tie-break on cid. The measured number is the honest
+    * one for 16-centroid-per-block PQ on near-uniform 64-d data:
+    * quantization error moves distances enough that some probes lose
+    * top-5 members — exactly why production systems rerank an ADC
+    * shortlist with exact distances (q158's regime argument applied to
+    * compression). */
+  val q189_pq_adc_recall = QueryDef(
+    "q189_pq_adc_recall",
+    (s, dir) => {
+      import graft.functions.L2Distance.l2_ff
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centid"), col("embedding").as("cv"))
+      val codes = ScratchMemo("pqcodes", s, dir) { q131_pq_codes.run(s, dir) }
+        .select(col("vec_id").as("cid"), col("block"), col("code"))
+      val q = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val lut = (0 until 8).map { k =>
+        q.crossJoin(broadcast(cents))
+          .select(col("qid"), lit(k.toLong).as("block"),
+            col("centid").cast("long").as("code"),
+            floor(l2_ff(col("qv"), col("cv"), 8 * k, 8) * lit(1e6))
+              .cast("long").as("term_fp"))
+      }.reduce(_ unionByName _)
+      val adc = codes.join(broadcast(lut), Seq("block", "code"))
+        .filter(col("qid") =!= col("cid"))
+        .groupBy("qid", "cid")
+        .agg(sum("term_fp").cast("long").as("adc_fp"))
+      val approx = adc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc_fp"), col("cid"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      val exact = broadcast(q)
+        .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+          col("qid") =!= col("cid"))
+        .withColumn("d2", l2_ff(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"))
+      exact.join(approx, Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
+          count(lit(1)).cast("long").as("k"))
+        .withColumn("recall_fp", expr("n_hits * 1000000 div k"))
+        .orderBy("qid")
+    },
+    {
+      def l2s(a: String, b: String, o: Int, n: Int) =
+        s"list_reduce(list_transform(range(1, ${n + 1}), i -> (CAST($a[i + $o] AS DOUBLE) - CAST($b[i + $o] AS DOUBLE)) * (CAST($a[i + $o] AS DOUBLE) - CAST($b[i + $o] AS DOUBLE))), (x, y) -> x + y)"
+      val codesSql = (0 until 8).map { k =>
+        s"""SELECT e.vec_id, CAST($k AS BIGINT) AS block, c.centid,
+               ${l2s("e.embedding", "c.cv", 8 * k, 8)} AS d2
+               FROM embeddings e CROSS JOIN cents c"""
+      }.mkString("\n              UNION ALL\n              ")
+      val lutSql = (0 until 8).map { k =>
+        s"""SELECT qid, CAST($k AS BIGINT) AS block,
+               CAST(centid AS BIGINT) AS code,
+               CAST(floor(${l2s("qv", "cv", 8 * k, 8)} * 1e6) AS BIGINT) AS term_fp
+               FROM probes CROSS JOIN cents"""
+      }.mkString("\n              UNION ALL\n              ")
+      Some(s"""WITH cents AS (
+              SELECT vec_id AS centid, embedding AS cv FROM embeddings
+              WHERE vec_id < 16),
+            u AS (
+              $codesSql),
+            codes AS (
+              SELECT vec_id AS cid, block, CAST(centid AS BIGINT) AS code
+              FROM (SELECT vec_id, block, centid,
+                      row_number() OVER (PARTITION BY vec_id, block
+                        ORDER BY d2, centid) AS rn
+                    FROM u)
+              WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE vec_id < 32),
+            lut AS (
+              $lutSql),
+            adc AS (
+              SELECT qid, cid, CAST(sum(term_fp) AS BIGINT) AS adc_fp
+              FROM codes JOIN lut USING (block, code)
+              WHERE qid <> cid GROUP BY qid, cid),
+            approx AS (
+              SELECT qid, cid, CAST(1 AS BIGINT) AS hit
+              FROM (SELECT qid, cid,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY adc_fp, cid) AS rn
+                    FROM adc)
+              WHERE rn <= 5),
+            exact AS (
+              SELECT qid, cid
+              FROM (SELECT qid, e.vec_id AS cid,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY ${l2s("qv", "e.embedding", 0, 64)}, e.vec_id) AS rn
+                    FROM probes CROSS JOIN embeddings e
+                    WHERE qid <> e.vec_id)
+              WHERE rn <= 5)
+            SELECT x.qid,
+                   CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(coalesce(a.hit, 0)) * 1000000 // count(*) AS BIGINT) AS recall_fp
+            FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.cid = a.cid
+            GROUP BY x.qid ORDER BY x.qid""")
+    })
+
   override val defs: Seq[QueryDef] = Seq(
     q46_vector_topk, q47_vector_threshold, q48_vector_ann_lsh, q54_vector_ivf,
     q62_dedup_embedding, q75_kmeans_step, q104_centroid_outliers, q112_rrf_fusion,
     q131_pq_codes, q143_hard_negatives, q153_ann_recall, q156_power_iteration,
     q158_dense_threshold, q159_lsh_recall_eval, q160_kmeanspp_seed,
-    q162_ivf_kpp_recall)
+    q162_ivf_kpp_recall, q189_pq_adc_recall)
 }

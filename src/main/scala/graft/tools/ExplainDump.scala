@@ -67,7 +67,9 @@ object ExplainDump {
       ("q185_semdedup_recall_eval — exact dense ground truth joined to cell assignments on vec_id", SelectionOps.q185_semdedup_recall_eval),
       ("q186_suffix_array — sampled read of the memoized prefix-doubling SA build", SelectionOps.q186_suffix_array),
       ("q187_sa_dup_lengths — SA-adjacent equi-join + dyadic LCP descent, per-doc aggregation", SelectionOps.q187_sa_dup_lengths),
-      ("q188_selection_pipeline — composed survivorship → survivor-corpus recount → split → census", SelectionOps.q188_selection_pipeline))
+      ("q188_selection_pipeline — composed survivorship → survivor-corpus recount → split → census", SelectionOps.q188_selection_pipeline),
+      ("q189_pq_adc_recall — ADC as a broadcast-LUT equi-join over the linear codes scan; exact-over-probes ground truth", VectorOps.q189_pq_adc_recall),
+      ("q190_compaction_binpack — per-date bounded windows planning greedy cumulative-sum bins", LayoutOps.q190_compaction_binpack))
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append(s"Input: `$dir`. These plans back the contracts asserted in " +

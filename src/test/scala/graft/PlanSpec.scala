@@ -436,4 +436,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the eval must stay keyed — ground truth is the memoized dense table")
   }
+
+  test("PQ ADC scan is an equi-join of codes against the broadcast LUT (q189)") {
+    val p = plan(VectorOps.q189_pq_adc_recall)
+    assert(!p.contains("CartesianProduct"),
+      "the ADC distance must come from LUT lookups, never a vector cross product")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 4096-row (qid, block, code) LUT must broadcast onto the linear codes scan")
+    assert(p.toLowerCase.contains("l2slicedistanceff"),
+      "LUT terms and exact ground truth must use the native codegen slice distance")
+  }
+
+  test("compaction planning windows stay partitioned by event_date (q190)") {
+    val p = plan(LayoutOps.q190_compaction_binpack)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("windowspecdefinition(event_date"),
+      "the cumulative-bytes window must partition by date (≤64 files per " +
+        "partition by construction) — a global window would serialize the plan")
+  }
 }
