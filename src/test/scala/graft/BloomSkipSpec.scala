@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import graft.sources.Tables
+
+/** Measured evidence for the THIRD data-skipping lever, completing the
+  * trilogy next to partition pruning (BucketingSpec) and z-order
+  * min/max (LayoutSpec): parquet BLOOM FILTERS, the public row-group
+  * skipping mechanism for point lookups on high-cardinality columns
+  * whose values are SCATTERED across the file — exactly the case where
+  * min/max statistics are useless (every row group's [min, max] spans
+  * nearly the whole domain, so a range check prunes nothing).
+  *
+  * The workload is the lakehouse "needle" query — `doc_id = <k>` on a
+  * corpus laid out by content hash (the q65/q184 split layout, where id
+  * order is deliberately destroyed). Rows are written with per-column
+  * bloom filters and small row groups; the spec reads the filters back
+  * from the footers (the same footer-level measurement LayoutSpec uses
+  * for min/max) and counts, per probe:
+  *
+  *  - how many groups a min/max pruner must read (expected: ALL — the
+  *    scattered layout defeats range stats by construction);
+  *  - how many groups the bloom filter admits (expected: few — a
+  *    present id lives in exactly one group; every other group's
+  *    filter rejects it up to the false-positive rate);
+  *  - that absent ids are rejected everywhere (the "needle not in this
+  *    haystack" fast path — at 100 TB this is the difference between
+  *    opening every file of a table and opening none).
+  */
+class BloomSkipSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bloom-skip-spec")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    // many small FILES (one row group each) rather than sub-page row
+    // groups — parquet's writer won't flush groups below its page
+    // buffer, and file-level footer skipping is the shape that matters
+    // at scale anyway (a reader skips whole files from their footers)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Per row group across ALL written files: (min, max, mightContain)
+    * for `doc_id` under each probe id. */
+  private def footerScan(pathStr: String, probes: Seq[Long])
+    : Seq[(Long, Long, Map[Long, Boolean])] = {
+    val conf = new Configuration()
+    val fs = new Path(pathStr).getFileSystem(conf)
+    val files = fs.listStatus(new Path(pathStr)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    files.flatMap { file =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val colMeta = block.getColumns.asScala
+            .find(_.getPath.toDotString == "doc_id").get
+          val stats = colMeta.getStatistics
+          val lo = stats.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+          val hi = stats.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+          val bloom = reader.readBloomFilter(colMeta)
+          val admits = probes.map { id =>
+            id -> (bloom == null || bloom.findHash(bloom.hash(id)))
+          }.toMap
+          (lo, hi, admits)
+        }
+      } finally reader.close()
+    }
+  }
+
+  test("bloom filters prune scattered point lookups that min/max cannot") {
+    val tmp = Files.createTempDirectory("graft-bloom-")
+    try {
+      // content-addressed layout: id order destroyed — each of the 16
+      // files holds a hash-space slice, i.e. a uniform sample of the
+      // whole doc_id domain (the q65/q184 split layout materialized)
+      val docs = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .repartitionByRange(16, col("h"))
+        .sortWithinPartitions("h")
+        .drop("h")
+      val bloomed = tmp.resolve("bloomed")
+      docs.write
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "500")
+        .parquet(bloomed.toString)
+
+      // doc_id domain at sf0.01 is 0..499 (one "file" ≈ 31 ids).
+      // Central probes: a 31-id uniform sample's [min, max] almost
+      // always covers mid-domain values (extreme ids would get some
+      // incidental min/max pruning and understate the contrast).
+      val present = Seq(97L, 123L, 250L, 333L, 404L)
+      val absent = Seq(-1L, 500L, 123456L)
+      val groups = footerScan(bloomed.toString, present ++ absent)
+      assert(groups.size >= 8, s"need many row groups to measure, got ${groups.size}")
+
+      // min/max is defeated by construction: every probe falls inside
+      // (almost) every group's range, so a range pruner reads ~everything.
+      val minmaxReads = present.map(id =>
+        groups.count { case (lo, hi, _) => lo <= id && id <= hi }).sum
+      assert(minmaxReads * 100 >= present.size * groups.size * 85,
+        s"scattered layout should leave min/max useless, but it pruned to " +
+          s"$minmaxReads of ${present.size * groups.size} group-reads")
+
+      // bloom admits the one true group plus at most a few false
+      // positives — less than a quarter of what min/max reads.
+      present.foreach { id =>
+        val admitted = groups.count(_._3(id))
+        assert(admitted >= 1, s"present id $id must be admitted somewhere")
+        assert(admitted <= groups.size / 4,
+          s"bloom should prune most groups for id $id, admitted $admitted of ${groups.size}")
+      }
+
+      // absent ids: the whole file is skippable without reading a page.
+      absent.foreach { id =>
+        val admitted = groups.count(_._3(id))
+        assert(admitted <= groups.size / 4,
+          s"absent id $id should be rejected nearly everywhere, admitted $admitted")
+      }
+
+      // Control: the same write WITHOUT the option carries no filters —
+      // the pruning is bought by the writer config, not by parquet defaults.
+      val plain = tmp.resolve("plain")
+      docs.write.parquet(plain.toString)
+      val noBloom = footerScan(plain.toString, Seq(7L))
+      assert(noBloom.forall(_._3(7L)),
+        "without bloom filters every group must be admitted (null filter)")
+      ()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(tmp)
+      try s.iterator().asScala.toList.reverse.foreach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+}
