@@ -69,7 +69,8 @@ object ExplainDump {
       ("q187_sa_dup_lengths — SA-adjacent equi-join + dyadic LCP descent, per-doc aggregation", SelectionOps.q187_sa_dup_lengths),
       ("q188_selection_pipeline — composed survivorship → survivor-corpus recount → split → census", SelectionOps.q188_selection_pipeline),
       ("q189_pq_adc_recall — ADC as a broadcast-LUT equi-join over the linear codes scan; exact-over-probes ground truth", VectorOps.q189_pq_adc_recall),
-      ("q190_compaction_binpack — per-date bounded windows planning greedy cumulative-sum bins", LayoutOps.q190_compaction_binpack))
+      ("q190_compaction_binpack — per-date bounded windows planning greedy cumulative-sum bins", LayoutOps.q190_compaction_binpack),
+      ("q191_adc_rerank_funnel — ADC shortlist (codes scan) → keyed float fetch for Q·50 exact reranks", VectorOps.q191_adc_rerank_funnel))
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append(s"Input: `$dir`. These plans back the contracts asserted in " +

@@ -447,6 +447,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "LUT terms and exact ground truth must use the native codegen slice distance")
   }
 
+  test("ADC rerank funnel fetches floats only for the shortlist via an equi-join (q191)") {
+    val p = plan(VectorOps.q191_adc_rerank_funnel)
+    assert(!p.contains("CartesianProduct"),
+      "the funnel must never cross vectors; the one BNLJ is the bounded-probe ground truth")
+    assert(p.contains("BroadcastHashJoin"),
+      "shortlist→embedding rerank must be a keyed join on cid (the Q·50 float fetch)")
+  }
+
   test("compaction planning windows stay partitioned by event_date (q190)") {
     val p = plan(LayoutOps.q190_compaction_binpack)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
