@@ -933,8 +933,87 @@ object SelectionOps extends QueryModule {
             FROM assigned LEFT JOIN logw l ON l.doc_id = assigned.doc_id
             GROUP BY 1, 2 ORDER BY split, lang"""))
 
+  /** TEMPERATURE-SCALED DOMAIN MIXTURE — the data-mixing step every
+    * multilingual / multi-domain pretraining corpus goes through
+    * (public recipe since multilingual BERT / XLM: sample domains
+    * ∝ share^τ, τ < 1, to lift low-resource domains without letting
+    * the head domain swamp training). Here τ = 1/2 — deliberately, for
+    * engine-exactness: sqrt is IEEE-correctly-rounded in BOTH engines
+    * (a general pow(x, 0.7) is not guaranteed bit-identical, and a
+    * last-ulp difference under floor() would flip an integer
+    * threshold), and every step after the sqrt is integer arithmetic:
+    *
+    *  - per-domain weight w_d = floor(sqrt(n_d)·10⁶) as BIGINT;
+    *  - target count n_target_d = N·w_d div Σw (integer);
+    *  - acceptance threshold = min(65536, n_target_d·65536 div n_d);
+    *  - a document is RESAMPLED IN iff its 16-bit content address
+    *    (four md5 nibbles of doc_id — the q65 device) falls under its
+    *    domain's threshold: deterministic on any partitioning, no RNG
+    *    state, reproducible across engines and reruns.
+    *
+    * Domains above their target downsample; domains below keep
+    * everything (training-time repetition, not row duplication, covers
+    * the upsampling remainder — this query is the selection half).
+    *
+    * Scale: one bounded aggregation (≤ #domains keys), a ≤20-row
+    * broadcast threshold table, one linear accept pass — entirely
+    * map-side after the domain census, the same shape at any corpus
+    * size. */
+  val q192_mixture_temperature = QueryDef(
+    "q192_mixture_temperature",
+    (s, dir) => {
+      val stats = t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .withColumn("w", expr("CAST(floor(sqrt(n_docs) * 1e6) AS BIGINT)"))
+      val tot = stats.agg(sum("n_docs").cast("long").as("n_total"),
+        sum("w").cast("long").as("w_sum"))
+      val th = stats.crossJoin(broadcast(tot))
+        .withColumn("n_target", expr("n_total * w div w_sum"))
+        .withColumn("thresh", least(lit(65536L), expr("n_target * 65536 div n_docs")))
+        .select("lang", "n_docs", "n_target", "thresh")
+      val assigned = t(s, dir, "documents")
+        .select(col("lang"),
+          expr(s"CAST(${nib("CAST(doc_id AS STRING)", 1)} * 4096 + " +
+            s"${nib("CAST(doc_id AS STRING)", 2)} * 256 + " +
+            s"${nib("CAST(doc_id AS STRING)", 3)} * 16 + " +
+            s"${nib("CAST(doc_id AS STRING)", 4)} AS BIGINT)").as("v"))
+      assigned.join(broadcast(th), Seq("lang"))
+        .groupBy("lang")
+        .agg(first("n_docs").as("n_docs"), first("n_target").as("n_target"),
+          first("thresh").as("thresh"),
+          sum(when(col("v") < col("thresh"), 1L).otherwise(0L))
+            .cast("long").as("n_sampled"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH stats AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS w
+              FROM documents GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                     CAST(sum(w) AS BIGINT) AS w_sum
+              FROM stats),
+            th AS (
+              SELECT lang, n_docs,
+                     n_total * w // w_sum AS n_target,
+                     least(65536, (n_total * w // w_sum) * 65536 // n_docs) AS thresh
+              FROM stats, tot),
+            assigned AS (
+              SELECT lang,
+                     CAST(${nib("CAST(doc_id AS VARCHAR)", 1)} * 4096 +
+                          ${nib("CAST(doc_id AS VARCHAR)", 2)} * 256 +
+                          ${nib("CAST(doc_id AS VARCHAR)", 3)} * 16 +
+                          ${nib("CAST(doc_id AS VARCHAR)", 4)} AS BIGINT) AS v
+              FROM documents)
+            SELECT th.lang, th.n_docs, th.n_target, th.thresh,
+                   CAST(sum(CASE WHEN a.v < th.thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+            FROM assigned a JOIN th ON a.lang = th.lang
+            GROUP BY th.lang, th.n_docs, th.n_target, th.thresh
+            ORDER BY th.lang"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q181_semantic_dedup, q182_dup_spans, q183_dsir_importance, q184_cluster_safe_split,
       q185_semdedup_recall_eval, q186_suffix_array, q187_sa_dup_lengths,
-      q188_selection_pipeline)
+      q188_selection_pipeline, q192_mixture_temperature)
 }

@@ -455,6 +455,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "shortlist→embedding rerank must be a keyed join on cid (the Q·50 float fetch)")
   }
 
+  test("mixture resampling is a broadcast threshold table over one linear pass (q192)") {
+    val p = plan(SelectionOps.q192_mixture_temperature)
+    assert(!p.contains("CartesianProduct"),
+      "the only unkeyed join is the 1-row census total against the ≤20-row domain table")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-domain thresholds must broadcast onto the accept pass")
+  }
+
   test("compaction planning windows stay partitioned by event_date (q190)") {
     val p = plan(LayoutOps.q190_compaction_binpack)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
