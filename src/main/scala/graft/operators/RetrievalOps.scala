@@ -217,7 +217,25 @@ object RetrievalOps extends QueryModule {
     * ln(c_ab·N / (c_a·c_b)) on doubles derived from exact BIGINT counts
     * with identical operation order in both engines, floored to
     * fixed-point. Support floor c_ab ≥ 20 keeps the output the
-    * high-signal head. */
+    * high-signal head.
+    *
+    * N (total skip-gram count) comes from per-doc ARITHMETIC —
+    * Σ(2·len−3) on the token-array lengths — never from re-running the
+    * pair explode as a second aggregation subtree (the original form's
+    * hidden 2× cost: `pairs.agg(sum(c_ab))` recomputes the whole
+    * explode+shuffle because Spark does not share subtrees across
+    * actions in one plan).
+    *
+    * Negative result, measured before settling on this shape: a
+    * heavy-hitter two-pass (count 8-byte xxhash64 keys first, re-count
+    * exact strings only for hashes ≥ the support floor) prunes NOTHING
+    * here — this corpus's vocabulary is tiny, so 907 of 931 distinct
+    * pairs are heavy and cover 99.93% of the 526k sf0.1 occurrences,
+    * while the bounded pair cardinality already collapses map-side in
+    * the single-pass form. The two-pass paid a third explode for a
+    * 0.07% shuffle reduction. Keep the single pass; the two-pass is
+    * the right shape only when the pair distribution has a long unique
+    * tail (real natural-language corpora at high support floors). */
   val q105_cooccur_pmi = QueryDef(
     "q105_cooccur_pmi",
     (s, dir) => {
@@ -235,7 +253,7 @@ object RetrievalOps extends QueryModule {
         .withColumn("w2", expr("split(pair, ' ')[1]"))
       val uni = docs.select(explode(col("ws")).as("w"))
         .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
-      val n = pairs.agg(sum("c_ab").cast("long").as("n_pairs"))
+      val n = docs.agg(sum(size(col("ws")).cast("long") * 2 - 3).cast("long").as("n_pairs"))
       pairs.filter(col("c_ab") >= 20)
         .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
         .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")

@@ -30,8 +30,12 @@ object TimeQ {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      // run 1 = cold (codegen + shuffle files), run 2 = warm — report both
+      // run 1 = cold (codegen + shuffle files), run 2 = warm — report both.
+      // System.gc() OUTSIDE the timed region (Bench's hygiene): without it
+      // the warm run at 10×+ fixtures pays the cold run's garbage as GC
+      // thrash mid-measurement (observed 15 s cold → 110 s "warm").
       val times = (1 to 2).map { _ =>
+        System.gc()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         spark.catalog.clearCache()
