@@ -251,8 +251,14 @@ object RetrievalOps extends QueryModule {
         .groupBy("pair").agg(count(lit(1)).cast("long").as("c_ab"))
         .withColumn("w1", expr("split(pair, ' ')[0]"))
         .withColumn("w2", expr("split(pair, ' ')[1]"))
+      // localCheckpoint: TWO consumers (the w1 and w2 joins) — without it
+      // each join recomputes the full token explode+aggregate (Spark
+      // plans the subtree per join; ReuseExchange does not fire across
+      // the differently-aliased broadcasts). The checkpoint is the
+      // bounded vocabulary table, not the corpus.
       val uni = docs.select(explode(col("ws")).as("w"))
         .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint(true)
       val n = docs.agg(sum(size(col("ws")).cast("long") * 2 - 3).cast("long").as("n_pairs"))
       pairs.filter(col("c_ab") >= 20)
         .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")

@@ -447,6 +447,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "LUT terms and exact ground truth must use the native codegen slice distance")
   }
 
+  test("PMI's final plan explodes the corpus exactly once (q105)") {
+    // The unigram explode runs once inside the eager localCheckpoint
+    // (two join consumers would otherwise recompute it), and N is
+    // per-doc arithmetic — so the only Generate left is the pair
+    // explode. 2+ means a recomputed explode subtree crept back in.
+    val p = plan(RetrievalOps.q105_cooccur_pmi)
+    val generates = p.linesIterator.count(_.matches("""\(\d+\) Generate.*"""))
+    assert(generates == 1,
+      s"expected exactly 1 Generate node (the pair explode), got $generates")
+  }
+
   test("ADC rerank funnel fetches floats only for the shortlist via an equi-join (q191)") {
     val p = plan(VectorOps.q191_adc_rerank_funnel)
     assert(!p.contains("CartesianProduct"),
