@@ -115,45 +115,57 @@ object Bench {
       s"[bench-runs] wire_replay ${wireSamples.map(x => f"$x%.2f").mkString(" ")}")
     val wire = wireSamples.sorted.apply(wireSamples.size / 2)
     val all = results :+ ("stream_replay" -> replay) :+ ("wire_replay" -> wire)
-    // The driver parses the JSON line out of a bounded 2000-char tail of
-    // the sbt output. Round 3's line (80 full-length query names, 3
-    // decimals) outgrew that window and the driver recorded
-    // "parsed": null — no bench numbers at all. Keep the line compact:
-    // per-query keys are the qNN prefix ("q44_dedup_minhash_lsh" -> "q44"),
-    // 2-decimal values. Full names stay on stderr for humans.
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // Per-query JSON values at ONE decimal, trailing zeros stripped
-    // ("0.52"→"0.5", "1.0"→"1"): at 161 entries the 2-decimal line hit
-    // 1899 chars — one short of the warn threshold and within variance
-    // of the driver's ~2000-char tail window. One decimal buys ~130
-    // chars of headroom for future rounds; the full 2-decimal per-query
-    // medians AND the raw interleaved samples stay on stderr
-    // ([bench]/[bench-runs] lines) for anyone reading numbers closer
-    // than the 0.05 s the JSON grid now resolves.
+    // 1-decimal, trailing zeros stripped ("0.52"→"0.5", "1.0"→"1") for
+    // the compact stdout array — the full 2-decimal medians live in
+    // BENCH_DETAIL.json and on stderr.
     def fj(v: Double): String = {
       val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
     def short(k: String): String = if (k.startsWith("q")) k.takeWhile(_ != '_') else k
-    val qs = all.map { case (k, v) => "\"" + short(k) + "\":" + fj(v) }
-      .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ > 0).sum
-    val failedJson = failed.sorted.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     all.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s ${f(v)}%8s s") }
-    // "failed" is omitted when empty (the common case) — same information,
-    // 12 fewer chars.
+    // The driver parses the stdout JSON line out of a bounded ~2000-char
+    // tail of the sbt output. Round 3's line (80 full-length names, 3
+    // decimals) overflowed it; round 4 shortened keys to qNN; round 7's
+    // 194-entry map overflowed AGAIN (~2.3 KB → "parsed": null, front
+    // truncated). A per-query MAP cannot stay under the window as the
+    // suite grows, so (round-7 verdict task 2) the stdout line now
+    // carries the headline rows plus a POSITIONAL values array:
+    //   "queries": the two replay rows (the throughput headlines),
+    //   "qn":      entry count,
+    //   "qv":      1-decimal medians in sorted-qname order (the same
+    //              order as the [bench] stderr block),
+    // ≈ 5 chars/entry → ~1 KB at 196 entries, headroom to ~400 entries.
+    // The FULL machine-readable map — per-query 2-decimal medians, every
+    // interleaved raw sample, the failures — is written to
+    // BENCH_DETAIL.json in the working directory (the repo, under git)
+    // so no bounded capture window can lose it again.
+    val qv = all.map { case (_, v) => fj(v) }.mkString("[", ",", "]")
+    val headline =
+      s""""stream_replay":${fj(replay)},"wire_replay":${fj(wire)}"""
+    val failedJson = failed.sorted.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
-    // basename only ("sf0.1", not the full fixture path): same
-    // information, 16 fewer chars of tail-window budget.
     val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfName"}"""
-    // The driver reads this line from a bounded ~2000-char tail of the sbt
-    // output (round 3 lost a whole round's numbers to an oversized line).
-    // 139 entries ≈ 1680 chars today; warn while there is still headroom.
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{$headline},""" +
+      s""""qn":${all.size},"qv":$qv$failedField,"sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line is ${line.length} chars — " +
-        "driver tail window is ~2000; shorten keys or drop decimals")
+        "driver tail window is ~2000; shorten the qv encoding")
+    val detail = {
+      val qmap = all.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+      val smap = (results.map { case (k, _) =>
+          s""""$k":[${samples(k).reverse.map(f).mkString(",")}]"""
+        } :+ s""""stream_replay":[${replaySamples.map(f).mkString(",")}]"""
+          :+ s""""wire_replay":[${wireSamples.map(f).mkString(",")}]""").mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName",""" +
+      s""""runs":$runs,"failed":$failedJson,"queries":$qmap,"samples":$smap}"""
+    }
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+    System.err.println(s"[bench] full detail -> ${detailPath.toAbsolutePath}")
     println(line)
     spark.stop()
   }

@@ -176,10 +176,13 @@ object LayoutOps extends QueryModule {
     * by-user-bucketed streaming sink produces — with logical size
     * Σ length(props). The plan orders each partition's files largest
     * first and assigns bin = ⌊cumulative-bytes-before / target⌋: the
-    * distributed form of greedy bin-packing (every bin lands in
-    * [target − max_file, target + max_file); first-fit-decreasing's
+    * distributed form of greedy bin-packing. Packing bound (both halves
+    * asserted by CompactionSpec): every bin closes BELOW target + its
+    * own largest member, and every NON-FINAL bin per partition closes
+    * ABOVE target − the partition's largest member (the final bin holds
+    * the remainder and may be arbitrarily small). First-fit-decreasing's
     * sequential free-list cannot run on a cluster, and this bound is
-    * what Delta's own OPTIMIZE settles for). Output = the task list a
+    * what Delta's own OPTIMIZE settles for. Output = the task list a
     * rewrite job executes, one row per bin with its size and file span.
     *
     * Scale: planning is one linear aggregation (file inventory) plus a

@@ -251,14 +251,20 @@ object RetrievalOps extends QueryModule {
         .groupBy("pair").agg(count(lit(1)).cast("long").as("c_ab"))
         .withColumn("w1", expr("split(pair, ' ')[0]"))
         .withColumn("w2", expr("split(pair, ' ')[1]"))
-      // localCheckpoint: TWO consumers (the w1 and w2 joins) — without it
-      // each join recomputes the full token explode+aggregate (Spark
-      // plans the subtree per join; ReuseExchange does not fire across
-      // the differently-aliased broadcasts). The checkpoint is the
-      // bounded vocabulary table, not the corpus.
-      val uni = docs.select(explode(col("ws")).as("w"))
-        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
-        .localCheckpoint(true)
+      // ScratchMemo: TWO consumers (the w1 and w2 joins) — without a
+      // materialization each join recomputes the full token
+      // explode+aggregate (Spark plans the subtree per join;
+      // ReuseExchange does not fire across the differently-aliased
+      // broadcasts). The memo holds the bounded vocabulary table, not
+      // the corpus, and is keyed per (session, fixture dir) with the
+      // shared scratch lifecycle — the earlier localCheckpoint(true)
+      // pinned RDD blocks that clearCache() never freed, so repeated
+      // q105 invocations in one session accreted storage (round-7
+      // advice item 1).
+      val uni = ScratchMemo("pmi-uni", s, dir) {
+        docs.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      }
       val n = docs.agg(sum(size(col("ws")).cast("long") * 2 - 3).cast("long").as("n_pairs"))
       pairs.filter(col("c_ab") >= 20)
         .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")

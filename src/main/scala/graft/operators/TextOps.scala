@@ -380,6 +380,126 @@ object TextOps extends QueryModule {
             FROM pairs GROUP BY pair
             ORDER BY total DESC, pair LIMIT 20"""))
 
+  /** BPE ENCODE — apply the LEARNED vocabulary to the corpus, the step
+    * a real pipeline runs over 100 TB once training is done (q63
+    * pre-tokenizes, q100 learns the merge ranking, q74 packs token
+    * budgets; this closes the gap between them by actually producing
+    * token ids). Greedy longest-match encoding (WordPiece-style
+    * maximal munch) against the q100 merge table:
+    *
+    *  - vocabulary = the 20 learned merge pairs (rank order = id
+    *    1..20) ++ the corpus alphabet (sorted chars, ids 21+), built
+    *    from two bounded aggregations and BROADCAST as two one-row
+    *    array columns — at 100 TB the vocab is a few hundred KB
+    *    against petabytes of text, the canonical broadcast asymmetry;
+    *  - per word, a single left-to-right pass: if the 2-char window at
+    *    the cursor is a learned merge, emit it and advance 2, else
+    *    emit the char and advance 1 — one `aggregate` fold over
+    *    character positions with a (tokens, skip) struct state, so
+    *    the whole encode is MAP-ONLY over the corpus scan (zero
+    *    shuffles past the two vocab aggregations; the per-doc cost is
+    *    O(doc length), the same single-pass shape at any scale);
+    *  - output per doc: token count, merged-token count, the id
+    *    checksum, and an order-sensitive md5 over the id stream (two
+    *    docs with the same bag but different order sign differently).
+    *
+    * The DuckDB oracle mirrors the greedy scan as a recursive CTE over
+    * DISTINCT words (the corpus vocabulary is bounded; every word
+    * follows exactly one deterministic path) and reassembles per-doc
+    * streams by word position — different mechanics, identical
+    * semantics, which is exactly what an oracle should be. */
+  val q193_bpe_encode = QueryDef(
+    "q193_bpe_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      // q100's merge-learning step re-derived: top-20 adjacent char
+      // pairs weighted by distinct-word frequency.
+      val wf = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).cast("long").as("f"))
+      val mergesArr = wf
+        .withColumn("cl", expr("slice(split(w, ''), 1, length(w))"))
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(cl) - 1), i -> concat(element_at(cl, i), element_at(cl, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("f").cast("long").as("total"))
+        .orderBy(col("total").desc, col("pair")).limit(20)
+        // rank order made order-free: sort the collected structs by
+        // (-total, pair), never trust collect_list's arrival order
+        .agg(expr("transform(array_sort(collect_list(named_struct('nt', -total, 'pair', pair))), x -> x.pair)")
+          .as("mg"))
+      val alphaArr = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1).distinct()
+        .select(explode(expr("slice(split(w, ''), 1, length(w))")).as("c"))
+        .agg(expr("array_sort(collect_set(c))").as("alpha"))
+      docs
+        .crossJoin(broadcast(mergesArr))
+        .crossJoin(broadcast(alphaArr))
+        .withColumn("vocab", expr("concat(mg, alpha)"))
+        .withColumn("toks", expr(
+          """flatten(transform(filter(split(text, ' '), w -> length(w) >= 1), w ->
+               aggregate(sequence(1, length(w)),
+                 named_struct('ts', cast(array() as array<string>), 'sk', false),
+                 (a, i) -> CASE
+                   WHEN a.sk THEN named_struct('ts', a.ts, 'sk', false)
+                   WHEN i < length(w) AND array_contains(mg, substring(w, i, 2))
+                     THEN named_struct('ts', concat(a.ts, array(substring(w, i, 2))), 'sk', true)
+                   ELSE named_struct('ts', concat(a.ts, array(substring(w, i, 1))), 'sk', false)
+                 END,
+                 a -> a.ts)))"""))
+        .withColumn("ids", expr("transform(toks, tk -> array_position(vocab, tk))"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          expr("CAST(size(filter(toks, tk -> length(tk) = 2)) AS BIGINT)").as("n_merged"),
+          expr("CAST(aggregate(ids, CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)").as("id_sum"),
+          md5(expr("concat_ws('|', transform(ids, i -> cast(i as string)))")).as("ids_sig"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+             wfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+                       FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+                       WHERE len(w) >= 2 GROUP BY w),
+             mpairs AS (SELECT pair, CAST(sum(f) AS BIGINT) AS total FROM (
+                          SELECT f, cl[i] || cl[i+1] AS pair
+                          FROM (SELECT f, string_split(w,'') AS cl FROM wfreq),
+                               unnest(range(1, len(cl))) AS t(i))
+                        GROUP BY pair ORDER BY total DESC, pair LIMIT 20),
+             mg AS (SELECT list(pair ORDER BY total DESC, pair) AS mg FROM mpairs),
+             words AS (SELECT DISTINCT w
+                       FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+                       WHERE len(w) >= 1),
+             alpha AS (SELECT list(c ORDER BY c) AS alpha
+                       FROM (SELECT DISTINCT unnest(string_split(w,'')) AS c FROM words)),
+             vocab AS (SELECT (SELECT mg FROM mg) || (SELECT alpha FROM alpha) AS v),
+             enc AS (
+               SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM words
+               UNION ALL
+               SELECT w,
+                 pos + CASE WHEN pos < len(w)
+                             AND list_contains((SELECT mg FROM mg), substr(w, pos, 2))
+                        THEN 2 ELSE 1 END,
+                 list_append(toks,
+                   CASE WHEN pos < len(w)
+                         AND list_contains((SELECT mg FROM mg), substr(w, pos, 2))
+                    THEN substr(w, pos, 2) ELSE substr(w, pos, 1) END)
+               FROM enc WHERE pos <= len(w)),
+             encoded AS (SELECT w, toks FROM enc WHERE pos > len(w)),
+             docw AS (SELECT doc_id, ws[i+1] AS w, i AS ord
+                      FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+                           unnest(range(len(ws))) AS t(i)
+                      WHERE len(ws[i+1]) >= 1),
+             dtoks AS (SELECT doc_id, flatten(list(toks ORDER BY ord)) AS toks
+                       FROM docw JOIN encoded USING (w) GROUP BY doc_id),
+             fin AS (SELECT doc_id, toks,
+                       list_transform(toks, tk -> list_position(v, tk)) AS ids
+                     FROM dtoks, vocab)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tok,
+                   CAST(len(list_filter(toks, tk -> length(tk) = 2)) AS BIGINT) AS n_merged,
+                   CAST(list_sum(ids) AS BIGINT) AS id_sum,
+                   md5(array_to_string(list_transform(ids, i -> CAST(i AS VARCHAR)), '|')) AS ids_sig
+            FROM fin ORDER BY doc_id"""))
+
   /** Top-5 tokens per language through the custom
     * [[graft.plans.TopKPerKey]] whole-operator (its second consumer
     * beside q113, proving the node generalizes past the benchmark
@@ -418,5 +538,6 @@ object TextOps extends QueryModule {
     q37_text_stats, q38_token_tf, q39_text_quality, q40_text_langid,
     q41_text_fingerprint, q63_token_bpe, q65_split_train_val,
     q79_heavy_hitters, q81_tfidf, q84_unigram_nll, q100_bpe_merge,
+    q193_bpe_encode,
     q138_topk_tokens_pruned)
 }

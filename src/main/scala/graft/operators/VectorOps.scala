@@ -1234,32 +1234,6 @@ object VectorOps extends QueryModule {
                    CAST(n_hits * 1000000 // k AS BIGINT) AS recall_fp
             FROM hits ORDER BY qid"""))
 
-  /** PQ ASYMMETRIC-DISTANCE (ADC) RECALL EVALUATION — closes the
-    * quantization funnel the way q159/q162 close the LSH/IVF ones: the
-    * q131 codes are only worth their 32× compression if searching the
-    * CODES (never the vectors) still surfaces the true neighbors. Per
-    * probe (the 32 bounded queries, q153's exact-over-probes rule), the
-    * classic ADC machinery:
-    *
-    *  - a per-probe LOOKUP TABLE — l2 from the probe's k-th 8-dim slice
-    *    to each of the 16 block centroids (32·8·16 = 4096 rows, built
-    *    from two broadcast-bounded sides and broadcast onward);
-    *  - the approximate distance of probe q to vector x = Σ_k
-    *    LUT[q][k][code(x,k)] — an equi-join of the linear codes table
-    *    against the broadcast LUT on (block, code) plus a partial-agg
-    *    sum: the scan touches 8 SMALLINT codes per vector, not 256
-    *    bytes of floats, which is the entire point at 100 TB;
-    *  - recall@5: how many of the exact top-5 (full-width l2, the
-    *    ground truth) the ADC top-5 recovers, per probe.
-    *
-    * Determinism: each LUT term is floored to ×10⁶ fixed point BEFORE
-    * the 8-term sum (integer sums are order-free; QueryDef rules), and
-    * both rankings tie-break on cid. The measured number is the honest
-    * one for 16-centroid-per-block PQ on near-uniform 64-d data:
-    * quantization error moves distances enough that some probes lose
-    * top-5 members — exactly why production systems rerank an ADC
-    * shortlist with exact distances (q158's regime argument applied to
-    * compression). */
   /** Shared ADC machinery for q189/q191: (probe set, per-(qid, cid)
     * fixed-point ADC distances, exact top-5 ground truth). */
   private def adcParts(s: SparkSession, dir: String)
@@ -1346,6 +1320,32 @@ object VectorOps extends QueryModule {
   private def l2FullSql(a: String, b: String) =
     s"list_reduce(list_transform(range(1, 65), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
 
+  /** PQ ASYMMETRIC-DISTANCE (ADC) RECALL EVALUATION — closes the
+    * quantization funnel the way q159/q162 close the LSH/IVF ones: the
+    * q131 codes are only worth their 32× compression if searching the
+    * CODES (never the vectors) still surfaces the true neighbors. Per
+    * probe (the 32 bounded queries, q153's exact-over-probes rule), the
+    * classic ADC machinery:
+    *
+    *  - a per-probe LOOKUP TABLE — l2 from the probe's k-th 8-dim slice
+    *    to each of the 16 block centroids (32·8·16 = 4096 rows, built
+    *    from two broadcast-bounded sides and broadcast onward);
+    *  - the approximate distance of probe q to vector x = Σ_k
+    *    LUT[q][k][code(x,k)] — an equi-join of the linear codes table
+    *    against the broadcast LUT on (block, code) plus a partial-agg
+    *    sum: the scan touches 8 SMALLINT codes per vector, not 256
+    *    bytes of floats, which is the entire point at 100 TB;
+    *  - recall@5: how many of the exact top-5 (full-width l2, the
+    *    ground truth) the ADC top-5 recovers, per probe.
+    *
+    * Determinism: each LUT term is floored to ×10⁶ fixed point BEFORE
+    * the 8-term sum (integer sums are order-free; QueryDef rules), and
+    * both rankings tie-break on cid. The measured number is the honest
+    * one for 16-centroid-per-block PQ on near-uniform 64-d data:
+    * quantization error moves distances enough that some probes lose
+    * top-5 members — exactly why production systems rerank an ADC
+    * shortlist with exact distances (q158's regime argument applied to
+    * compression). */
   val q189_pq_adc_recall = QueryDef(
     "q189_pq_adc_recall",
     (s, dir) => {

@@ -93,18 +93,27 @@ class BloomSkipSpec extends AnyFunSuite with BeforeAndAfterAll {
         .repartitionByRange(16, col("h"))
         .sortWithinPartitions("h")
         .drop("h")
+      val ndv = Tables.load(spark, dir, "documents").count()
       val bloomed = tmp.resolve("bloomed")
       docs.write
         .option("parquet.bloom.filter.enabled#doc_id", "true")
-        .option("parquet.bloom.filter.expected.ndv#doc_id", "500")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", ndv.toString)
         .parquet(bloomed.toString)
 
-      // doc_id domain at sf0.01 is 0..499 (one "file" ≈ 31 ids).
-      // Central probes: a 31-id uniform sample's [min, max] almost
+      // Probes are DERIVED from the fixture, not hardcoded (round-7
+      // advice): present ids are interior quantiles of the actual
+      // doc_id set — a uniform hash-slice sample's [min, max] almost
       // always covers mid-domain values (extreme ids would get some
-      // incidental min/max pruning and understate the contrast).
-      val present = Seq(97L, 123L, 250L, 333L, 404L)
-      val absent = Seq(-1L, 500L, 123456L)
+      // incidental min/max pruning and understate the contrast) —
+      // and absent ids sit just outside the observed domain, so the
+      // spec self-adapts if the fixture is regenerated at another
+      // row count.
+      val ids = Tables.load(spark, dir, "documents")
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      val present = Seq(0.2, 0.35, 0.5, 0.65, 0.8)
+        .map(f => ids(((ids.length - 1) * f).toInt))
+      val absent = Seq(ids.head - 1, ids.last + 1, ids.last * 1000L + 7L)
+        .filterNot(ids.toSet)
       val groups = footerScan(bloomed.toString, present ++ absent)
       assert(groups.size >= 8, s"need many row groups to measure, got ${groups.size}")
 

@@ -76,12 +76,27 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       val plan = LayoutOps.q190_compaction_binpack.run(spark, dir).cache()
       val nBins = plan.count()
 
-      // Plan-level packing bound: greedy cumulative-sum binning closes
-      // every bin under target + largest member.
+      // Plan-level packing bound, BOTH halves (round-7 advice): greedy
+      // cumulative-sum binning closes every bin under target + its own
+      // largest member, and — descending file order + ⌊cum/target⌋
+      // imply it — every non-final bin per partition closes above
+      // target − the partition's largest member (only the final bin
+      // holds an arbitrarily small remainder). A regression that
+      // under-fills bins now fails here instead of passing silently.
       val overflow = plan
         .filter(col("bin_bytes") >= lit(target) + col("max_file_bytes")).count()
       assert(overflow === 0,
         s"$overflow bins exceed target + max_file_bytes")
+      import org.apache.spark.sql.expressions.{Window => W}
+      val dw = W.partitionBy("event_date")
+      val underfill = plan
+        .withColumn("last_bin", max("bin").over(dw))
+        .withColumn("date_max_file", max("max_file_bytes").over(dw))
+        .filter(col("bin") =!= col("last_bin") &&
+          col("bin_bytes") <= lit(target) - col("date_max_file"))
+        .count()
+      assert(underfill === 0,
+        s"$underfill non-final bins closed at or below target - partition max file")
 
       // AFTER: rewrite one file per bin. The assignment join mirrors
       // the plan's window (same ordering, same integer division).

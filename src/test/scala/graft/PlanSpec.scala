@@ -448,14 +448,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("PMI's final plan explodes the corpus exactly once (q105)") {
-    // The unigram explode runs once inside the eager localCheckpoint
-    // (two join consumers would otherwise recompute it), and N is
-    // per-doc arithmetic — so the only Generate left is the pair
-    // explode. 2+ means a recomputed explode subtree crept back in.
+    // The unigram explode runs once inside the ScratchMemo build (two
+    // join consumers would otherwise recompute it; both now read the
+    // memo parquet), and N is per-doc arithmetic — so the only Generate
+    // left is the pair explode. 2+ means a recomputed explode subtree
+    // crept back in.
     val p = plan(RetrievalOps.q105_cooccur_pmi)
     val generates = p.linesIterator.count(_.matches("""\(\d+\) Generate.*"""))
     assert(generates == 1,
       s"expected exactly 1 Generate node (the pair explode), got $generates")
+  }
+
+  test("BPE encode is map-only over the corpus scan with broadcast vocab (q193)") {
+    // The two 1-row vocab arrays arrive as broadcast nested-loop joins
+    // (the canonical broadcast asymmetry); the encode itself must stay
+    // a per-row fold — any SortMergeJoin or unbroadcast cross product
+    // means the vocab stopped being broadcast and the plan would
+    // shuffle the corpus at 100 TB.
+    val p = plan(TextOps.q193_bpe_encode)
+    assert(!p.contains("SortMergeJoin"),
+      "vocab must broadcast; the corpus must never shuffle for the encode")
+    assert(!p.contains("CartesianProduct"),
+      "the only unkeyed joins are the broadcast 1-row vocab arrays")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row merge/alphabet arrays must arrive via broadcast")
   }
 
   test("ADC rerank funnel fetches floats only for the shortlist via an equi-join (q191)") {

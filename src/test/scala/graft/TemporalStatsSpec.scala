@@ -86,6 +86,25 @@ class TemporalStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     p.unpersist()
   }
 
+  test("BPE encode covers every non-space char exactly once (q193)") {
+    val e = TextOps.q193_bpe_encode.run(spark, dir).cache()
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nsp"))
+    // Conservation law of greedy longest-match: a merged token covers 2
+    // chars, a single covers 1, so n_tok + n_merged == non-space chars.
+    // This catches a skip/advance bug even if the oracle is rewritten
+    // in lockstep with the query.
+    val broken = e.join(docs, "doc_id")
+      .filter(col("n_tok") + col("n_merged") =!= col("nsp")).count()
+    assert(broken == 0, s"$broken docs violate n_tok + n_merged == non-space chars")
+    // ids are 1-based vocab positions: the checksum can never undercut
+    // the token count, and merges can't outnumber tokens.
+    assert(e.filter(col("id_sum") < col("n_tok")).count() == 0)
+    assert(e.filter(col("n_merged") > col("n_tok")).count() == 0)
+    e.unpersist()
+  }
+
   test("chi-square cells partition the events; contributions are non-negative (q110)") {
     val c = StatsOps.q110_chi_square.run(spark, dir).cache()
     assert(c.agg(sum("o")).head.getLong(0) == Tables.load(spark, dir, "events").count())

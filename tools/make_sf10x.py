@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
-"""Generate an sf1-equivalent fixture set by 10x-replicating sf0.1.
+"""Generate a scale-rehearsal fixture set by N-x-replicating sf0.1.
 
 Usage: python3 tools/make_sf10x.py /root/testdata/sf0.1 /tmp/graft-sf1 [copies]
+       (copies=10 -> sf1-equivalent; copies=100 -> sf10-equivalent)
 
 Scale-rehearsal data for the bench (never for the correctness oracle):
 each fact table is replicated `copies` times with key offsets so joins
@@ -15,19 +16,30 @@ grow ~copies^2 and the rehearsal would measure fixture artifacts:
   the shingle alphabet, so intra-copy Jaccard/containment/minhash
   relations are EXACTLY the original ones, while cross-copy pairs share
   zero shingles. Near-dup pair count scales exactly linearly.
-- embeddings: copy k's vectors have their dimensions rotated by k
-  positions — an orthogonal transform, so intra-copy cosines (and the
-  planted near-dup geometry) are exactly preserved, while cross-copy
-  cosines decorrelate. vec_id offsets keep ids unique.
+- embeddings: copy k's vectors get an orthogonal transform D_k∘R_k —
+  rotate dimensions by k mod dim, then flip signs by a per-copy
+  seeded ±1 pattern. Orthogonal => intra-copy cosines (and the planted
+  near-dup geometry) are exactly preserved; the sign pattern
+  decorrelates cross-copy pairs even when copies > dim (a bare
+  rotation aliases at k >= dim — copy 64 of a 64-d vector would be an
+  EXACT cross-copy duplicate of copy 0, an artifact the 100x
+  rehearsal would otherwise measure as quadratic near-dup growth).
+  vec_id offsets keep ids unique.
 - orders/lineitem: o_orderkey/l_orderkey offset per copy (joins fan out
   linearly); dimension FKs unchanged (dims stay single-copy).
 - events: event_id offset; user_id offset per copy so per-user session/
   window state counts grow in KEYS (the realistic 100 TB shape), not in
   per-key depth; ts shifted +k hours to widen the timeline.
+
+Copies are streamed into one parquet file via ParquetWriter (one row
+group batch per copy) so peak memory is one copy, not copies x table —
+at copies=100 a pandas concat of lineitem would hold 60M rows.
 """
 import sys
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 SRC, OUT = sys.argv[1], sys.argv[2]
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
@@ -43,14 +55,16 @@ for t in ["region", "nation", "customer", "supplier", "part"]:
     print(f"{t}: copied as-is")
 
 def replicate(name, df, mutate):
-    out = []
+    writer = None
     for k in range(COPIES):
         c = df.copy()
         mutate(c, k)
-        out.append(c)
-    allc = pd.concat(out, ignore_index=True)
-    allc.to_parquet(f"{OUT}/{name}.parquet", index=False)
-    print(f"{name}: {len(df)} -> {len(allc)}")
+        tbl = pa.Table.from_pandas(c, preserve_index=False)
+        if writer is None:
+            writer = pq.ParquetWriter(f"{OUT}/{name}.parquet", tbl.schema)
+        writer.write_table(tbl)
+    writer.close()
+    print(f"{name}: {len(df)} -> {len(df) * COPIES}")
 
 orders = pd.read_parquet(f"{SRC}/orders.parquet")
 ok_stride = stride(orders.o_orderkey)
@@ -80,9 +94,12 @@ replicate("documents", docs, mut_docs)
 
 emb = pd.read_parquet(f"{SRC}/embeddings.parquet")
 v_stride = stride(emb.vec_id)
+dim = len(emb.embedding.iloc[0])
 def mut_emb(c, k):
     c["vec_id"] = c.vec_id + k * v_stride
     if k > 0:
-        c["embedding"] = c.embedding.map(lambda v: np.roll(np.asarray(v, dtype=np.float32), k))
+        signs = np.where(np.random.RandomState(k).rand(dim) < 0.5, -1.0, 1.0).astype(np.float32)
+        c["embedding"] = c.embedding.map(
+            lambda v: np.roll(np.asarray(v, dtype=np.float32), k % dim) * signs)
 replicate("embeddings", emb, mut_emb)
 print("done:", OUT)
