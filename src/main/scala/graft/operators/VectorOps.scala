@@ -38,12 +38,24 @@ object VectorOps extends QueryModule {
     * ~100× for 10× data); the fix is to derive the shape from the corpus
     * count the way any adaptive index derives its fanout from stats:
     *
-    *  - `bits = clamp(3, 12, ⌊log₂N / 2⌋)` — expected bucket occupancy
-    *    N/2^bits ≈ √N, so per-table candidate volume ≈ 2^bits·occ² ≈
-    *    N^1.5: sub-quadratic by construction at every N, and at the
-    *    12-bit cap (N ≥ 2²⁴) occupancy growth is linear — the regime
-    *    where the round-5 analysis showed the output itself is the
-    *    quadratic term and the honest dial is the threshold.
+    *  - `bits = clamp(3, 12, max(⌊log₂N⌋/2, ⌊log₂N⌋ − 6))` — two
+    *    regimes, continuous at N = 4096. Below it, occupancy ≈ √N and
+    *    per-table volume ≈ N^1.5 (the recall-friendliest shape at
+    *    fixture scales, where √N is tiny anyway). Above it, OCCUPANCY
+    *    IS BOUNDED at ≈ 64 and per-table volume ≈ 64·N — LINEAR in N.
+    *    The round-8 100× rehearsal is why: the old √N occupancy at
+    *    N = 200k made 24 tables enumerate 1.9e9 raw pairs whose
+    *    distinct out-spilled a 78 GB disk twice — and at a real 10⁹-row
+    *    corpus N^1.5 is 3×10¹³ candidates, not a plan any cluster
+    *    shuffles. Bounded occupancy is how production LSH joins stay
+    *    linear; the price is per-table recall p^bits at the low-cos
+    *    boundary (pairs near the threshold), which the q153/q159/q162
+    *    evals MEASURE rather than hide — high-similarity pairs (the
+    *    dedup targets, cos ≥ 0.8, p ≥ 0.85) keep family recall ≥ 0.99
+    *    even at 11 bits × 24 tables. At the 12-bit cap (N ≥ 2¹⁸)
+    *    occupancy growth is linear again — the regime where the
+    *    round-5 analysis showed the output itself is the quadratic
+    *    term and the honest dial is the threshold.
     *  - `tables = min(24, base + 4·(bits−3))` — per-table recall decays
     *    as p^bits, so the table count climbs with the band width to
     *    hold family recall (at the q62 boundary p≈0.65: 8×3-bit ≈ 0.90,
@@ -60,7 +72,7 @@ object VectorOps extends QueryModule {
     * ownership across tables. */
   private[graft] def lshShape(n: Long, baseTables: Int): (Int, Int) = {
     val ilog2 = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
-    val bits = math.max(3, math.min(12, ilog2 / 2))
+    val bits = math.max(3, math.min(12, math.max(ilog2 / 2, ilog2 - 6)))
     (bits, math.min(24, baseTables + 4 * (bits - 3)))
   }
 
@@ -68,13 +80,37 @@ object VectorOps extends QueryModule {
     * table id and the table's `bits`-bit sign bucket — all tables ride
     * ONE (tk, bk) equi-join downstream instead of per-table join+union,
     * so the candidate stage is a single shuffle whatever the derived
-    * table count. */
+    * table count.
+    *
+    * The sign bits come from a BROADCAST (tk, weight, plane) table —
+    * one codegen'd [[dot_ff]] per row and a map-side-collapsing
+    * sum(weight) per (vec, table) — NOT from bits×tables inline
+    * literal-array expressions: at the round-8 occupancy-bounded shape
+    * (11 bits × 24 tables = 264 dots) the inline form's generated code
+    * overflowed Janino inside larger consumer plans
+    * (InternalCompilerException in q159's tree while the identical
+    * subtree compiled standalone — generated-file size depends on the
+    * WHOLE stage, so inline expression farms are a latent bomb that
+    * only detonates in composition). Each vector's 264 plane rows are
+    * consecutive in its partition, so the partial aggregation
+    * collapses them before the (vec_id, tk) shuffle — N·tables rows
+    * shuffle, not N·tables·bits. Same dots, same fold, same integer
+    * bit-sum: bucket values are bit-identical to the inline form and
+    * the oracle. */
   private def bucketRows(e: DataFrame, bits: Int, nt: Int): DataFrame = {
-    val tables = (0 until nt).map(k => (12 * k) until (12 * k + bits))
-    e.select(col("vec_id"), explode(array(tables.zipWithIndex.map { case (hs, k) =>
-        struct(lit(k).as("tk"), bucketCol(hs).cast("long").as("bk"))
-      }: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tk").as("tk"), col("tb.bk").as("bk"))
+    val s = e.sparkSession
+    import s.implicits._
+    val planes = broadcast(
+      (0 until nt).flatMap { k =>
+        (0 until bits).map(i => (k.toLong, 1L << i, hyperplane(12 * k + i)))
+      }.toDF("tk", "w", "wv"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(planes)
+      .select(col("vec_id"), col("tk"),
+        when(dot_ff(col("wv"), col("embedding")) > 0, col("w"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy("vec_id", "tk")
+      .agg(sum("bit").cast("long").as("bk"))
   }
 
   /** Corpus count for the shape derivation, memoized per (session, sf
@@ -96,6 +132,10 @@ object VectorOps extends QueryModule {
     * (bucket content is a pure function of the fixture). Whichever
     * family query runs first pays the one-time build — same
     * bench-comparability note as SharedShingles (BASELINE.md). */
+  /** Diagnostics-only view of [[sharedBuckets]] (tools.BucketProbe). */
+  private[graft] def bucketsFor(s: SparkSession, dir: String): DataFrame =
+    sharedBuckets(s, dir)
+
   private def sharedBuckets(s: SparkSession, dir: String): DataFrame =
     ScratchMemo("buckets", s, dir) {
       val (bits, nt) = lshShape(corpusN(s, dir), 12)
@@ -115,6 +155,23 @@ object VectorOps extends QueryModule {
     * roughly in half). This is the pipeline shape at 100 TB: build the
     * LSH index and its candidate pairs once, run the threshold join,
     * dedup survivorship, and recall eval as consumers. */
+  /** Join strategy for the candidate VERIFY stage (pairs fetch their
+    * two vectors): with the id-keyed shuffle join, every candidate row
+    * carries a 64-float vector through the second shuffle — at the
+    * round-8 100× rehearsal that was ~60 GB of pair×vector traffic for
+    * 2×10⁸ candidates, which out-spilled the node while the candidate
+    * ids themselves were only ~5 GB. A corpus of N ≤ 10⁶ vectors is a
+    * ≤ ~300 MB dimension table — the canonical broadcast asymmetry —
+    * so below that bound the vector side broadcasts and candidates
+    * stream MAP-SIDE with zero pair×vector shuffle (the choice a
+    * stats-aware planner would make; Spark's 10 MB auto threshold is
+    * too conservative to see it). Above the bound the id-keyed shuffle
+    * join is kept: on a real cluster pair×vector traffic divides by
+    * the executor count, and a billion-row broadcast would OOM every
+    * executor. Plan choice only — the join result is identical. */
+  private def vecSide(s: SparkSession, dir: String, side: DataFrame): DataFrame =
+    if (corpusN(s, dir) <= 1000000L) broadcast(side) else side
+
   private def adaptiveCands(s: SparkSession, dir: String, baseTables: Int): DataFrame = {
     val (_, nt) = lshShape(corpusN(s, dir), baseTables)
     require(nt <= lshShape(corpusN(s, dir), 12)._2,
@@ -138,7 +195,8 @@ object VectorOps extends QueryModule {
     s"""n AS (SELECT count(*) AS cnt FROM embeddings),
             shape AS (
               SELECT bits, LEAST(24, $baseTables + 4 * (bits - 3)) AS tabs
-              FROM (SELECT GREATEST(3, LEAST(12, (length(bin(cnt)) - 1) // 2)) AS bits FROM n)),
+              FROM (SELECT GREATEST(3, LEAST(12, GREATEST((length(bin(cnt)) - 1) // 2,
+                                                          (length(bin(cnt)) - 1) - 6))) AS bits FROM n)),
             pw AS (
               SELECT t.k, b.i,
                      list((instr('0123456789abcdef',
@@ -220,7 +278,7 @@ object VectorOps extends QueryModule {
         sqrt(norm2(col("embedding"))).as("na"))
       val vb = e.select(col("vec_id").as("b"), col("embedding").as("bv"),
         sqrt(norm2(col("embedding"))).as("nb"))
-      cands.join(va, "a").join(vb, "b")
+      cands.join(vecSide(s, dir, va), "a").join(vecSide(s, dir, vb), "b")
         .withColumn("cos", dot(col("av"), col("bv")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.4)
         .select("a", "b", "cos")
@@ -409,7 +467,7 @@ object VectorOps extends QueryModule {
         sqrt(norm2(col("embedding"))).as("na"))
       val vb = e.select(col("vec_id").as("b"), col("embedding").as("bv"),
         sqrt(norm2(col("embedding"))).as("nb"))
-      cands.join(va, "a").join(vb, "b")
+      cands.join(vecSide(s, dir, va), "a").join(vecSide(s, dir, vb), "b")
         .withColumn("cos", dot(col("av"), col("bv")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
         .groupBy(col("b").as("dup_id"))

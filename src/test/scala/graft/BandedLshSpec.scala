@@ -97,8 +97,13 @@ class AdaptiveLshShapeSpec extends AnyFunSuite {
     assert(lshShape(500L, 8) == ((4, 12)))
     assert(lshShape(2000L, 12) == ((5, 20)))  // sf0.1
     assert(lshShape(2000L, 8) == ((5, 16)))
-    assert(lshShape(20000L, 12) == ((7, 24))) // sf1 rehearsal (capped tables)
-    assert(lshShape(20000L, 8) == ((7, 24)))
+    // above N = 4096 the occupancy-bounded regime takes over
+    // (bits = ilog2 - 6, occupancy <= 64): the round-8 100x rehearsal
+    // showed sqrt(N) occupancy out-spilling a disk at N = 200k
+    assert(lshShape(20000L, 12) == ((8, 24))) // sf1 rehearsal (capped tables)
+    assert(lshShape(20000L, 8) == ((8, 24)))
+    assert(lshShape(200000L, 12) == ((11, 24))) // sf10 rehearsal: occupancy ~97
+    assert(lshShape(4096L, 12)._1 == 6) // regime crossover is continuous
   }
 
   test("clamps: tiny corpora floor at 3 bits, huge corpora cap at 12 bits x 24 tables") {

@@ -401,6 +401,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("semantic dedup: map-only cell assignment, broadcast centroid stats, " +
     "cell-keyed pair join — never corpus x corpus (q181)") {
     val p = plan(SelectionOps.q181_semantic_dedup)
+    // the argmax assignment (whose ≤1024-row centroid broadcast is a
+    // legitimate BNLJ) lives behind the cellAssignment ScratchMemo, so
+    // the FINAL plan must be entirely keyed joins over the memo parquet
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the within-cell pairwise must ride the cluster equi-join — an all-pairs " +
         s"plan is the failure SemDeDup exists to avoid:\n${p.take(1500)}")
@@ -434,7 +437,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "only (q185)") {
     val p = plan(SelectionOps.q185_semdedup_recall_eval)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "the eval must stay keyed — ground truth is the memoized dense table")
+      "the eval must stay keyed — ground truth and assignment are memoized tables")
   }
 
   test("PQ ADC scan is an equi-join of codes against the broadcast LUT (q189)") {

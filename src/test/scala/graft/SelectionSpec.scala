@@ -45,12 +45,18 @@ class SelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     acc
   }
 
-  test("cellCount derivation: k ≈ √N/4, clamped to [4, 64]") {
+  test("cellCount derivation: √N/4 at fixture scales, occupancy-bounded beyond") {
     assert(SelectionOps.cellCount(1) == 4)
-    assert(SelectionOps.cellCount(500) == 4)
+    assert(SelectionOps.cellCount(500) == 4)      // sf0.01 — unchanged
+    assert(SelectionOps.cellCount(2000) == 8)     // sf0.1 — unchanged
     assert(SelectionOps.cellCount(5000) == 16)
-    assert(SelectionOps.cellCount(50000) == 32)
-    assert(SelectionOps.cellCount(1L << 40) == 64)
+    assert(SelectionOps.cellCount(20000) == 32)   // sf1 rehearsal — unchanged
+    // above N = 16384 the occupancy-bounded regime (k = N/512-ish)
+    // takes over: the round-8 100× rehearsal measured the √N rule's
+    // N^1.5 within-cell pass at 200 s warm
+    assert(SelectionOps.cellCount(50000) == 64)
+    assert(SelectionOps.cellCount(200000) == 256) // sf10 rehearsal: occ ~780
+    assert(SelectionOps.cellCount(1L << 40) == 1024)
   }
 
   test("q181 equals the brute-force SemDeDup rule on sf0.001") {
