@@ -92,6 +92,29 @@ class H2cSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("C.1: prefixed-integer edges decode (5-bit 10, 5-bit 1337, 8-bit 42)") {
+    val h = new Hpack
+    // 10 with a 5-bit prefix inside a literal-without-indexing name
+    // index is exercised implicitly everywhere; pin the multi-byte
+    // continuation form directly: a 1337-char value length would be
+    // unwieldy, so pin via a dynamic table size update of 1337
+    // (0x3f 0x9a 0x0a under the 5-bit 001 prefix: 31 + 26 + 10·128)
+    // followed by an indexed field — the update must not emit a header
+    // or corrupt the stream position.
+    val block = Array[Byte](0x3f.toByte, 0x9a.toByte, 0x0a.toByte, 0x82.toByte)
+    assert(h.decode(block) == Seq((":method", "GET")))
+  }
+
+  test("dynamic table size update 0 evicts entries (RFC 7541 §4.2/§6.3)") {
+    val h = new Hpack
+    h.decode(hex("8286 8441 0f77 7777 2e65 7861 6d70 6c65 2e63 6f6d"))
+    // :authority www.example.com is dynamic index 62 now
+    assert(h.decode(hex("be")) == Seq((":authority", "www.example.com")))
+    // size update to 0 must evict it; referencing 62 afterwards is an error
+    h.decode(Array[Byte](0x20))
+    intercept[IllegalArgumentException] { h.decode(hex("be")) }
+  }
+
   test("encode/decode round-trips a gRPC request header list, both modes") {
     val headers = Seq((":method", "POST"), (":scheme", "http"),
       (":path", GrpcServer.CreatePath), (":authority", "localhost:1"),
@@ -183,6 +206,46 @@ class H2cSpec extends AnyFunSuite with BeforeAndAfterAll {
           metadata = Seq(("api-token", "secret")))
         assert(stD == 0, "internal token via metadata must authorize emit")
       } finally c.disconnect()
+    }
+  }
+
+  test("HEADERS split across CONTINUATION frames reassemble server-side (RFC 7540 §6.10)") {
+    withServer() { (_, server) =>
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      sock.setTcpNoDelay(true); sock.setSoTimeout(30000)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      try {
+        out.write(H2c.Preface); out.flush()
+        H2c.writeFrame(out, H2c.Frame(H2c.SETTINGS, 0, 0, Array.emptyByteArray))
+        val enc = new Hpack
+        val block = enc.encode(Seq((":method", "POST"), (":scheme", "http"),
+          (":path", GrpcServer.CreatePath), ("content-type", "application/grpc"),
+          ("te", "trailers")))
+        val cut = block.length / 2
+        // first fragment WITHOUT END_HEADERS, remainder via CONTINUATION
+        H2c.writeFrame(out, H2c.Frame(H2c.HEADERS, 0, 1, block.take(cut)))
+        H2c.writeFrame(out, H2c.Frame(H2c.CONTINUATION, H2c.END_HEADERS, 1,
+          block.drop(cut)))
+        H2c.writeFrame(out, H2c.Frame(H2c.DATA, H2c.END_STREAM, 1,
+          H2c.grpcFrame(createBody("gc", "p7"))))
+        // read until the trailers HEADERS with grpc-status arrives
+        val dec = new Hpack
+        var status = -1
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        while (status < 0 && System.nanoTime() < deadline) {
+          val f = H2c.readFrame(in)
+          if (f.tpe == H2c.SETTINGS && (f.flags & H2c.ACK) == 0)
+            H2c.writeFrame(out, H2c.Frame(H2c.SETTINGS, H2c.ACK, 0, Array.emptyByteArray))
+          if (f.tpe == H2c.HEADERS) {
+            val hs = dec.decode(H2c.headersFragment(f.flags, f.payload)).toMap
+            hs.get("grpc-status").foreach(s => status = s.toInt)
+          }
+        }
+        assert(status == 0, "create through split headers must succeed")
+      } finally sock.close()
     }
   }
 
