@@ -490,13 +490,19 @@ object TextOps extends QueryModule {
                       WHERE len(ws[i+1]) >= 1),
              dtoks AS (SELECT doc_id, flatten(list(toks ORDER BY ord)) AS toks
                        FROM docw JOIN encoded USING (w) GROUP BY doc_id),
+             -- LEFT JOIN back to documents: a doc whose split yields no
+             -- words (empty/whitespace-only text) must still emit a row
+             -- with an empty token stream, as the Spark side does
+             alldocs AS (SELECT d.doc_id,
+                                coalesce(dt.toks, CAST([] AS VARCHAR[])) AS toks
+                         FROM documents d LEFT JOIN dtoks dt USING (doc_id)),
              fin AS (SELECT doc_id, toks,
                        list_transform(toks, tk -> list_position(v, tk)) AS ids
-                     FROM dtoks, vocab)
+                     FROM alldocs, vocab)
             SELECT doc_id,
                    CAST(len(toks) AS BIGINT) AS n_tok,
                    CAST(len(list_filter(toks, tk -> length(tk) = 2)) AS BIGINT) AS n_merged,
-                   CAST(list_sum(ids) AS BIGINT) AS id_sum,
+                   CAST(coalesce(list_sum(ids), 0) AS BIGINT) AS id_sum,
                    md5(array_to_string(list_transform(ids, i -> CAST(i AS VARCHAR)), '|')) AS ids_sig
             FROM fin ORDER BY doc_id"""))
 

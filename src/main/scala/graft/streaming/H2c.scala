@@ -176,6 +176,7 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
     @volatile var ready = false // set once Init has been handled
     var responded = false
     @volatile var closed = false
+    @volatile var failed = false // writer gave up (window starved) → RST sent
     var sendWindow: Int = DefaultWindow
     var pump: Option[Thread] = None
   }
@@ -193,14 +194,33 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
 
     def send(f: Frame): Unit = writeLock.synchronized { writeFrame(out, f) }
 
-    def sendData(st: StreamState, bytes: Array[Byte], endStream: Boolean): Unit =
+    // ---- outbound writer ------------------------------------------------
+    // DATA frames wait for flow-control credit, and credit arrives as
+    // WINDOW_UPDATE frames that only the serve thread reads. If the serve
+    // thread itself blocked inside that wait (inline unary responses,
+    // Init-backlog pushes), a response larger than the initial window
+    // would deadlock until the 30 s deadline even with a cooperating
+    // peer. So ALL response traffic goes through a per-connection writer
+    // thread: the serve thread only enqueues and stays free to read
+    // grants; `Object.wait` releases writeLock, so control frames (acks,
+    // credits) still interleave while the writer is parked.
+    sealed trait Out
+    final case class OutHeaders(st: StreamState, hs: Seq[(String, String)],
+                                endStream: Boolean) extends Out
+    final case class OutData(st: StreamState, bytes: Array[Byte],
+                             endStream: Boolean) extends Out
+    case object OutStop extends Out
+    val outQueue = new LinkedBlockingQueue[Out]()
+
+    def writeData(st: StreamState, bytes: Array[Byte], endStream: Boolean): Unit =
       writeLock.synchronized {
         var off = 0
         var continue = true
         while (continue) {
           val n = math.min(MaxFrameSize, bytes.length - off)
-          // honor both windows; control-plane messages are small, so a
-          // bounded wait (peer grants via WINDOW_UPDATE) is correct
+          // honor both windows; the serve thread keeps draining peer
+          // WINDOW_UPDATEs while we park here, so a bounded wait is a
+          // real wait for a cooperating client, not a self-deadlock
           val deadline = System.nanoTime() + 30L * 1000000000L
           while ((connWindow < n || st.sendWindow < n) && System.nanoTime() < deadline)
             writeLock.wait(50)
@@ -215,11 +235,43 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
         }
       }
 
-    def sendHeaders(st: StreamState, hs: Seq[(String, String)], endStream: Boolean): Unit =
-      writeLock.synchronized {
-        writeFrame(out, Frame(HEADERS,
-          END_HEADERS | (if (endStream) END_STREAM else 0), st.id, encoder.encode(hs)))
+    val writer = new Thread(() => {
+      try {
+        var on = true
+        while (on) outQueue.take() match {
+          case OutStop => on = false
+          case OutHeaders(st, hs, endStream) =>
+            if (!st.failed) writeLock.synchronized {
+              writeFrame(out, Frame(HEADERS,
+                END_HEADERS | (if (endStream) END_STREAM else 0), st.id,
+                encoder.encode(hs)))
+            }
+          case OutData(st, bytes, endStream) =>
+            if (!st.failed) try writeData(st, bytes, endStream) catch {
+              case _: IOException =>
+                // window starved past the deadline: reset THIS stream
+                // (FLOW_CONTROL_ERROR) and keep the connection alive
+                st.failed = true; st.closed = true
+                st.pump.foreach(_.interrupt())
+                st.session.foreach(s => if (s.isOpen) s.handle(EventSession.Close))
+                send(Frame(RST_STREAM, 0, st.id,
+                  java.nio.ByteBuffer.allocate(4).putInt(0x3).array()))
+            }
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case _: SocketException => ()
+        case NonFatal(_) => ()
       }
+    }, s"graft-h2c-writer-${sock.getPort}")
+    writer.setDaemon(true)
+    writer.start()
+
+    def sendData(st: StreamState, bytes: Array[Byte], endStream: Boolean): Unit =
+      outQueue.put(OutData(st, bytes, endStream))
+
+    def sendHeaders(st: StreamState, hs: Seq[(String, String)], endStream: Boolean): Unit =
+      outQueue.put(OutHeaders(st, hs, endStream))
 
     def respondGrpc(st: StreamState, messages: Seq[Array[Byte]], status: Int,
                     message: Option[String] = None): Unit = {
@@ -338,12 +390,20 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
         else f.tpe match {
           case SETTINGS =>
             if ((f.flags & ACK) == 0) {
-              // apply INITIAL_WINDOW_SIZE (id 4) to future streams
               var i = 0
               while (i + 6 <= f.payload.length) {
                 val id = ((f.payload(i) & 0xFF) << 8) | (f.payload(i + 1) & 0xFF)
                 val v = java.nio.ByteBuffer.wrap(f.payload, i + 2, 4).getInt
-                if (id == 4) peerInitialWindow = v
+                if (id == 4) writeLock.synchronized {
+                  // RFC 7540 §6.9.2: INITIAL_WINDOW_SIZE changes adjust
+                  // every EXISTING stream's send window by the delta
+                  // (a shrink can drive windows negative), not just
+                  // streams opened later
+                  val delta = v - peerInitialWindow
+                  peerInitialWindow = v
+                  streams.values.foreach(_.sendWindow += delta)
+                  writeLock.notifyAll()
+                }
                 i += 6
               }
               send(Frame(SETTINGS, ACK, 0, Array.emptyByteArray))
@@ -364,11 +424,16 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
             val frag = if (f.tpe == HEADERS) headersFragment(f.flags, f.payload) else f.payload
             st.headerBlock.write(frag, 0, frag.length)
             if ((f.flags & END_HEADERS) != 0) {
+              // ALWAYS decode: HPACK dynamic-table state is connection-
+              // wide, so a skipped block (client trailers carrying an
+              // incremental-indexing literal or a table-size update)
+              // would desync the shared decoder for every later block
+              val decoded = decoder.decode(st.headerBlock.toByteArray)
+              st.headerBlock.reset()
               if (!st.headersDone) {
-                st.headers = decoder.decode(st.headerBlock.toByteArray).toMap
+                st.headers = decoded.toMap
                 st.headersDone = true
-                st.headerBlock.reset()
-              } // else: trailers from the client — nothing to read from them here
+              } // else: client trailers — decoded for table state, unused
             }
             if (f.tpe == HEADERS && (f.flags & END_STREAM) != 0 && st.session.isDefined)
               finishBidi(st, 0, None)
@@ -410,6 +475,8 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
       case _: EOFException => ()
       case NonFatal(_) => ()
     } finally {
+      outQueue.put(OutStop)
+      writer.interrupt()
       streams.values.foreach { st =>
         st.pump.foreach(_.interrupt())
         st.session.foreach(s => if (s.isOpen) s.handle(EventSession.Close))

@@ -263,6 +263,7 @@ object Hpack {
     val sb = new java.lang.StringBuilder()
     var node = 0
     var depth = 0
+    var pathAllOnes = true
     data.foreach { b =>
       var bit = 7
       while (bit >= 0) {
@@ -271,18 +272,21 @@ object Hpack {
         node = if (goRight) r else l
         require(node != -1, "invalid Huffman code")
         depth += 1
+        pathAllOnes &&= goRight
         val sym = trieSymbol(node)
         if (sym >= 0) {
           require(sym != 256, "EOS inside Huffman string is a decoding error")
           sb.append(sym.toChar)
-          node = 0; depth = 0
+          node = 0; depth = 0; pathAllOnes = true
         }
         bit -= 1
       }
     }
     // trailing bits must be a prefix of EOS (all ones), ≤ 7 bits — the
-    // padding rule; a leftover path that took any 0-branch is invalid.
+    // padding rule (RFC 7541 §5.2); a leftover path that took any
+    // 0-branch is NOT an EOS prefix and is a decoding error.
     require(depth <= 7, "Huffman padding longer than 7 bits")
+    require(depth == 0 || pathAllOnes, "Huffman padding is not an EOS prefix")
     new String(sb)
   }
 
