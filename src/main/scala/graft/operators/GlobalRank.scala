@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,19 +23,56 @@ import org.apache.spark.sql.functions._
   *       exactly what prefix-doubling iterations consume. Zero driver
   *       jobs, so an iterative algorithm pays nothing extra per round.
   *     - [[rowNumber]]: exact contiguous 1..N numbering via one
-  *       collect of the ≤`shuffle.partitions` per-partition COUNTS,
-  *       broadcast back as exclusive-prefix offsets. Values are
+  *       collect of the per-partition COUNTS (bounded by the partition
+  *       count), broadcast back as exclusive-prefix offsets. Values are
   *       partitioning-INDEPENDENT (canonical), so they can cross an
   *       engine boundary (the oracle mirrors them with its own
   *       row_number).
   *
+  * The partition count is CORPUS-DERIVED, not a conf (the lshShape /
+  * cellCount contract applied to the last hand dial — round-8 verdict
+  * task 2): `max(spark.sql.shuffle.partitions,
+  * ceil(rows / 2²¹))`, capped at 20 000. At gate scale the conf floor
+  * wins (32 — plans and hashes unchanged); at the 100× rehearsal the
+  * ~6×10⁸-row merge derives ~300 partitions, the scale that previously
+  * OOM'd a 64 GB heap until the conf was hand-raised to 128
+  * (BASELINE.md round-8). Both rank variants are value-stable under
+  * partitioning (orderRank order-faithful by construction, rowNumber
+  * canonical), so the derived count can never move a gate hash.
+  * Callers that already know the input cardinality pass `rows`
+  * (suffix-array rounds all rank the same N rows — one count, six
+  * rounds); otherwise the input is pinned with an eager checkpoint and
+  * counted once on the materialized blocks.
+  *
   * AQE partition coalescing merges only ADJACENT range partitions, so
   * both the local order and the pid monotonicity survive it. */
 private[graft] object GlobalRank {
-  /** Order/equality-faithful (non-canonical) global dense rank. */
-  def orderRank(df: DataFrame, keys: Seq[Column], out: String): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(parts, keys: _*)
+  /** Target rows per range partition for the derived count: 2²¹ rows
+    * of (doc, pos, rank)-sized state ≈ low hundreds of MB per task —
+    * sized so a 32-thread local executor never holds more than a few
+    * GB of in-flight sort state, and a 1000-executor cluster gets
+    * enough tasks to spread the sort. */
+  val TargetRowsPerPartition: Long = 1L << 21
+
+  /** Pure derivation — pinned by GlobalRankSpec. */
+  private[graft] def derivedParts(confParts: Int, rows: Long): Int = {
+    val fromRows = (rows + TargetRowsPerPartition - 1) / TargetRowsPerPartition
+    math.max(confParts, math.min(fromRows, 20000L).toInt)
+  }
+
+  private def parts(s: SparkSession, rows: Long): Int =
+    derivedParts(s.conf.get("spark.sql.shuffle.partitions", "32").toInt, rows)
+
+  /** Order/equality-faithful (non-canonical) global dense rank.
+    * `rows` = input cardinality if the caller knows it (avoids a count
+    * job per call in iterative algorithms); -1 derives from a count on
+    * an eagerly checkpointed input. */
+  def orderRank(df: DataFrame, keys: Seq[Column], out: String,
+                rows: Long = -1L): DataFrame = {
+    val (input, n) =
+      if (rows >= 0L) (df, rows)
+      else { val c = df.localCheckpoint(true); (c, c.count()) }
+    val ranged = input.repartitionByRange(parts(df.sparkSession, n), keys: _*)
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy("__pid").orderBy(keys: _*)
     ranged
@@ -44,9 +81,12 @@ private[graft] object GlobalRank {
   }
 
   /** Exact contiguous global row number 1..N over `keys` order. */
-  def rowNumber(df: DataFrame, keys: Seq[Column], out: String): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(parts, keys: _*)
+  def rowNumber(df: DataFrame, keys: Seq[Column], out: String,
+                rows: Long = -1L): DataFrame = {
+    val (input, n) =
+      if (rows >= 0L) (df, rows)
+      else { val c = df.localCheckpoint(true); (c, c.count()) }
+    val ranged = input.repartitionByRange(parts(df.sparkSession, n), keys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true) // pin partition identity: the count job and
     // the ranking must see the SAME range partitioning (a re-executed

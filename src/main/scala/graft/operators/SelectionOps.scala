@@ -696,8 +696,14 @@ object SelectionOps extends QueryModule {
     * (q186/q187 build it on the whole corpus; q194 on the base split;
     * SaAppendSpec on synthetic corpora). */
   private[graft] def suffixArrayOf(docs: DataFrame): DataFrame = {
-    val chars = docs
-      .filter(length(col("text")) >= 1)
+    val nonEmpty = docs.filter(length(col("text")) >= 1)
+    // suffix cardinality = total chars — one bounded agg over the DOC
+    // table (not the suffix rows), handed to every GlobalRank call so
+    // the six doubling rounds derive their range-partition counts
+    // without a count job each
+    val nChars = Option(nonEmpty.agg(sum(length(col("text")))).head().get(0))
+      .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+    val chars = nonEmpty
       .select(col("doc_id"),
         explode(sequence(lit(0L), length(col("text")).cast("long") - 1)).as("pos"),
         col("text"))
@@ -717,7 +723,7 @@ object SelectionOps extends QueryModule {
         coalesce(lead(col("r"), step).over(w), lit(-1L)))
       // localCheckpoint: truncate the per-round lineage (6 chained
       // range-shuffles would otherwise re-execute on every action)
-      base = GlobalRank.orderRank(joined, Seq(col("r"), col("r2")), "rn")
+      base = GlobalRank.orderRank(joined, Seq(col("r"), col("r2")), "rn", rows = nChars)
         .select(col("doc_id"), col("pos"), col("rn").as("r"))
         .localCheckpoint(true)
       // Manber–Myers early exit: once every rank is distinct (all
@@ -741,36 +747,188 @@ object SelectionOps extends QueryModule {
         done = agg.getLong(0) == agg.getLong(1)
       }
     }
-    GlobalRank.rowNumber(base, Seq(col("r"), col("doc_id"), col("pos")), "sa_pos")
+    GlobalRank.rowNumber(base, Seq(col("r"), col("doc_id"), col("pos")), "sa_pos",
+        rows = nChars)
       .select(col("sa_pos"), col("doc_id"), col("pos"))
   }
 
-  /** INCREMENTAL SUFFIX-ARRAY APPEND — merge a new doc batch into an
-    * existing SA without re-running prefix doubling over the indexed
-    * corpus (the q161 "append, never rebuild" rule applied to the one
-    * index that still rebuilt from scratch; round-7 verdict task 5).
+  /** Base-SA rows per prefix-range bucket for [[saMerge]], derived from
+    * the indexed-corpus size (the lshShape/cellCount no-conf contract):
+    * 8192 rows per bucket until the bucket COUNT would exceed 2¹⁶, then
+    * buckets grow instead — the driver-side per-bucket state (batch
+    * counts, prefix offsets) stays bounded by 65 536 entries at any
+    * corpus size, the same order as [[GlobalRank.rowNumber]]'s
+    * per-partition count collect. */
+  private[graft] def saBucketSize(nBase: Long): Long =
+    math.max(8192L, (nBase + 65535L) / 65536L)
+
+  /** INCREMENTAL SUFFIX-ARRAY APPEND, bucket-local — merge a new doc
+    * batch into an existing SA with shuffle/sort cost proportional to
+    * the BATCH (and the buckets it lands in), never the indexed corpus
+    * (round-8 verdict task 1: the previous one-shot merge re-ranked all
+    * N+M suffixes through one corpus-wide range shuffle per append —
+    * [[saMergeGlobal]], kept below as the reference implementation and
+    * measurement baseline).
     *
-    * The persistent index stores only (sa_pos, doc_id, pos). The merge
-    * hydrates each side's 64-char comparison bound in a LINEAR pass
-    * (base suffixes: one equi-join back to the base texts; batch
-    * suffixes: the per-position explode of the batch only), then ranks
-    * the union ONCE by (pfx, doc_id, pos) via [[GlobalRank.rowNumber]]
-    * — a range partition (binary search of each suffix against sampled
-    * 64-char bounds) plus parallel local sorts. Correct because the
-    * doubling invariant makes the rebuilt SA's order exactly bounded-
-    * prefix lexicographic: merging on the EXPLICIT bound reproduces it
-    * (SaAppendSpec proves equality for every batch split and for
-    * chained appends; the q194 oracle re-derives the full-corpus SA,
-    * so the gate itself checks append ≡ rebuild).
+    * The persistent index stores only (sa_pos, doc_id, pos); the
+    * 64-char comparison bound exists only inside the merge, never in
+    * the stored index. The append is four bounded steps:
     *
-    * Cost: one shuffle of (N+M) rows with 64-byte keys versus the
-    * rebuild's 6 doubling rounds × 2 shuffles + final rank (13 corpus
-    * shuffles) — measured ~5× cheaper at the sf1 rehearsal, and the
-    * 64-char state exists only inside the merge shuffle, never in the
-    * stored index. At 100 TB the same merge runs per prefix-range
-    * bucket, rewriting only buckets that receive new suffixes. */
+    *  1. BUCKETING (arithmetic, no data): the base SA is cut into
+    *     contiguous rank ranges of [[saBucketSize]] rows — bucket(p) =
+    *     (p-1)/size. Each bucket's FIRST suffix is its boundary key,
+    *     hydrated by a ≤2¹⁶-row equi-join back to the base texts.
+    *  2. ASSIGNMENT (shuffle ∝ batch): boundary markers ∪ batch
+    *     suffixes range-partition on the (pfx, doc_id, pos) key —
+    *     Spark's RangePartitioner IS the binary search of each batch
+    *     suffix against the bucket bounds — and each batch row inherits
+    *     the nearest preceding marker's bucket via a per-partition
+    *     running `last(ignoreNulls)`; partitions whose markers all sort
+    *     later inherit the previous partitions' max marker bucket (one
+    *     ≤partition-count collect, the GlobalRank offset device).
+    *  3. MERGE (shuffle ∝ touched buckets + batch): ONLY buckets that
+    *     received batch suffixes hydrate their base rows' 64-char
+    *     bounds and re-rank locally (window per bucket — parallel,
+    *     bucket-bounded sorts). Untouched buckets are never joined,
+    *     sorted, or shuffled.
+    *  4. STITCH (map-only): merged rows get bucket offset + local rank;
+    *     untouched base rows get old sa_pos + the count of batch rows
+    *     in earlier buckets — pure arithmetic against a broadcast
+    *     ≤2¹⁶-row offset table, so the corpus-sized pass is a
+    *     projection, not a shuffle. On a cluster with the index stored
+    *     bucket-partitioned this is the write-side story too: only
+    *     touched buckets' files rewrite.
+    *
+    * Correct because the doubling invariant makes the rebuilt SA's
+    * order exactly bounded-prefix lexicographic, and bucket boundaries
+    * are points ON that order: within-bucket merge + exclusive prefix
+    * offsets reproduce the global rank (SaAppendSpec proves equality
+    * with the full rebuild AND with the one-shot global merge for every
+    * batch split, chained appends, and batches straddling bucket
+    * boundaries; the q194 oracle re-derives the full-corpus SA, so the
+    * gate itself checks append ≡ rebuild). */
   private[graft] def saMerge(baseSA: DataFrame, baseDocs: DataFrame,
-                             newDocs: DataFrame): DataFrame = {
+                             newDocs: DataFrame,
+                             bucketSizeForTest: Long = -1L): DataFrame = {
+    val s = baseSA.sparkSession
+    val confParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val newP = newDocs
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), length(col("text")).cast("long") - 1)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        expr("substring(text, pos + 1, 64)").as("pfx"))
+    val mChars = Option(newDocs.filter(length(col("text")) >= 1)
+      .agg(sum(length(col("text")))).head().get(0))
+      .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+    val nBase = baseSA.count()
+    if (nBase == 0L)
+      return GlobalRank.rowNumber(newP, Seq(col("pfx"), col("doc_id"), col("pos")),
+          "sa_pos", rows = mChars)
+        .select(col("sa_pos"), col("doc_id"), col("pos"), lit(1L).as("is_new"))
+
+    // bucketSizeForTest (< derived minimum by design) lets SaAppendSpec
+    // drive MANY buckets on a tiny corpus — boundary straddling,
+    // untouched-bucket shifts, the prevb handoff — shapes a fixture
+    // smaller than one derived bucket could never reach
+    val bSize = if (bucketSizeForTest > 0) bucketSizeForTest else saBucketSize(nBase)
+    val nb = ((nBase - 1) / bSize + 1).toInt
+    val base = baseSA.select(col("sa_pos"), col("doc_id"), col("pos"))
+      .withColumn("bucket", ((col("sa_pos") - 1) / bSize).cast("long"))
+
+    // 1. boundary keys: the first base suffix of each bucket (≤ 2¹⁶ rows)
+    val markers = base.filter((col("sa_pos") - 1) % bSize === 0)
+      .join(baseDocs.select(col("doc_id"), col("text")), "doc_id")
+      .select(expr("substring(text, pos + 1, 64)").as("pfx"),
+        col("doc_id"), col("pos"), col("bucket").as("mb"), lit(1).as("is_m"))
+
+    // 2. assignment: range shuffle of (markers ∪ batch) only — ∝ batch
+    val keyed = markers.unionByName(
+      newP.withColumn("mb", lit(null).cast("long")).withColumn("is_m", lit(0)))
+    val aParts = GlobalRank.derivedParts(confParts, mChars + nb)
+    val ranged = keyed.repartitionByRange(aParts, col("pfx"), col("doc_id"), col("pos"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin the sampled range bounds (rowNumber's rule)
+    val pidMax = ranged.filter(col("is_m") === 1)
+      .groupBy("__pid").agg(max("mb").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exclusive running max: the last marker bucket in partitions < p
+    val prevRows = {
+      var acc = -1L
+      val it = pidMax.iterator.buffered
+      (0 until aParts).map { p =>
+        while (it.hasNext && it.head._1 < p) acc = math.max(acc, it.next()._2)
+        (p, math.max(acc, 0L))
+      }
+    }
+    val prevDf = broadcast(s.createDataFrame(prevRows).toDF("__pid", "prevb"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("pfx"), col("doc_id"), col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val assigned = ranged
+      .withColumn("lastm", last(col("mb"), ignoreNulls = true).over(wRun))
+      .join(prevDf, Seq("__pid"), "left")
+      .filter(col("is_m") === 0)
+      .select(col("doc_id"), col("pos"), col("pfx"),
+        coalesce(col("lastm"), col("prevb"), lit(0L)).as("bucket"))
+      .localCheckpoint(true) // consumed by the count below AND the merge
+
+    // 4a. per-bucket batch counts → exclusive prefix offsets (driver-
+    // side state bounded by the 2¹⁶ bucket cap, the rowNumber pattern)
+    val batchCnt = assigned.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def baseCnt(b: Long): Long = if (b == nb - 1L) nBase - (nb - 1L) * bSize else bSize
+    val offRows = {
+      var accTotal = 0L; var accBatch = 0L
+      (0L until nb.toLong).map { b =>
+        val r = (b, accTotal, accBatch)
+        accTotal += baseCnt(b) + batchCnt.getOrElse(b, 0L)
+        accBatch += batchCnt.getOrElse(b, 0L)
+        r
+      }
+    }
+    val offDf = broadcast(s.createDataFrame(offRows).toDF("bucket", "off", "shift"))
+    val touched = broadcast(s.createDataFrame(
+      batchCnt.keys.toSeq.sorted.map(Tuple1(_))).toDF("bucket"))
+
+    // 3. merge ONLY touched buckets: hydrate their base rows' bounds,
+    // rank locally per bucket (batchCnt.keys.map(baseCnt).sum + M rows)
+    val touchedRows = batchCnt.keys.map(baseCnt).sum + mChars
+    val mParts = GlobalRank.derivedParts(confParts, touchedRows)
+    val baseT = base.join(touched, "bucket")
+      .join(baseDocs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("bucket"), col("doc_id"), col("pos"),
+        expr("substring(text, pos + 1, 64)").as("pfx"), lit(0L).as("is_new"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("pfx"), col("doc_id"), col("pos"))
+    val mergedT = baseT
+      .unionByName(assigned.withColumn("is_new", lit(1L)))
+      .repartition(mParts, col("bucket"))
+      .withColumn("lrn", row_number().over(wB))
+      .join(offDf, "bucket")
+      .select((col("off") + col("lrn")).as("sa_pos"),
+        col("doc_id"), col("pos"), col("is_new"))
+
+    // 4b. untouched buckets: pure arithmetic, no join to texts, no sort
+    val baseU = base.join(touched, Seq("bucket"), "left_anti")
+      .join(offDf, "bucket")
+      .select((col("sa_pos") + col("shift")).as("sa_pos"),
+        col("doc_id"), col("pos"), lit(0L).as("is_new"))
+
+    mergedT.unionByName(baseU)
+  }
+
+  /** The round-8 one-shot merge, retained as [[saMerge]]'s reference
+    * implementation (SaAppendSpec proves bucket-merge ≡ global merge)
+    * and as the measurement baseline: ranks the FULL (N+M)-row union
+    * through one corpus-wide range shuffle via
+    * [[GlobalRank.rowNumber]], so its cost scales with the corpus
+    * regardless of batch size — the behavior the bucket-local merge
+    * exists to beat. */
+  private[graft] def saMergeGlobal(baseSA: DataFrame, baseDocs: DataFrame,
+                                   newDocs: DataFrame): DataFrame = {
     val oldP = baseSA.join(baseDocs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), col("pos"),
         expr("substring(text, pos + 1, 64)").as("pfx"), lit(0L).as("is_new"))
@@ -783,7 +941,7 @@ object SelectionOps extends QueryModule {
         expr("substring(text, pos + 1, 64)").as("pfx"), lit(1L).as("is_new"))
     GlobalRank.rowNumber(oldP.unionByName(newP),
         Seq(col("pfx"), col("doc_id"), col("pos")), "sa_pos")
-      .select(col("sa_pos"), col("doc_id"), col("pos"), col("pfx"), col("is_new"))
+      .select(col("sa_pos"), col("doc_id"), col("pos"), col("is_new"))
   }
 
   /** The suffix array itself, deterministically SAMPLED (every 97th
@@ -918,8 +1076,9 @@ object SelectionOps extends QueryModule {
       }
       saMerge(baseSA, base, batch)
         .filter(col("sa_pos") % 97 === 1)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
         .select(col("sa_pos"), col("doc_id"), col("pos"),
-          expr("substring(pfx, 1, 16)").as("pfx16"), col("is_new"))
+          expr("substring(text, pos + 1, 16)").as("pfx16"), col("is_new"))
         .orderBy("sa_pos")
     },
     Some("""WITH d AS (SELECT doc_id, text, length(text) AS L,

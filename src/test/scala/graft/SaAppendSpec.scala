@@ -103,4 +103,52 @@ class SaAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seq == seq.sorted, "merge reordered previously indexed suffixes")
     assert(seq == (1L to seq.size).toSeq, "every base suffix must survive exactly once")
   }
+
+  // ---- bucket-local coverage ------------------------------------------
+  // The derived bucket size (≥8192) makes any spec-scale corpus a single
+  // bucket, so these tests pass tiny explicit bucket sizes to force the
+  // multi-bucket machinery: batch suffixes straddling many boundaries,
+  // buckets the batch never touches (the arithmetic-shift path), and
+  // range partitions with no marker (the prevb handoff).
+
+  test("bucket-local merge equals the global one-shot merge for every split and bucket size") {
+    (0 to corpus.size).foreach { k =>
+      val (baseRows, batchRows) = corpus.splitAt(k)
+      val baseSA = SelectionOps.suffixArrayOf(df(baseRows))
+        .localCheckpoint(true) // one build, consumed by all bucket sizes
+      val global = saRows(SelectionOps.saMergeGlobal(baseSA, df(baseRows), df(batchRows)))
+      Seq(1L, 7L, 16L, 100L).foreach { bs =>
+        val bucketed = saRows(SelectionOps.saMerge(baseSA, df(baseRows), df(batchRows), bs))
+        assert(bucketed == global,
+          s"bucket size $bs at split $k diverged from the global merge")
+      }
+    }
+  }
+
+  test("untouched buckets survive by pure shift: a batch landing at one end of the key space") {
+    // base sorted low keys; batch all 'z…' suffixes → only the LAST
+    // bucket(s) are touched; every earlier bucket must come back via
+    // the arithmetic shift path, bit-identical to the rebuild
+    val baseRows = corpus
+    val batchRows = Seq((100L, "zz zy zx zw"), (101L, "zzz"))
+    val all = baseRows ++ batchRows
+    val full = saRows(SelectionOps.suffixArrayOf(df(all)))
+    val baseSA = SelectionOps.suffixArrayOf(df(baseRows)).localCheckpoint(true)
+    Seq(5L, 13L, 64L).foreach { bs =>
+      val merged = saRows(SelectionOps.saMerge(baseSA, df(baseRows), df(batchRows), bs))
+      assert(merged == full, s"end-loaded batch at bucket size $bs diverged from the rebuild")
+    }
+  }
+
+  test("a batch key below the base minimum merges at the front of bucket 0") {
+    val baseRows = corpus
+    val batchRows = Seq((100L, "AA AB"), (101L, "A")) // uppercase < every base char
+    val all = baseRows ++ batchRows
+    val full = saRows(SelectionOps.suffixArrayOf(df(all)))
+    val baseSA = SelectionOps.suffixArrayOf(df(baseRows)).localCheckpoint(true)
+    Seq(5L, 64L).foreach { bs =>
+      val merged = saRows(SelectionOps.saMerge(baseSA, df(baseRows), df(batchRows), bs))
+      assert(merged == full, s"front-loaded batch at bucket size $bs diverged from the rebuild")
+    }
+  }
 }

@@ -190,6 +190,24 @@ class SelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(specs.contains("__pid"), s"window must be partitioned by __pid:\n$specs")
   }
 
+  test("GlobalRank.derivedParts: conf floor at gate scale, corpus-derived beyond, capped") {
+    val t = GlobalRank.TargetRowsPerPartition
+    // gate scale: the conf floor wins — plans (and hashes) unchanged
+    assert(GlobalRank.derivedParts(32, 0L) == 32)
+    assert(GlobalRank.derivedParts(32, 4L * 1000 * 1000) == 32)
+    assert(GlobalRank.derivedParts(32, 32L * t) == 32)
+    // beyond the floor: ceil(rows / target), monotone in rows
+    assert(GlobalRank.derivedParts(32, 33L * t) == 33)
+    assert(GlobalRank.derivedParts(32, 33L * t - 1) == 33)
+    assert(GlobalRank.derivedParts(32, 300L * t + 1) == 301)
+    // the 100×-rehearsal scale that OOM'd at conf=32 derives ≥128
+    assert(GlobalRank.derivedParts(32, 600L * 1000 * 1000) >= 128)
+    // bounded above: a runaway row count cannot explode the task count
+    assert(GlobalRank.derivedParts(32, Long.MaxValue / 4) == 20000)
+    val rows = (1L to 50).map(_ * t / 3)
+    assert(rows.map(GlobalRank.derivedParts(32, _)) == rows.map(GlobalRank.derivedParts(32, _)).sorted)
+  }
+
   test("q186/q187: the prefix-doubling SA equals a direct bounded-suffix sort " +
     "on sf0.001") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
