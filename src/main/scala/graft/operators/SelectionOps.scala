@@ -32,8 +32,12 @@ object SelectionOps extends QueryModule {
     (((hex(0) >> 4) & 0xf) - 7.5).toFloat
   }
 
+  /** Native sequential-accumulation inner product — bit-identical to
+    * the interpreted `list_reduce` fold it replaces (see the
+    * [[VectorOps]] dotSql note) and ~8× faster on the pair-join
+    * oracles (q181/q185 within-cell verifies). */
   private val dotSql = (a: String, b: String) =>
-    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    s"list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
   /** Corpus-derived cell count for q181 — same no-conf contract as
     * [[VectorOps.lshShape]], and the same two-regime derivation that
@@ -135,13 +139,18 @@ object SelectionOps extends QueryModule {
     * q158's dense sweep, and a k-means refinement would buy plan
     * depth, not recall — so the operator keeps the one-shot
     * deterministic partition. */
-  val q181_semantic_dedup = QueryDef(
-    "q181_semantic_dedup",
-    (s, dir) => {
-      val n = ScratchMemo.countOnce("nvec", s, dir)(t(s, dir, "embeddings").count())
-      val k = cellCount(n)
-      val e = t(s, dir, "embeddings")
-      val asg = e.select(col("vec_id"), col("embedding"))
+  /** The keep-the-atypical PRIORITY table (vec_id, cluster, csim_fp):
+    * fixed-point cosine of each vector against its PRIMARY cell's
+    * centroid mean — factored out of q181 (round-9) because the
+    * multi-probe variant (q195) ranks pairs by the SAME priority, and
+    * memoized because it feeds many consumer subtrees in both. All
+    * sums are per-term-floored BIGINT (order-independent under any
+    * aggregation tree); centroid stats are k·64 / k rows, BROADCAST
+    * back — the only data-sized operations are one posexplode pass
+    * and two partial-aggregable groupBys. */
+  private def prioTable(s: SparkSession, dir: String, k: Int): DataFrame =
+    ScratchMemo("semprio", s, dir) {
+      val asg = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         .join(cellAssignment(s, dir, k), "vec_id")
       val comps = asg.select(col("vec_id"), col("cluster"), posexplode(col("embedding")))
         .select(col("vec_id"), col("cluster"), col("pos").as("dim"),
@@ -153,7 +162,7 @@ object SelectionOps extends QueryModule {
           (col("s_fp").cast("double") / (col("n").cast("double") * lit(1e10))).as("cv"))
       val ncl = cval.groupBy("cluster")
         .agg(sum(floor(col("cv") * col("cv") * lit(1e9)).cast("long")).cast("long").as("nc_fp"))
-      val prio = comps.join(broadcast(cval), Seq("cluster", "dim"))
+      comps.join(broadcast(cval), Seq("cluster", "dim"))
         .groupBy("vec_id", "cluster")
         .agg(sum(floor(col("x") * col("cv") * lit(1e9)).cast("long")).cast("long").as("dvc_fp"),
           sum(floor(col("x") * col("x") * lit(1e9)).cast("long")).cast("long").as("nv_fp"))
@@ -162,6 +171,17 @@ object SelectionOps extends QueryModule {
           floor(col("dvc_fp").cast("double")
             / (sqrt(col("nv_fp").cast("double")) * sqrt(col("nc_fp").cast("double")))
             * lit(1e9)).cast("long").as("csim_fp"))
+    }
+
+  val q181_semantic_dedup = QueryDef(
+    "q181_semantic_dedup",
+    (s, dir) => {
+      val n = ScratchMemo.countOnce("nvec", s, dir)(t(s, dir, "embeddings").count())
+      val k = cellCount(n)
+      val e = t(s, dir, "embeddings")
+      val asg = e.select(col("vec_id"), col("embedding"))
+        .join(cellAssignment(s, dir, k), "vec_id")
+      val prio = prioTable(s, dir, k)
       val base = asg.join(prio.select("vec_id", "csim_fp"), "vec_id")
         .withColumn("nm", sqrt(dot_ff(col("embedding"), col("embedding"))))
       val xa = base.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("av"),
@@ -192,8 +212,8 @@ object SelectionOps extends QueryModule {
               WHERE c.c < ks.k GROUP BY c.c),
             sc AS (
               SELECT e.vec_id, p.c,
-                     list_reduce(list_transform(range(1, 65),
-                       x -> p.wv[x] * CAST(e.embedding[x] AS DOUBLE)), (a, b) -> a + b) AS d
+                     list_inner_product(CAST(p.wv AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])) AS d
               FROM embeddings e, cw p),
             scl AS (SELECT vec_id, list(d ORDER BY c) AS ds FROM sc GROUP BY vec_id),
             asg AS (SELECT vec_id,
@@ -239,6 +259,159 @@ object SelectionOps extends QueryModule {
             SELECT p.vec_id, p.cluster, p.csim_fp, (l.v IS NOT NULL) AS is_dup
             FROM prio p LEFT JOIN losers l ON l.v = p.vec_id
             ORDER BY p.vec_id"""))
+
+  /** TOP-2 cell assignment for the multi-probe variant (q195): per
+    * vector, the primary argmax cell AND the runner-up. One map-only
+    * pass — the k centroids arrive as a SINGLE broadcast array column
+    * (not k literal expressions — the codegen-overflow class
+    * [[cellAssignment]]'s scaladoc documents) and a `transform` lambda
+    * scores them with the same codegen'd [[dot_ff]]; the runner-up is
+    * `array_max` over the scores minus the primary element. Catalyst
+    * collapses the projections so the transform evaluates twice —
+    * ~2× assignment cost for the second probe, zero extra shuffles
+    * (the verdict's predicted price). First-max tie-break matches
+    * [[cellAssignment]]; the runner-up inherits "next occurrence"
+    * semantics on d-ties (nc = −cid is unique, so exclusion by nc
+    * removes exactly the primary). */
+  private def top2Assignment(s: SparkSession, dir: String, k: Int): DataFrame =
+    ScratchMemo("semasg2", s, dir) {
+      import s.implicits._
+      val cents = broadcast(
+        Seq(Tuple1((0 until k).map(c => (c.toLong, centroid(c))))).toDF("cents"))
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .crossJoin(cents)
+        .withColumn("ds", transform(col("cents"),
+          c => struct(dot_ff(c("_2"), col("embedding")).as("d"), (-c("_1")).as("nc"))))
+        .withColumn("m1", array_max(col("ds")))
+        .withColumn("m2", array_max(filter(col("ds"), x => x("nc") =!= col("m1.nc"))))
+        .select(col("vec_id"),
+          (-col("m1.nc")).cast("long").as("c1"),
+          (-col("m2.nc")).cast("long").as("c2"))
+    }
+
+  /** MULTI-PROBE semantic dedup — q181's SemDeDup with TOP-2 cell
+    * probing (round-8 verdict task 5, the q54 multi-probe device
+    * applied to the cell partition): each vector joins the pair
+    * enumeration of BOTH its primary and runner-up cells, so a dup
+    * pair straddling one cell boundary is caught whenever either
+    * member's second-best cell is the other's — the standard recall
+    * lever for any coarse quantizer. Priorities (keep-the-atypical)
+    * are unchanged: similarity to the PRIMARY cell's centroid, the
+    * shared memoized [[prioTable]]. Candidate volume is ~4× q181's
+    * (2 probes × 2 probes per pair), still N²/k-shaped within the
+    * [[cellCount] ] occupancy-bounded regime; pairs sharing both
+    * probed cells are enumerated twice and collapsed by the final
+    * DISTINCT on the loser id (cos is deterministic, so the duplicate
+    * rows agree). Output adds the runner-up cell so the probe
+    * structure is visible in data. Recall lift vs the within-cell
+    * pass is MEASURED (BASELINE.md round-9): on this near-orthogonal
+    * corpus the boundary-pair geometry predicts ~2× at small k. */
+  val q195_semantic_dedup_multiprobe = QueryDef(
+    "q195_semantic_dedup_multiprobe",
+    (s, dir) => {
+      val n = ScratchMemo.countOnce("nvec", s, dir)(t(s, dir, "embeddings").count())
+      val k = cellCount(n)
+      val e = t(s, dir, "embeddings")
+      val t2 = top2Assignment(s, dir, k)
+      val prio = prioTable(s, dir, k)
+      val base = e.select(col("vec_id"), col("embedding"))
+        .withColumn("nm", sqrt(dot_ff(col("embedding"), col("embedding"))))
+        .join(prio.select(col("vec_id"), col("csim_fp")), "vec_id")
+      val probes = t2.select(col("vec_id"),
+        explode(array(col("c1"), col("c2"))).as("cell"))
+      val pa = probes.join(base, "vec_id").select(col("cell"),
+        col("vec_id").as("a"), col("embedding").as("av"),
+        col("nm").as("na"), col("csim_fp").as("ca"))
+      val pb = probes.join(base, "vec_id").select(col("cell"),
+        col("vec_id").as("b"), col("embedding").as("bv"),
+        col("nm").as("nb"), col("csim_fp").as("cb"))
+      val losers = pa.join(pb, "cell").filter(col("a") < col("b"))
+        .withColumn("cos", dot_ff(col("av"), col("bv")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .select(when(col("ca") < col("cb")
+          || (col("ca") === col("cb") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+        .distinct()
+      t2.join(prio.select(col("vec_id"), col("csim_fp")), "vec_id")
+        .join(losers, col("vec_id") === losers("v"), "left")
+        .select(col("vec_id"), col("c1"), col("c2"), col("csim_fp"),
+          col("v").isNotNull.as("is_dup"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+            ks AS (SELECT 1 << GREATEST(2, LEAST(10, GREATEST((length(bin(cnt)) - 1) // 2 - 2,
+                                                  (length(bin(cnt)) - 1) - 9))) AS k FROM n),
+            cw AS (
+              SELECT c.c,
+                     list((instr('0123456789abcdef',
+                            substr(md5(CAST(200 + c.c AS VARCHAR) || '_' || CAST(d.j AS VARCHAR)), 1, 1)) - 8.5)
+                          ORDER BY d.j) AS wv
+              FROM range(0, 1024) c(c), range(0, 64) d(j), ks
+              WHERE c.c < ks.k GROUP BY c.c),
+            sc AS (
+              SELECT e.vec_id, p.c,
+                     list_inner_product(CAST(p.wv AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])) AS d
+              FROM embeddings e, cw p),
+            scl AS (SELECT vec_id, list(d ORDER BY c) AS ds FROM sc GROUP BY vec_id),
+            a1 AS (SELECT vec_id, ds,
+                     list_position(ds, list_aggregate(ds, 'max')) AS p1
+                   FROM scl),
+            a2 AS (SELECT vec_id, ds, p1,
+                     list_aggregate(list_concat(ds[:p1-1], ds[p1+1:]), 'max') AS m2
+                   FROM a1),
+            asg2 AS (SELECT vec_id, CAST(p1 - 1 AS BIGINT) AS c1,
+                       CAST((CASE WHEN m2 = ds[p1]
+                             THEN list_position(ds[p1+1:], m2) + p1
+                             ELSE list_position(ds, m2) END) - 1 AS BIGINT) AS c2
+                     FROM a2),
+            comps AS (
+              SELECT a.vec_id, a.c1 AS cluster, d.j AS dim,
+                     CAST(e.embedding[d.j + 1] AS DOUBLE) AS x
+              FROM asg2 a JOIN embeddings e USING (vec_id), range(0, 64) d(j)),
+            cval AS (
+              SELECT cluster, dim,
+                     CAST(sum(CAST(floor(x * 10000000000.0) AS BIGINT)) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 10000000000.0) AS cv
+              FROM comps GROUP BY 1, 2),
+            ncl AS (
+              SELECT cluster,
+                     CAST(sum(CAST(floor(cv * cv * 1000000000.0) AS BIGINT)) AS BIGINT) AS nc_fp
+              FROM cval GROUP BY 1),
+            prio AS (
+              SELECT v.vec_id,
+                     CAST(floor(CAST(dvc_fp AS DOUBLE)
+                       / (sqrt(CAST(nv_fp AS DOUBLE)) * sqrt(CAST(nc_fp AS DOUBLE)))
+                       * 1000000000.0) AS BIGINT) AS csim_fp
+              FROM (SELECT c.vec_id, c.cluster,
+                      CAST(sum(CAST(floor(c.x * w.cv * 1000000000.0) AS BIGINT)) AS BIGINT) AS dvc_fp,
+                      CAST(sum(CAST(floor(c.x * c.x * 1000000000.0) AS BIGINT)) AS BIGINT) AS nv_fp
+                    FROM comps c JOIN cval w ON c.cluster = w.cluster AND c.dim = w.dim
+                    GROUP BY 1, 2) v
+              JOIN ncl USING (cluster)),
+            probes AS (
+              SELECT vec_id, c1 AS cell FROM asg2
+              UNION ALL SELECT vec_id, c2 FROM asg2),
+            cand AS (
+              SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+              FROM probes x JOIN probes y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+            pairs AS (
+              SELECT a, b, px.csim_fp AS ca, py.csim_fp AS cb
+              FROM cand
+              JOIN prio px ON px.vec_id = a
+              JOIN prio py ON py.vec_id = b
+              JOIN embeddings ex ON ex.vec_id = a
+              JOIN embeddings ey ON ey.vec_id = b
+              WHERE ${dotSql("ex.embedding", "ey.embedding")}
+                      / (sqrt(${dotSql("ex.embedding", "ex.embedding")})
+                         * sqrt(${dotSql("ey.embedding", "ey.embedding")})) >= 0.45),
+            losers AS (
+              SELECT DISTINCT CASE WHEN ca < cb OR (ca = cb AND a < b) THEN b ELSE a END AS v
+              FROM pairs)
+            SELECT g.vec_id, g.c1, g.c2, p.csim_fp, (l.v IS NOT NULL) AS is_dup
+            FROM asg2 g JOIN prio p USING (vec_id)
+            LEFT JOIN losers l ON l.v = g.vec_id
+            ORDER BY g.vec_id"""))
 
   /** EXACT duplicate-substring spans (the Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better" semantics, arXiv:
@@ -641,8 +814,8 @@ object SelectionOps extends QueryModule {
               WHERE c.c < ks.k GROUP BY c.c),
             sc AS (
               SELECT e.vec_id, p.c,
-                     list_reduce(list_transform(range(1, 65),
-                       x -> p.wv[x] * CAST(e.embedding[x] AS DOUBLE)), (a, b) -> a + b) AS d
+                     list_inner_product(CAST(p.wv AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])) AS d
               FROM embeddings e, cw p),
             scl AS (SELECT vec_id, list(d ORDER BY c) AS ds FROM sc GROUP BY vec_id),
             asg AS (SELECT vec_id,
@@ -1330,5 +1503,6 @@ object SelectionOps extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(q181_semantic_dedup, q182_dup_spans, q183_dsir_importance, q184_cluster_safe_split,
       q185_semdedup_recall_eval, q186_suffix_array, q187_sa_dup_lengths,
-      q188_selection_pipeline, q192_mixture_temperature, q194_sa_append)
+      q188_selection_pipeline, q192_mixture_temperature, q194_sa_append,
+      q195_semantic_dedup_multiprobe)
 }
