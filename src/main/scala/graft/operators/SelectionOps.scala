@@ -836,6 +836,85 @@ object SelectionOps extends QueryModule {
             JOIN asg xa ON xa.vec_id = exact.a
             JOIN asg xb ON xb.vec_id = exact.b"""))
 
+  /** MULTI-PROBE recall eval — q185's measurement extended to the q195
+    * candidate rule, with BOTH recalls side by side so the probe's
+    * lift is visible in data: for every exact pair at cos ≥ 0.45
+    * (q158's memoized dense ground truth), is it within one primary
+    * cell (q181's reach), and is it within ANY shared probed cell
+    * ({c1,c2} ∩ {c1,c2} ≠ ∅, q195's reach)? The primary cell from
+    * [[top2Assignment]] equals [[cellAssignment]]'s argmax by
+    * construction, so one memoized table serves both conditions.
+    * Exact-pairs join candidate-tables on vec_id — bounded by true-
+    * pair volume, never corpus². */
+  val q196_multiprobe_recall_eval = QueryDef(
+    "q196_multiprobe_recall_eval",
+    (s, dir) => {
+      val exact = ScratchMemo("dense", s, dir) { VectorOps.q158_dense_threshold.run(s, dir) }
+      val n = ScratchMemo.countOnce("nvec", s, dir)(t(s, dir, "embeddings").count())
+      val k = cellCount(n)
+      val t2 = top2Assignment(s, dir, k)
+      val hit = (col("c1a") === col("c1b") || col("c1a") === col("c2b")
+        || col("c2a") === col("c1b") || col("c2a") === col("c2b"))
+      exact.select(col("a"), col("b"))
+        .join(t2.select(col("vec_id").as("a"), col("c1").as("c1a"), col("c2").as("c2a")), "a")
+        .join(t2.select(col("vec_id").as("b"), col("c1").as("c1b"), col("c2").as("c2b")), "b")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("c1a") === col("c1b"), 1L).otherwise(0L)).cast("long").as("n_within"),
+          sum(when(hit, 1L).otherwise(0L)).cast("long").as("n_multi"),
+          floor(sum(when(col("c1a") === col("c1b"), 1L).otherwise(0L)) * lit(1000000L)
+            / count(lit(1))).cast("long").as("recall_fp"),
+          floor(sum(when(hit, 1L).otherwise(0L)) * lit(1000000L)
+            / count(lit(1))).cast("long").as("recall_multi_fp"))
+    },
+    Some(s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+            ks AS (SELECT 1 << GREATEST(2, LEAST(10, GREATEST((length(bin(cnt)) - 1) // 2 - 2,
+                                                  (length(bin(cnt)) - 1) - 9))) AS k FROM n),
+            cw AS (
+              SELECT c.c,
+                     list((instr('0123456789abcdef',
+                            substr(md5(CAST(200 + c.c AS VARCHAR) || '_' || CAST(d.j AS VARCHAR)), 1, 1)) - 8.5)
+                          ORDER BY d.j) AS wv
+              FROM range(0, 1024) c(c), range(0, 64) d(j), ks
+              WHERE c.c < ks.k GROUP BY c.c),
+            sc AS (
+              SELECT e.vec_id, p.c,
+                     list_inner_product(CAST(p.wv AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])) AS d
+              FROM embeddings e, cw p),
+            scl AS (SELECT vec_id, list(d ORDER BY c) AS ds FROM sc GROUP BY vec_id),
+            a1 AS (SELECT vec_id, ds,
+                     list_position(ds, list_aggregate(ds, 'max')) AS p1
+                   FROM scl),
+            a2 AS (SELECT vec_id, ds, p1,
+                     list_aggregate(list_concat(ds[:p1-1], ds[p1+1:]), 'max') AS m2
+                   FROM a1),
+            asg2 AS (SELECT vec_id, CAST(p1 - 1 AS BIGINT) AS c1,
+                       CAST((CASE WHEN m2 = ds[p1]
+                             THEN list_position(ds[p1+1:], m2) + p1
+                             ELSE list_position(ds, m2) END) - 1 AS BIGINT) AS c2
+                     FROM a2),
+            v AS (SELECT vec_id, embedding,
+                         sqrt(${dotSql("embedding", "embedding")}) AS nm
+                  FROM embeddings),
+            exact AS (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM v x JOIN v y ON x.vec_id < y.vec_id
+              WHERE ${dotSql("x.embedding", "y.embedding")} / (x.nm * y.nm) >= 0.45)
+            SELECT count(*) AS n_exact,
+                   CAST(sum(CASE WHEN xa.c1 = xb.c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+                   CAST(sum(CASE WHEN xa.c1 = xb.c1 OR xa.c1 = xb.c2
+                                   OR xa.c2 = xb.c1 OR xa.c2 = xb.c2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+                   CAST(floor(sum(CASE WHEN xa.c1 = xb.c1 THEN 1 ELSE 0 END) * 1000000
+                     / count(*)) AS BIGINT) AS recall_fp,
+                   CAST(floor(sum(CASE WHEN xa.c1 = xb.c1 OR xa.c1 = xb.c2
+                                         OR xa.c2 = xb.c1 OR xa.c2 = xb.c2
+                                  THEN 1 ELSE 0 END) * 1000000
+                     / count(*)) AS BIGINT) AS recall_multi_fp
+            FROM exact
+            JOIN asg2 xa ON xa.vec_id = exact.a
+            JOIN asg2 xb ON xb.vec_id = exact.b"""))
+
   /** Bounded-depth distributed SUFFIX ARRAY over the corpus via PREFIX
     * DOUBLING (Manber–Myers 1990) — the index behind variable-length
     * exact-substring dedup (Lee et al., arXiv:2107.06499, build suffix
@@ -1504,5 +1583,5 @@ object SelectionOps extends QueryModule {
     Seq(q181_semantic_dedup, q182_dup_spans, q183_dsir_importance, q184_cluster_safe_split,
       q185_semdedup_recall_eval, q186_suffix_array, q187_sa_dup_lengths,
       q188_selection_pipeline, q192_mixture_temperature, q194_sa_append,
-      q195_semantic_dedup_multiprobe)
+      q195_semantic_dedup_multiprobe, q196_multiprobe_recall_eval)
 }
