@@ -313,12 +313,19 @@ object Bench {
       t.start(); t
     }
     producers.foreach(_.join())
+    val tProduce = (System.nanoTime() - t0) / 1e9
     val deadline = System.nanoTime() + 300L * 1000000000L
     while (delivered.get < target && failure.get == null && System.nanoTime() < deadline) {
       mux.processAllAvailable()
       if (delivered.get < target) Thread.sleep(20)
     }
     val elapsed = (System.nanoTime() - t0) / 1e9
+    // stage split on stderr (stdout carries only the bench JSON): if
+    // produce ≈ elapsed the producers (framing RTT or the ingest lock)
+    // bound the replay; a large drain means the engine's micro-batch
+    // fan-out lags the wire
+    System.err.println(f"[wire-replay] rows=${rows.length} produce=$tProduce%.1fs " +
+      f"drain=${elapsed - tProduce}%.1fs total=$elapsed%.1fs producers=$nProd")
     consumers.foreach(_.join(10000))
     if (failure.get != null) { server.stop(); mux.stop(); throw failure.get }
     require(delivered.get >= target,

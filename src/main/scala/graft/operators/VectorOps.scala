@@ -1300,7 +1300,7 @@ object VectorOps extends QueryModule {
 
   /** Shared ADC machinery for q189/q191: (probe set, per-(qid, cid)
     * fixed-point ADC distances, exact top-5 ground truth). */
-  private def adcParts(s: SparkSession, dir: String)
+  private[graft] def adcParts(s: SparkSession, dir: String)
     : (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.L2Distance.l2_ff
     val e = t(s, dir, "embeddings")

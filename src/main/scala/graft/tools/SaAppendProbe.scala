@@ -1,0 +1,133 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.SelectionOps
+import graft.sources.Tables
+
+/** Measures the incremental suffix-array append's cost CURVE against
+  * batch size (round-8 verdict task 1's "Done" criterion): for a fixed
+  * indexed corpus, time the bucket-local [[SelectionOps.saMerge]] and
+  * the one-shot [[SelectionOps.saMergeGlobal]] over nested doc batches,
+  * reporting per batch
+  *
+  *  - `touch` — time to produce ONLY the re-ranked touched buckets
+  *    (`filter(is_new = 1)`: Catalyst constant-folds the untouched
+  *    arithmetic-shift branch away, so this is the cluster append
+  *    cost — the files a bucket-partitioned index would rewrite);
+  *  - `full` — touched merge PLUS the untouched map-only projection
+  *    (the local-mode stand-in for a full index read);
+  *  - `global` — the corpus-wide (N+M)-row re-rank, whose cost should
+  *    NOT move with batch size;
+  *  - `touchedBuckets/nb` — how many of the index's prefix-range
+  *    buckets the batch actually landed in.
+  *
+  * The expected regimes: while the batch's suffix count is below the
+  * bucket count, touched ∝ batch (suffixes of even one document
+  * scatter across the whole prefix space, so "touched buckets" ≈
+  * batch suffixes, each dragging one bucket's rows through a local
+  * sort); past that every bucket is touched and the merge degrades
+  * gracefully to the global merge's corpus-bound shape. Both regimes
+  * belong in BASELINE.md — the first is the 100 TB small-batch story,
+  * the boundary says where "incremental" stops meaning "cheap".
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.SaAppendProbe <sfDir> [batchDocs ...]"
+  *   (default batches: 4 32 256 2048 docs, nested, held out of the base)
+  */
+object SaAppendProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val batches = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                  else Seq(4, 32, 256, 2048)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // deterministic held-out pool: the maxBatch docs with the smallest
+    // md5 — nested prefixes give every batch size the same base SA
+    val maxB = batches.max
+    val pool = docs
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .orderBy("h").limit(maxB)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val poolIds = pool.select("doc_id").collect().map(_.getLong(0))
+    val base = docs.join(pool.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    def timed[A](f: => A): (A, Double) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (baseSA, tBuild) = timed {
+      SelectionOps.suffixArrayOf(base).localCheckpoint(true)
+    }
+    val nBase = baseSA.count()
+    val bSize = SelectionOps.saBucketSize(nBase)
+    val nb = (nBase - 1) / bSize + 1
+    println(f"[sa-append] base build: $tBuild%.1fs  N=$nBase  " +
+      f"bucketSize=$bSize  nb=$nb")
+
+    // bucket boundary keys, collected once (≤2^16 rows by derivation)
+    val bounds = baseSA.filter((col("sa_pos") - 1) % bSize === 0)
+      .join(base, "doc_id")
+      .select(col("sa_pos"),
+        expr("substring(text, pos + 1, 64)").as("pfx"), col("doc_id"), col("pos"))
+      .orderBy("sa_pos")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+
+    batches.foreach { k =>
+      val batch = pool.filter(col("doc_id").isin(poolIds.take(k): _*))
+        .localCheckpoint(true)
+      val mChars = batch.agg(sum(length(col("text")))).head().getLong(0)
+
+      // touched-bucket census: binary-search each batch suffix against
+      // the collected boundary keys (driver-bounded, probe-only)
+      val bc = spark.sparkContext.broadcast(bounds)
+      import spark.implicits._
+      val touched = batch.select(col("doc_id"),
+          explode(sequence(lit(0L), length(col("text")).cast("long") - 1)).as("pos"),
+          expr("substring(text, pos + 1, 64)").as("pfx"))
+        .as[(Long, Long, String)]
+        .map { case (d, p, pfx) =>
+          val b = bc.value
+          var lo = 0; var hi = b.length // first bound > key, minus one
+          while (lo < hi) {
+            val mid = (lo + hi) / 2
+            val (bp, bd, bo) = b(mid)
+            val le = bp < pfx || (bp == pfx && (bd < d || (bd == d && bo <= p)))
+            if (le) lo = mid + 1 else hi = mid
+          }
+          math.max(0, lo - 1)
+        }.distinct().count()
+
+      val (_, tTouch) = timed {
+        SelectionOps.saMerge(baseSA, base, batch)
+          .filter(col("is_new") === 1).count()
+      }
+      val ((nFull, nGlobal), tFullPair) = timed {
+        (SelectionOps.saMerge(baseSA, base, batch).count(), 0L)
+      }
+      val (gCount, tGlobal) = timed {
+        SelectionOps.saMergeGlobal(baseSA, base, batch).count()
+      }
+      require(nFull == gCount, s"bucket-local count $nFull != global $gCount")
+      println(f"[sa-append] batch=$k%-5d suffixes=$mChars%-8d " +
+        f"touched=$touched%-6d of $nb  touch=$tTouch%.2fs " +
+        f"full=$tFullPair%.2fs global=$tGlobal%.2fs")
+      val _ = nGlobal
+    }
+    spark.stop()
+  }
+}
