@@ -70,7 +70,11 @@ object ExplainDump {
       ("q188_selection_pipeline — composed survivorship → survivor-corpus recount → split → census", SelectionOps.q188_selection_pipeline),
       ("q189_pq_adc_recall — ADC as a broadcast-LUT equi-join over the linear codes scan; exact-over-probes ground truth", VectorOps.q189_pq_adc_recall),
       ("q190_compaction_binpack — per-date bounded windows planning greedy cumulative-sum bins", LayoutOps.q190_compaction_binpack),
-      ("q191_adc_rerank_funnel — ADC shortlist (codes scan) → keyed float fetch for Q·50 exact reranks", VectorOps.q191_adc_rerank_funnel))
+      ("q191_adc_rerank_funnel — ADC shortlist (codes scan) → keyed float fetch for Q·50 exact reranks", VectorOps.q191_adc_rerank_funnel),
+      ("q193_bpe_encode — broadcast learned vocab, map-only greedy longest-match fold", TextOps.q193_bpe_encode),
+      ("q194_sa_append — bucket-local merge: markers∪batch range shuffle, touched-bucket windows, broadcast offset stitch", SelectionOps.q194_sa_append),
+      ("q195_semantic_dedup_multiprobe — top-2 probe via one broadcast centroid array, cell-keyed pairwise over probes", SelectionOps.q195_semantic_dedup_multiprobe),
+      ("q196_multiprobe_recall_eval — exact ground truth joined to top-2 assignments, bounded eval join", SelectionOps.q196_multiprobe_recall_eval))
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append(s"Input: `$dir`. These plans back the contracts asserted in " +
