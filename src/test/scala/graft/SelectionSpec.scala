@@ -117,6 +117,65 @@ class SelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(losers.size < vecs.length / 2, "dup rule should not mark most of the corpus")
   }
 
+  test("q195 equals the brute-force multi-probe rule; primary probe matches q181; " +
+    "its dup set contains q181's") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val k = SelectionOps.cellCount(vecs.length.toLong)
+    val cents = (0 until k).map(centroid)
+
+    // top-2 assignment: first-max argmax, then first-max over the rest
+    // (next occurrence on d-ties — the operator's nc-exclusion rule)
+    val asg2 = vecs.map { case (id, v) =>
+      val ds = cents.map(c => dot(c, v))
+      val p1 = ds.indexWhere(_ == ds.max)
+      val rest = ds.zipWithIndex.filter(_._2 != p1)
+      val m2 = rest.map(_._1).max
+      val p2 = rest.find(_._1 == m2).get._2
+      (id, p1.toLong, p2.toLong, v)
+    }
+    val probesOf = asg2.map(a => a._1 -> Set(a._2, a._3)).toMap
+
+    // multi-probe candidate pairs: any shared probed cell
+    val byId = asg2.map(a => a._1 -> a._4).toMap
+    val ids = asg2.map(_._1)
+    val q181Rows = SelectionOps.q181_semantic_dedup.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val csimFp = q181Rows.map(r => r._1 -> r._3).toMap // shared prioTable
+    val losers = scala.collection.mutable.Set[Long]()
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if probesOf(a).intersect(probesOf(b)).nonEmpty
+    } {
+      val (va, vb) = (byId(a), byId(b))
+      val cos = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      if (cos >= 0.45) {
+        val (ca, cb) = (csimFp(a), csimFp(b))
+        losers += (if (ca < cb || (ca == cb && a < b)) b else a)
+      }
+    }
+
+    val got = SelectionOps.q195_semantic_dedup_multiprobe.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got.size == vecs.length)
+    val q181Cluster = q181Rows.map(r => r._1 -> r._2).toMap
+    val q181Dups = q181Rows.filter(_._4).map(_._1).toSet
+    asg2.foreach { case (id, p1, p2, _) =>
+      val (gc1, gc2, gcs, gdup) = got(id)
+      assert(gc1 == p1 && gc2 == p2, s"top-2 mismatch for $id: got ($gc1,$gc2) want ($p1,$p2)")
+      assert(gc1 == q181Cluster(id), s"primary probe must equal q181's cell for $id")
+      assert(gcs == csimFp(id), s"q195 must rank by the shared priority table ($id)")
+      assert(gdup == losers.contains(id), s"multi-probe is_dup mismatch for $id")
+    }
+    // the multi-probe candidate set contains every within-cell pair, so
+    // its dup set can only grow
+    assert(q181Dups.subsetOf(got.filter(_._2._4).keySet),
+      "q195's dup set must contain q181's")
+  }
+
   test("q182 equals the brute-force window/island computation on sf0.001") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "text").collect()
