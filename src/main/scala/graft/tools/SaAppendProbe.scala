@@ -70,9 +70,17 @@ object SaAppendProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    val (baseSA, tBuild) = timed {
-      SelectionOps.suffixArrayOf(base).localCheckpoint(true)
+    // the base SA build is the expensive one-time input (~22 min at
+    // 100×); cache it as parquet keyed by fixture dir + pool size so
+    // probe re-runs measure only the appends
+    val cache = s"/tmp/graft-sa-probe-${new java.io.File(sfDir).getName}-$maxB"
+    val tBuild = if (new java.io.File(s"$cache/_SUCCESS").exists()) -1.0 else {
+      val (_, t) = timed {
+        SelectionOps.suffixArrayOf(base).write.mode("overwrite").parquet(cache)
+      }
+      t
     }
+    val baseSA = spark.read.parquet(cache)
     val nBase = baseSA.count()
     val bSize = SelectionOps.saBucketSize(nBase)
     val nb = (nBase - 1) / bSize + 1
@@ -86,6 +94,14 @@ object SaAppendProbe {
         expr("substring(text, pos + 1, 64)").as("pfx"), col("doc_id"), col("pos"))
       .orderBy("sa_pos")
       .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // one untimed warm-up append: session codegen + baseSA page cache,
+    // so the first timed variant is not the one paying cold costs
+    {
+      val w = pool.filter(col("doc_id") === poolIds.head).localCheckpoint(true)
+      SelectionOps.saMerge(baseSA, base, w)
+        .agg(sum(col("sa_pos"))).head()
+    }
 
     batches.foreach { k =>
       val batch = pool.filter(col("doc_id").isin(poolIds.take(k): _*))
@@ -112,21 +128,31 @@ object SaAppendProbe {
           math.max(0, lo - 1)
         }.distinct().count()
 
-      val (_, tTouch) = timed {
-        SelectionOps.saMerge(baseSA, base, batch)
-          .filter(col("is_new") === 1).count()
+      // the timed action must FORCE the ranks: a bare count() lets
+      // Catalyst prune the ranking window entirely (measured 6 s
+      // "full" counts at 100× that never computed sa_pos), so every
+      // variant aggregates sum(sa_pos) — unprunable, and a checksum
+      // that must agree across variants
+      def force(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("sa_pos"))).head()
+        (r.getLong(0), r.getLong(1))
       }
-      val ((nFull, nGlobal), tFullPair) = timed {
-        (SelectionOps.saMerge(baseSA, base, batch).count(), 0L)
+      val (fRes, tFull) = timed {
+        force(SelectionOps.saMerge(baseSA, base, batch))
       }
-      val (gCount, tGlobal) = timed {
-        SelectionOps.saMergeGlobal(baseSA, base, batch).count()
+      val (tRes, tTouch) = timed {
+        force(SelectionOps.saMerge(baseSA, base, batch)
+          .filter(col("is_new") === 1))
       }
-      require(nFull == gCount, s"bucket-local count $nFull != global $gCount")
+      val (gRes, tGlobal) = timed {
+        force(SelectionOps.saMergeGlobal(baseSA, base, batch))
+      }
+      require(fRes == gRes,
+        s"bucket-local (count, ranksum) $fRes != global $gRes")
+      val _ = tRes
       println(f"[sa-append] batch=$k%-5d suffixes=$mChars%-8d " +
         f"touched=$touched%-6d of $nb  touch=$tTouch%.2fs " +
-        f"full=$tFullPair%.2fs global=$tGlobal%.2fs")
-      val _ = nGlobal
+        f"full=$tFull%.2fs global=$tGlobal%.2fs")
     }
     spark.stop()
   }
