@@ -290,22 +290,33 @@ object Bench {
       t.start(); t
     }
     // 8 producer connections, each replaying its shard as unary Emit
-    // frames (the reference's internal_event_server.rs:18 ingest shape).
+    // frames (the reference's internal_event_server.rs:18 ingest shape),
+    // PIPELINED in windows of 64: one unary frame per event on the wire,
+    // but the producer doesn't wait a full RTT per event — the round-9
+    // profile showed the synchronous producer pinned at ~1/RTT per
+    // connection (~100k ev/s at 8 conns, scale-invariant) while the
+    // engine's ingest lock sustains 346k ev/s (IngestProbe).
     val nProd = sys.env.getOrElse("SPARK_GRAFT_WIRE_PRODUCERS", "8").toInt
+    val window = sys.env.getOrElse("SPARK_GRAFT_WIRE_PIPELINE", "64").toInt
     val producers = (0 until nProd).map { i =>
       val t = new Thread(() => {
         val c = new WireClient("127.0.0.1", server.boundPort, soTimeoutMillis = 120000)
         try {
-          var j = i
-          while (j < rows.length && failure.get == null) {
-            val r = rows(j)
-            val e = replayEvent(r.getLong(0), r.getLong(1), r.getString(2))
-            val rel = graft.core.RelationCtx(e.project, e.collection,
-              e.sharedObject, e.objectGroups)
-            val rs = c.call(Emit(e.resource, e.eventType, e.resourceId, rel))
-            if (c.errors(rs).nonEmpty)
-              throw new IllegalStateException(s"emit rejected: ${c.errors(rs)}")
-            j += nProd
+          val mine = Iterator.range(i, rows.length, nProd)
+          mine.grouped(window).foreach { idx =>
+            if (failure.get == null) {
+              val reqs = idx.map { j =>
+                val r = rows(j)
+                val e = replayEvent(r.getLong(0), r.getLong(1), r.getString(2))
+                val rel = graft.core.RelationCtx(e.project, e.collection,
+                  e.sharedObject, e.objectGroups)
+                Emit(e.resource, e.eventType, e.resourceId, rel)
+              }
+              c.callAll(reqs).foreach { rs =>
+                if (c.errors(rs).nonEmpty)
+                  throw new IllegalStateException(s"emit rejected: ${c.errors(rs)}")
+              }
+            }
           }
         } catch { case e: Throwable => failure.compareAndSet(null, e) }
         finally c.disconnect()

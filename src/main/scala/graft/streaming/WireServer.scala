@@ -200,6 +200,29 @@ final class WireClient(host: String, port: Int, soTimeoutMillis: Int = 0) {
   /** Sends one request, reads frames through the Ok terminator. */
   def call(req: WireRequest): Seq[WireResponse] = {
     writeFrame(out, encodeRequest(req))
+    readReply()
+  }
+
+  /** PIPELINED unary calls: writes every request frame back-to-back
+    * (one flush), then reads the replies in order — the protocol
+    * guarantees exactly one Ok terminator per request, so ordering is
+    * unambiguous. This removes the per-request round-trip wait that
+    * pins a synchronous producer at ~1/RTT events per connection
+    * (the round-9 wire-replay profile: produce-side RTT bound,
+    * scale-invariant ~100k ev/s at 8 connections), exactly what
+    * HTTP/2 stream multiplexing buys a tonic client on the
+    * reference's ingest path. */
+  def callAll(reqs: Seq[WireRequest]): Seq[Seq[WireResponse]] = {
+    reqs.foreach { r => // write without per-frame flush
+      val bytes = encodeRequest(r)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    reqs.map(_ => readReply())
+  }
+
+  private def readReply(): Seq[WireResponse] = {
     val replies = Seq.newBuilder[WireResponse]
     var done = false
     while (!done) readFrame(in) match {
