@@ -144,10 +144,15 @@ object SaAppendProbe {
         force(SelectionOps.saMerge(baseSA, base, batch)
           .filter(col("is_new") === 1))
       }
-      val (gRes, tGlobal) = timed {
+      // SPARK_GRAFT_SA_GLOBAL=all|first|none — the corpus-wide merge is
+      // ~4 min per batch at 100×; "first" keeps one cross-variant
+      // checksum + timing without paying it per batch size
+      val globalMode = sys.env.getOrElse("SPARK_GRAFT_SA_GLOBAL", "all")
+      val runGlobal = globalMode == "all" || (globalMode == "first" && k == batches.head)
+      val (gRes, tGlobal) = if (runGlobal) timed {
         force(SelectionOps.saMergeGlobal(baseSA, base, batch))
-      }
-      require(fRes == gRes,
+      } else ((-1L, -1L), -1.0)
+      if (runGlobal) require(fRes == gRes,
         s"bucket-local (count, ranksum) $fRes != global $gRes")
       val _ = tRes
       println(f"[sa-append] batch=$k%-5d suffixes=$mChars%-8d " +
