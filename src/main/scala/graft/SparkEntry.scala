@@ -16,7 +16,7 @@ object SparkEntry {
     Seq(Relational, Scalars, StreamingBatch, TextOps, DedupOps, VectorOps,
       MultimodalOps, ExtensionOps, PipelineOps, Reshape, CurationOps,
       RetrievalOps, AnalyticsOps, TemporalOps, StatsOps, GraphOps,
-      CorpusOps, WarehouseOps, TpchOps, LayoutOps, SelectionOps)
+      CorpusOps, WarehouseOps, TpchOps, LayoutOps, SelectionOps, SketchOps)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Mergeable summary sketches with error evals — the fixed-size-state
+  * answers to questions whose exact forms need a corpus-sized shuffle.
+  *
+  * Both sketches here are MERGEABLE: per-partition partial states
+  * combine associatively, so at 100 TB each is one map-side-combined
+  * aggregation producing kilobytes of state, where the exact answer
+  * (full token histogram / distinct-token intersection join) shuffles
+  * the corpus. The evals follow the repo's measured-approximation rule
+  * (q153/q154/q157/q159/q185): every approximate structure ships with
+  * its error measured against exact ground truth on the same fixture.
+  *
+  * Determinism: the hash devices are the repo's standard md5 prefixes
+  * (`conv` in Spark, per-nibble `instr` arithmetic in DuckDB — the
+  * q44/q45 device), all counting is BIGINT, and the one double division
+  * (the KMV estimator) is written with the identical operation order in
+  * both engines, so IEEE-754 makes the floored fixed-point results
+  * bit-identical.
+  */
+object SketchOps extends QueryModule {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** The sketch key stream: word 3-gram shingles (the dedup family's
+    * unit, q43/q44). Keyed on shingles, not unigrams, deliberately —
+    * the fixture's unigram vocabulary is ~31 words per source, which
+    * CANNOT exercise either sketch (zero CMS collisions in 4×1024
+    * buckets; every KMV sketch unsaturated ⇒ estimator degenerates to
+    * exact). Shingle cardinality is 1.1k–10.9k per source across the
+    * fixtures: CMS rows collide and KMV saturates k=256, so the evals
+    * measure REAL sketch error. Docs under 3 words yield no shingles
+    * in both engines (Spark filter / empty DuckDB range). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+
+  /** DuckDB mirror of [[shingles]] (1-based list indexing). */
+  private val shinglesSql: String =
+    """base AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       sidx AS (SELECT source, ws, unnest(range(1, len(ws) - 1)) AS i FROM base),
+       words AS (SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w FROM sidx)"""
+
+  /** DuckDB mirror of Spark's `CAST(conv(substring(md5(x), 1, nib), 16, 10)
+    * AS BIGINT)`: per-nibble `instr` lookups recombined positionally
+    * (char 1 is the most significant nibble). */
+  private def duckHexPrefix(x: String, nib: Int): String =
+    (0 until nib).map { i =>
+      val p = math.pow(16.0, (nib - 1 - i).toDouble).toLong
+      s"(instr('0123456789abcdef', substr(md5($x), ${i + 1}, 1)) - 1) * $p"
+    }.mkString(" + ")
+
+  /** Count–min sketch (d=4 rows × w=1024 buckets) over the corpus
+    * shingle stream, with its error measured against exact counts for
+    * the 200 most frequent shingles.
+    *
+    * The sketch is ONE pass: each occurrence votes into 4 row-salted
+    * md5 buckets (posexplode → a 4096-key aggregation with map-side
+    * combine — partial sketches from every partition merge by addition,
+    * which is the whole point of CMS). The estimate for a token is the
+    * min over its 4 bucket counts; CMS guarantees est ≥ exact, and the
+    * `overcount` column is that bias, reported not hidden. The eval
+    * joins the 4096-row sketch BROADCAST against the top-200 tokens
+    * (TakeOrdered under a strict total order, not a global sort), so at
+    * 100 TB the only corpus-sized stages are the token scan and the
+    * exact-count aggregation the eval itself requires for ground truth —
+    * a production pipeline keeps just the sketch pass.
+    *
+    * Reference scope: frequency gating over shingle streams is the
+    * reference's event-statistics surface generalized (SURVEY §2.2
+    * sketch row); CMS per Cormode & Muthukrishnan (2005). */
+  val q197_cms_error_eval = QueryDef(
+    "q197_cms_error_eval",
+    (s, dir) => {
+      val d = 4
+      val words = shingles(s, dir).select("w")
+      def buckets = (0 until d).map(r =>
+        expr(s"CAST(CAST(conv(substring(md5(concat('cms${r}_', w)), 1, 3), 16, 10) AS INT) % 1024 AS INT)")
+          .as(s"b$r"))
+      val occ = words.select((col("w") +: buckets): _*)
+        .select(posexplode(array((0 until d).map(r => col(s"b$r")): _*)))
+        .toDF("row", "bucket")
+      val sketch = occ.groupBy("row", "bucket")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val exact = words.groupBy("w").agg(count(lit(1)).cast("long").as("c_exact"))
+      val top = exact.orderBy(col("c_exact").desc, col("w")).limit(200)
+      val probes = top.select((col("w") +: col("c_exact") +: buckets): _*)
+        .select(col("w"), col("c_exact"),
+          posexplode(array((0 until d).map(r => col(s"b$r")): _*)))
+        .toDF("w", "c_exact", "row", "bucket")
+      probes.join(broadcast(sketch), Seq("row", "bucket"))
+        .groupBy("w", "c_exact")
+        .agg(min("cnt").cast("long").as("c_est"))
+        .select(col("w"), col("c_exact"), col("c_est"),
+          (col("c_est") - col("c_exact")).cast("long").as("overcount"))
+        .orderBy("w")
+    },
+    Some {
+      def b(r: Int) =
+        s"""((instr('0123456789abcdef', substr(md5('cms${r}_' || w), 1, 1)) - 1) * 256
+           + (instr('0123456789abcdef', substr(md5('cms${r}_' || w), 2, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(md5('cms${r}_' || w), 3, 1)) - 1)) % 1024"""
+      s"""WITH $shinglesSql,
+          occ AS (SELECT w, r,
+                    CASE r ${(0 until 4).map(r => s"WHEN $r THEN ${b(r)}").mkString(" ")} END AS bucket
+                  FROM words, (SELECT unnest(range(4)) AS r)),
+          sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY r, bucket),
+          exact AS (SELECT w, CAST(count(*) AS BIGINT) AS c_exact FROM words GROUP BY w),
+          top AS (SELECT w, c_exact FROM exact ORDER BY c_exact DESC, w LIMIT 200),
+          probes AS (SELECT DISTINCT t.w, t.c_exact, o.r, o.bucket
+                     FROM top t JOIN occ o USING (w)),
+          est AS (SELECT w, c_exact, min(cnt) AS c_est
+                  FROM probes p JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
+                  GROUP BY w, c_exact)
+          SELECT w, c_exact, CAST(c_est AS BIGINT) AS c_est,
+                 CAST(c_est - c_exact AS BIGINT) AS overcount
+          FROM est ORDER BY w"""
+    })
+
+  /** KMV (k-minimum-values) theta sketch over per-source distinct
+    * shingles: set-operation cardinality — the distinct-intersection
+    * size of every source pair — estimated from 256-value sketches and
+    * measured against the exact join.
+    *
+    * Per source the sketch is the k=256 smallest 60-bit shingle hashes
+    * (distinct by hash, per KMV); the estimator is (k−1)·2⁶⁰/θ with θ
+    * the kth minimum, falling back to the EXACT count when the sketch
+    * is unsaturated (cnt < k ⇒ the sketch IS the set). The union
+    * sketch of a pair is the k smallest of the two sketches' union —
+    * its kth minimum is the true union's kth minimum (every true value
+    * below it is in one of the sketches, since each source supplies its
+    * k minima), so the same estimator applies; intersection is
+    * inclusion–exclusion, clamped at 0. HLL (q12) answers union-only
+    * cardinality; KMV is the sketch that also answers INTERSECTION,
+    * which HLL structurally cannot (Beyer et al., SIGMOD 2007).
+    *
+    * Scale shape: one distinct-aggregation to (source, hash), one
+    * per-source top-k (window over the tiny distinct stream — at 100 TB
+    * this is TakeOrdered-per-key state of k rows/source), then ALL pair
+    * work runs on ≤ k·|sources| broadcast rows — the corpus never joins
+    * itself. The exact intersection join here is the eval's ground
+    * truth only. */
+  val q198_kmv_theta_sketch = QueryDef(
+    "q198_kmv_theta_sketch",
+    (s, dir) => {
+      val k = 256
+      val est = s"CAST(floor(255.0 * 1.152921504606846976e18 / CAST(theta AS DOUBLE) * 1.0e6) AS BIGINT)"
+      val tok = shingles(s, dir).distinct()
+      val hv = tok
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)").as("hv"))
+        .distinct()
+      val kmv = hv
+        .withColumn("rk", row_number().over(Window.partitionBy("source").orderBy("hv")))
+        .filter(col("rk") <= k)
+        .select("source", "hv")
+        .cache()
+      val per = kmv.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("cnt"), max("hv").as("theta"))
+        .withColumn("est_fp",
+          when(col("cnt") < k, col("cnt") * 1000000L).otherwise(expr(est)))
+        .select("source", "est_fp")
+      val srcs = kmv.select("source").distinct()
+      val pairs = srcs.select(col("source").as("s1"))
+        .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
+      val uni = broadcast(pairs)
+        .join(kmv, col("source") === col("s1") || col("source") === col("s2"))
+        .select("s1", "s2", "hv").distinct()
+      val estu = uni
+        .withColumn("rk", row_number().over(Window.partitionBy("s1", "s2").orderBy("hv")))
+        .filter(col("rk") <= k)
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).cast("long").as("cnt"), max("hv").as("theta"))
+        .withColumn("est_u",
+          when(col("cnt") < k, col("cnt") * 1000000L).otherwise(expr(est)))
+        .select("s1", "s2", "est_u")
+      val exact = tok.select(col("source").as("s1"), col("w"))
+        .join(tok.select(col("source").as("s2"), col("w")), Seq("w"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).cast("long").as("n_exact"))
+      estu
+        .join(broadcast(per.withColumnRenamed("source", "s1").withColumnRenamed("est_fp", "ea")), Seq("s1"))
+        .join(broadcast(per.withColumnRenamed("source", "s2").withColumnRenamed("est_fp", "eb")), Seq("s2"))
+        .join(exact, Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"),
+          greatest(lit(0L), col("ea") + col("eb") - col("est_u")).cast("long").as("est_inter_fp"),
+          coalesce(col("n_exact"), lit(0L)).cast("long").as("n_exact"))
+        .withColumn("abs_err_fp",
+          abs(col("est_inter_fp") - col("n_exact") * 1000000L).cast("long"))
+        .orderBy("s1", "s2")
+    },
+    Some(s"""WITH $shinglesSql,
+          tok AS (SELECT DISTINCT source, w FROM words),
+          hv AS (SELECT DISTINCT source, ${duckHexPrefix("w", 15)} AS hv FROM tok),
+          kmv AS (SELECT source, hv FROM (
+                    SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+                    FROM hv) WHERE rk <= 256),
+          per AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt, max(hv) AS theta
+                  FROM kmv GROUP BY source),
+          pere AS (SELECT source,
+                     CASE WHEN cnt < 256 THEN cnt * 1000000
+                          ELSE CAST(floor(255.0 * 1.152921504606846976e18 / CAST(theta AS DOUBLE) * 1.0e6) AS BIGINT)
+                     END AS est_fp
+                   FROM per),
+          pairs AS (SELECT x.source AS s1, y.source AS s2
+                    FROM per x JOIN per y ON x.source < y.source),
+          uni AS (SELECT DISTINCT p.s1, p.s2, k.hv
+                  FROM pairs p JOIN kmv k ON k.source = p.s1 OR k.source = p.s2),
+          uk AS (SELECT s1, s2, hv FROM (
+                   SELECT s1, s2, hv, row_number() OVER (PARTITION BY s1, s2 ORDER BY hv) AS rk
+                   FROM uni) WHERE rk <= 256),
+          peru AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS cnt, max(hv) AS theta
+                   FROM uk GROUP BY s1, s2),
+          estu AS (SELECT s1, s2,
+                     CASE WHEN cnt < 256 THEN cnt * 1000000
+                          ELSE CAST(floor(255.0 * 1.152921504606846976e18 / CAST(theta AS DOUBLE) * 1.0e6) AS BIGINT)
+                     END AS est_u
+                   FROM peru),
+          ex AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS n_exact
+                 FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+                 GROUP BY 1, 2)
+          SELECT e.s1, e.s2,
+                 CAST(greatest(0, pa.est_fp + pb.est_fp - e.est_u) AS BIGINT) AS est_inter_fp,
+                 CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact,
+                 CAST(abs(greatest(0, pa.est_fp + pb.est_fp - e.est_u)
+                          - coalesce(ex.n_exact, 0) * 1000000) AS BIGINT) AS abs_err_fp
+          FROM estu e
+          JOIN pere pa ON pa.source = e.s1
+          JOIN pere pb ON pb.source = e.s2
+          LEFT JOIN ex ON ex.s1 = e.s1 AND ex.s2 = e.s2
+          ORDER BY e.s1, e.s2"""))
+
+  def defs: Seq[QueryDef] = Seq(q197_cms_error_eval, q198_kmv_theta_sketch)
+}

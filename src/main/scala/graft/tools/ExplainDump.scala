@@ -74,7 +74,9 @@ object ExplainDump {
       ("q193_bpe_encode — broadcast learned vocab, map-only greedy longest-match fold", TextOps.q193_bpe_encode),
       ("q194_sa_append — bucket-local merge: markers∪batch range shuffle, touched-bucket windows, broadcast offset stitch", SelectionOps.q194_sa_append),
       ("q195_semantic_dedup_multiprobe — top-2 probe via one broadcast centroid array, cell-keyed pairwise over probes", SelectionOps.q195_semantic_dedup_multiprobe),
-      ("q196_multiprobe_recall_eval — exact ground truth joined to top-2 assignments, bounded eval join", SelectionOps.q196_multiprobe_recall_eval))
+      ("q196_multiprobe_recall_eval — exact ground truth joined to top-2 assignments, bounded eval join", SelectionOps.q196_multiprobe_recall_eval),
+      ("q197_cms_error_eval — one-pass 4×1024 mergeable sketch agg; top-200 probes broadcast-joined to the 4096-row sketch", SketchOps.q197_cms_error_eval),
+      ("q198_kmv_theta_sketch — per-source k-min window on the distinct hash stream; all pair math on broadcast sketch rows", SketchOps.q198_kmv_theta_sketch))
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append(s"Input: `$dir`. These plans back the contracts asserted in " +

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SketchOps
+
+/** Semantic properties of the mergeable sketches (SketchOps) — the
+  * cross-engine value identity is the DuckDB gate's job; this spec pins
+  * the properties the sketches CLAIM:
+  *  - CMS is one-sided (est ≥ exact, always) and mergeable (partial
+  *    sketches from disjoint corpus halves sum to the full sketch);
+  *  - the KMV estimator is EXACT in the unsaturated regime (every
+  *    sketch < k values ⇒ inclusion–exclusion reproduces the true
+  *    intersection), proven on a synthetic corpus built to sit in that
+  *    regime;
+  *  - on the real fixture the KMV intersection error stays inside a
+  *    fixture-derived band (measured, then pinned — the BloomSkipSpec
+  *    convention).
+  */
+class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sketch-spec")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("q197: CMS estimate never undercounts, and top-200 eval is total") {
+    val rows = SketchOps.q197_cms_error_eval.run(spark, sfDir).collect()
+    // Shingle vocabulary at sf0.001 is ≫200 (measured 1.1k–1.5k per
+    // source), so the top-200 probe set is full.
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("c_exact")
+      val est = r.getAs[Long]("c_est")
+      assert(est >= exact, s"CMS undercounted ${r.getAs[String]("w")}: $est < $exact")
+      assert(r.getAs[Long]("overcount") == est - exact)
+    }
+  }
+
+  test("q197: partial sketches from disjoint halves merge to the full sketch") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    def sketchOf(df: org.apache.spark.sql.DataFrame) = {
+      // Same shingle keying as SketchOps.shingles.
+      val words = df.select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+      val buck = (0 until 4).map(r =>
+        expr(s"CAST(CAST(conv(substring(md5(concat('cms${r}_', w)), 1, 3), 16, 10) AS INT) % 1024 AS INT)").as(s"b$r"))
+      words.select((col("w") +: buck): _*)
+        .select(posexplode(array((0 until 4).map(r => col(s"b$r")): _*)))
+        .toDF("row", "bucket")
+        .groupBy("row", "bucket").agg(count(lit(1)).cast("long").as("cnt"))
+    }
+    val full = sketchOf(docs).collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val lo = sketchOf(docs.filter(col("doc_id") % 2 === 0))
+    val hi = sketchOf(docs.filter(col("doc_id") % 2 === 1))
+    val merged = lo.union(hi).groupBy("row", "bucket").agg(sum("cnt").cast("long").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == full, "summed half-corpus sketches != full-corpus sketch")
+  }
+
+  test("q198: unsaturated KMV sketches give the EXACT intersection") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    // Three sources, shingle sets well under k=256, with known 3-gram
+    // overlaps: srcA = t0..t29, srcB = t10..t59 share the 18 shingles
+    // "t10 t11 t12".."t27 t28 t29"; srcA, srcC share the 8 shingles
+    // "t0 t1 t2".."t7 t8 t9"; srcB ∩ srcC = {} — every sketch is the
+    // full set, so inclusion–exclusion must equal the exact join.
+    val mk = (ts: Seq[Int]) => ts.map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, mk(0 until 30), "xx", "srcA", 1L),
+      (2L, mk(10 until 60), "xx", "srcB", 1L),
+      (3L, mk((0 until 10) ++ (100 until 140)), "xx", "srcC", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SketchOps.q198_kmv_theta_sketch.run(spark, dir).collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2")) ->
+        (r.getAs[Long]("est_inter_fp"), r.getAs[Long]("n_exact"), r.getAs[Long]("abs_err_fp"))).toMap
+    assert(out.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    assert(out(("srcA", "srcB")) == ((18000000L, 18L, 0L)))
+    assert(out(("srcA", "srcC")) == ((8000000L, 8L, 0L)))
+    assert(out(("srcB", "srcC")) == ((0L, 0L, 0L)))
+  }
+
+  test("q198: fixture intersection error stays inside the measured band") {
+    val rows = SketchOps.q198_kmv_theta_sketch.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_inter_fp")
+      val exact = r.getAs[Long]("n_exact") * 1000000L
+      assert(est >= 0L)
+      // Fixture-derived pin (sf0.001, k=256, saturated — ~1.3k shingles
+      // per source): KMV's per-sketch relative σ is ~1/√(k−2) ≈ 6.3%,
+      // i.e. ~82 shingles absolute; inclusion–exclusion compounds three
+      // estimates → σ ≈ 142, 3σ ≈ 425. Measured max |err| = 238, p99 =
+      // 173 (fixed-point/1e6); the pin is the 3σ envelope.
+      assert(math.abs(est - exact) <= 425L * 1000000L,
+        s"${r.getAs[String]("s1")}/${r.getAs[String]("s2")}: est=$est exact=$exact")
+    }
+  }
+}
