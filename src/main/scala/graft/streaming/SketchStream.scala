@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.SketchOps
+
+/** STREAMING sketch maintenance — the q197/q198 mergeability claim made
+  * operational (the [[SaIndexStream]] pattern applied to summary
+  * state): a `foreachBatch` sink that folds each arriving micro-batch
+  * of documents into live, parquet-persisted CMS and KMV sketches.
+  * This is the sketches' whole value proposition at 100 TB: the state
+  * on disk is KILOBYTES (≤4096 CMS cells + k·|sources| KMV hashes), a
+  * batch update costs one pass over the BATCH — the corpus is never
+  * re-read — and because both merges are associative
+  * ([[SketchOps.cmsMerge]] bucket addition;
+  * [[SketchOps.kmvTopK]] re-minimization), the live state is provably
+  * identical to the batch sketch of everything seen so far, which is
+  * exactly what [[SketchStreamSpec]] asserts after every micro-batch.
+  *
+  * State layout under `root`: `sk_b<id>/cms` and `sk_b<id>/kmv` — one
+  * directory per applied micro-batch, written under `tmp_b<id>` and
+  * published by rename (the single commit point), after which older
+  * `sk_b*` versions are pruned, so storage holds exactly one sketch
+  * pair. Crash/replay safety follows the idempotent-foreachBatch
+  * contract ([[DurableEventLog]], [[SaIndexStream]]): batch ids are
+  * monotone and a replayed id whose `sk_b<id>` exists is a no-op; a
+  * crash between the two child writes leaves only an unpublished
+  * `tmp_b<id>`, invisible to readers, and the retry's overwrite
+  * converges. */
+final class SketchStream(spark: SparkSession, root: String) {
+  new File(root).mkdirs()
+
+  private def batchIds: Seq[Long] =
+    Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("sk_b"))
+      .map(_.getName.stripPrefix("sk_b").toLong).toSeq.sorted
+
+  /** Micro-batch ids whose merged sketches were published. */
+  def appliedBatches: Seq[Long] = batchIds
+
+  private def emptyCms: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Int, Long)].toDF("row", "bucket", "cnt")
+  }
+
+  private def emptyKmv: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("source", "hv")
+  }
+
+  /** The live CMS state (row, bucket, cnt) as of the last batch. */
+  def currentCms: DataFrame = appliedBatches.lastOption
+    .map(id => spark.read.parquet(s"$root/sk_b$id/cms"))
+    .getOrElse(emptyCms)
+
+  /** The live KMV state (source, hv) as of the last batch. */
+  def currentKmv: DataFrame = appliedBatches.lastOption
+    .map(id => spark.read.parquet(s"$root/sk_b$id/kmv"))
+    .getOrElse(emptyKmv)
+
+  /** The foreachBatch sink: fold one micro-batch of documents
+    * (doc_id, text, source) into both sketches. Idempotent on replay;
+    * empty batches are no-ops. */
+  def sink(batch: Dataset[Row], batchId: Long): Unit = synchronized {
+    if (!new File(s"$root/sk_b$batchId").exists()) {
+      val b = batch.select(col("source"), col("text")).localCheckpoint(true)
+      if (!b.isEmpty) {
+        val before = appliedBatches
+        val sh = SketchOps.shingleStreamOf(b).localCheckpoint(true)
+        val cms = SketchOps.cmsMerge(currentCms, SketchOps.cmsOf(sh.select("w")))
+        // distinct: a hash already in the state must not double-count
+        // toward this source's k minima
+        val kmv = SketchOps.kmvTopK(
+          currentKmv.union(SketchOps.kmvHashes(sh)).distinct())
+        cms.write.mode("overwrite").parquet(s"$root/tmp_b$batchId/cms")
+        kmv.write.mode("overwrite").parquet(s"$root/tmp_b$batchId/kmv")
+        require(new File(s"$root/tmp_b$batchId")
+          .renameTo(new File(s"$root/sk_b$batchId")),
+          s"could not publish sk_b$batchId")
+        before.foreach { old =>
+          val dir = new File(s"$root/sk_b$old")
+          Seq("cms", "kmv").foreach { sub =>
+            val d = new File(dir, sub)
+            Option(d.listFiles()).foreach(_.foreach(_.delete()))
+            d.delete()
+          }
+          dir.delete()
+        }
+      }
+    }
+  }
+}

@@ -48,19 +48,8 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q197: partial sketches from disjoint halves merge to the full sketch") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
-    def sketchOf(df: org.apache.spark.sql.DataFrame) = {
-      // Same shingle keying as SketchOps.shingles.
-      val words = df.select(split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(explode(expr(
-          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
-      val buck = (0 until 4).map(r =>
-        expr(s"CAST(CAST(conv(substring(md5(concat('cms${r}_', w)), 1, 3), 16, 10) AS INT) % 1024 AS INT)").as(s"b$r"))
-      words.select((col("w") +: buck): _*)
-        .select(posexplode(array((0 until 4).map(r => col(s"b$r")): _*)))
-        .toDF("row", "bucket")
-        .groupBy("row", "bucket").agg(count(lit(1)).cast("long").as("cnt"))
-    }
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.cmsOf(SketchOps.shingleStreamOf(df).select("w"))
     val full = sketchOf(docs).collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val lo = sketchOf(docs.filter(col("doc_id") % 2 === 0))
     val hi = sketchOf(docs.filter(col("doc_id") % 2 === 1))
