@@ -114,7 +114,15 @@ object Bench {
     System.err.println(
       s"[bench-runs] wire_replay ${wireSamples.map(x => f"$x%.2f").mkString(" ")}")
     val wire = wireSamples.sorted.apply(wireSamples.size / 2)
-    val all = results :+ ("stream_replay" -> replay) :+ ("wire_replay" -> wire)
+    val h2cSamples = (1 to runs).map { _ =>
+      System.gc()
+      h2cReplaySeconds(spark, sfDir)
+    }
+    System.err.println(
+      s"[bench-runs] h2c_replay ${h2cSamples.map(x => f"$x%.2f").mkString(" ")}")
+    val h2c = h2cSamples.sorted.apply(h2cSamples.size / 2)
+    val all = results :+ ("stream_replay" -> replay) :+
+      ("wire_replay" -> wire) :+ ("h2c_replay" -> h2c)
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // 1-decimal, trailing zeros stripped ("0.52"→"0.5", "1.0"→"1") for
     // the compact stdout array — the full 2-decimal medians live in
@@ -144,7 +152,7 @@ object Bench {
     // so no bounded capture window can lose it again.
     val qv = all.map { case (_, v) => fj(v) }.mkString("[", ",", "]")
     val headline =
-      s""""stream_replay":${fj(replay)},"wire_replay":${fj(wire)}"""
+      s""""stream_replay":${fj(replay)},"wire_replay":${fj(wire)},"h2c_replay":${fj(h2c)}"""
     val failedJson = failed.sorted.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
     val sfName = new java.io.File(sfDir).getName
@@ -159,7 +167,8 @@ object Bench {
       val smap = (results.map { case (k, _) =>
           s""""$k":[${samples(k).reverse.map(f).mkString(",")}]"""
         } :+ s""""stream_replay":[${replaySamples.map(f).mkString(",")}]"""
-          :+ s""""wire_replay":[${wireSamples.map(f).mkString(",")}]""").mkString("{", ",", "}")
+          :+ s""""wire_replay":[${wireSamples.map(f).mkString(",")}]"""
+          :+ s""""h2c_replay":[${h2cSamples.map(f).mkString(",")}]""").mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName",""" +
       s""""runs":$runs,"failed":$failedJson,"queries":$qmap,"samples":$smap}"""
     }
@@ -341,6 +350,109 @@ object Bench {
     if (failure.get != null) { server.stop(); mux.stop(); throw failure.get }
     require(delivered.get >= target,
       s"wire replay must deliver every event (${delivered.get} < $target)")
+    admin.disconnect()
+    server.stop()
+    mux.stop()
+    elapsed
+  }
+
+  /** gRPC-transport replay throughput: the SAME event stream as
+    * [[wireReplaySeconds]], but driven through the hand-rolled h2c
+    * stack on the reference's own method paths — producers pipeline
+    * unary `SendEvent` calls as multiplexed HTTP/2 streams
+    * ([[graft.streaming.GrpcClient.unaryAll]]), consumers each hold one
+    * `ReadStreamGroupMessages` bidi stream and run the push → ack loop.
+    * This is the transport the reference actually serves (tonic h2c),
+    * measured end-to-end: HPACK header coding, frame mux/demux, flow
+    * control, and the gRPC message framing all on the timed path. */
+  private[graft] def h2cReplaySeconds(spark: org.apache.spark.sql.SparkSession,
+                                      sfDir: String): Double = {
+    import graft.streaming.{GrpcClient, GrpcServer, H2c, MultiplexedDelivery}
+    import graft.streaming.WireProtocol._
+    val rows = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type").collect()
+    val mux = new MultiplexedDelivery(spark,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
+      sourcePartitions = sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTS", "8").toInt)
+    val server = GrpcServer(mux)
+    val admin = new GrpcClient("127.0.0.1", server.boundPort, soTimeoutMillis = 120000)
+    (0 until 5).foreach { p =>
+      val (st, _) = admin.unary(GrpcServer.CreatePath,
+        H2c.unwrapArm(encodeRequest(CreateGroup(s"bench-p$p", "PROJECT", s"p$p",
+          graft.core.Hierarchy(projectId = s"p$p"), includeSub = true, "ALL"))))
+      require(st == 0, s"h2c create failed: grpc-status $st")
+    }
+    mux.start()
+    val target = rows.length.toLong
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t0 = System.nanoTime()
+    // 5 consumers, one bidi stream per group: Init, then collect the
+    // server's 250 ms-pump pushes and ack each batch.
+    val consumers = (0 until 5).map { p =>
+      val t = new Thread(() => {
+        val c = new GrpcClient("127.0.0.1", server.boundPort,
+          soTimeoutMillis = 120000)
+        try {
+          val stream = c.bidi(GrpcServer.ReadMessagesPath)
+          stream.sendMessage(encodeRequest(Init(s"bench-p$p")))
+          while (delivered.get < target && failure.get == null) {
+            val msgs = stream.messages(64, timeoutMillis = 100)
+            if (msgs.nonEmpty) {
+              val ns = msgs.map(decodeResponse(_).asInstanceOf[Notification])
+              delivered.addAndGet(ns.map(_.resourceIds.size.toLong).sum)
+              stream.sendMessage(encodeRequest(Ack(ns.map(_.chunkId))))
+            }
+          }
+          stream.sendMessage(encodeRequest(Close))
+        } catch { case e: Throwable => failure.compareAndSet(null, e) }
+        finally c.disconnect()
+      }, s"h2c-bench-consumer-$p")
+      t.start(); t
+    }
+    val nProd = sys.env.getOrElse("SPARK_GRAFT_WIRE_PRODUCERS", "8").toInt
+    val window = sys.env.getOrElse("SPARK_GRAFT_WIRE_PIPELINE", "64").toInt
+    val producers = (0 until nProd).map { i =>
+      val t = new Thread(() => {
+        val c = new GrpcClient("127.0.0.1", server.boundPort,
+          soTimeoutMillis = 120000)
+        try {
+          val mine = Iterator.range(i, rows.length, nProd)
+          mine.grouped(window).foreach { idx =>
+            if (failure.get == null) {
+              val bodies = idx.map { j =>
+                val r = rows(j)
+                val e = replayEvent(r.getLong(0), r.getLong(1), r.getString(2))
+                val rel = graft.core.RelationCtx(e.project, e.collection,
+                  e.sharedObject, e.objectGroups)
+                H2c.unwrapArm(encodeRequest(
+                  Emit(e.resource, e.eventType, e.resourceId, rel)))
+              }
+              c.unaryAll(GrpcServer.EmitPath, bodies).foreach { st =>
+                if (st != 0)
+                  throw new IllegalStateException(s"h2c emit rejected: grpc-status $st")
+              }
+            }
+          }
+        } catch { case e: Throwable => failure.compareAndSet(null, e) }
+        finally c.disconnect()
+      }, s"h2c-bench-producer-$i")
+      t.start(); t
+    }
+    producers.foreach(_.join())
+    val tProduce = (System.nanoTime() - t0) / 1e9
+    val deadline = System.nanoTime() + 300L * 1000000000L
+    while (delivered.get < target && failure.get == null && System.nanoTime() < deadline) {
+      mux.processAllAvailable()
+      if (delivered.get < target) Thread.sleep(20)
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[h2c-replay] rows=${rows.length} produce=$tProduce%.1fs " +
+      f"drain=${elapsed - tProduce}%.1fs total=$elapsed%.1fs producers=$nProd")
+    consumers.foreach(_.join(10000))
+    if (failure.get != null) { server.stop(); mux.stop(); throw failure.get }
+    require(delivered.get >= target,
+      s"h2c replay must deliver every event (${delivered.get} < $target)")
     admin.disconnect()
     server.stop()
     mux.stop()

@@ -8,11 +8,14 @@ import org.apache.spark.sql.SparkSession
   * full bench. `SPARK_GRAFT_WIRE_PRODUCERS` / `SPARK_GRAFT_REPLAY_*`
   * env knobs apply as in the bench.
   *
-  * Usage: sbt "runMain graft.tools.WireReplayProbe <sfDir>"
+  * Usage: sbt "runMain graft.tools.WireReplayProbe <sfDir> [wire|h2c]"
+  * (default wire; `h2c` runs [[graft.Bench.h2cReplaySeconds]] — the
+  * same stream through the HTTP/2 transport instead of framed TCP.)
   */
 object WireReplayProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val mode = if (args.length > 1) args(1) else "wire"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,8 +24,11 @@ object WireReplayProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val secs = graft.Bench.wireReplaySeconds(spark, sfDir)
-    println(f"[wire-probe] total=$secs%.1fs")
+    val secs = mode match {
+      case "h2c" => graft.Bench.h2cReplaySeconds(spark, sfDir)
+      case _     => graft.Bench.wireReplaySeconds(spark, sfDir)
+    }
+    println(f"[wire-probe] mode=$mode total=$secs%.1fs")
     spark.stop()
   }
 }

@@ -249,6 +249,29 @@ class H2cSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unaryAll pipelines a window of multiplexed streams; statuses arrive in call order") {
+    withServer() { (_, server) =>
+      val c = new GrpcClient("127.0.0.1", server.boundPort)
+      try {
+        val (st0, _) = c.unary(GrpcServer.CreatePath, createBody("gp", "p1"))
+        assert(st0 == 0)
+        // a window of 32 emits in one pipelined burst — every stream is
+        // open before the first trailer is read (the replay-bench shape)
+        val bodies = (0 until 32).map { i =>
+          H2c.unwrapArm(encodeRequest(Emit("OBJECT", "ALL", s"o$i",
+            RelationCtx(project = "p1", collection = "c1", sharedObject = s"s$i"))))
+        }
+        assert(c.unaryAll(GrpcServer.EmitPath, bodies) == Seq.fill(32)(0))
+        // a malformed call mid-window fails alone: its neighbours' streams
+        // are untouched (per-stream isolation under multiplexing)
+        val mixed = Seq(bodies(0), Array[Byte](0x7f, 0x7f, 0x7f), bodies(1))
+        val sts = c.unaryAll(GrpcServer.EmitPath, mixed)
+        assert(sts(0) == 0 && sts(2) == 0, s"healthy neighbours must succeed: $sts")
+        assert(sts(1) != 0, "the malformed call must carry its own error status")
+      } finally c.disconnect()
+    }
+  }
+
   test("unknown method paths answer grpc-status 12 UNIMPLEMENTED; delete works") {
     withServer() { (_, server) =>
       val c = new GrpcClient("127.0.0.1", server.boundPort)
