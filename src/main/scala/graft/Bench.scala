@@ -399,7 +399,14 @@ object Bench {
           while (delivered.get < target && failure.get == null) {
             val msgs = stream.messages(64, timeoutMillis = 100)
             if (msgs.nonEmpty) {
-              val ns = msgs.map(decodeResponse(_).asInstanceOf[Notification])
+              // surface server-side errors (e.g. an ack race after the
+              // redelivery deadline) as their message, not a cast error
+              val ns = msgs.map(decodeResponse(_)).map {
+                case n: Notification => n
+                case WireError(m) => throw new IllegalStateException(s"h2c session error: $m")
+                case other => throw new IllegalStateException(
+                  s"unexpected bidi response: ${other.getClass.getSimpleName}")
+              }
               delivered.addAndGet(ns.map(_.resourceIds.size.toLong).sum)
               stream.sendMessage(encodeRequest(Ack(ns.map(_.chunkId))))
             }
@@ -450,7 +457,9 @@ object Bench {
     System.err.println(f"[h2c-replay] rows=${rows.length} produce=$tProduce%.1fs " +
       f"drain=${elapsed - tProduce}%.1fs total=$elapsed%.1fs producers=$nProd")
     consumers.foreach(_.join(10000))
-    if (failure.get != null) { server.stop(); mux.stop(); throw failure.get }
+    if (failure.get != null) {
+      admin.disconnect(); server.stop(); mux.stop(); throw failure.get
+    }
     require(delivered.get >= target,
       s"h2c replay must deliver every event (${delivered.get} < $target)")
     admin.disconnect()

@@ -208,6 +208,7 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
     var responded = false
     @volatile var closed = false
     @volatile var failed = false // writer gave up (window starved) → RST sent
+    @volatile var finished = false // trailers WRITTEN (not just queued) → evictable
     var sendWindow: Int = DefaultWindow
     var recvConsumed: Int = 0 // bytes received since the last stream grant
     var pump: Option[Thread] = None
@@ -286,13 +287,17 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
               END_HEADERS | (if (endStream) END_STREAM else 0), st.id,
               encoder.encode(hs)))
           }
+          // only now is the stream truly drained — eviction before this
+          // point would drop WINDOW_UPDATE grants a parked writeData is
+          // still waiting on (the zero-window fuzz scenario)
+          if (endStream) st.finished = true
           true
         case OutData(st, bytes, endStream) =>
           if (!st.failed) try writeData(st, bytes, endStream) catch {
             case _: IOException =>
               // window starved past the deadline: reset THIS stream
               // (FLOW_CONTROL_ERROR) and keep the connection alive
-              st.failed = true; st.closed = true
+              st.failed = true; st.closed = true; st.finished = true
               st.pump.foreach(_.interrupt())
               st.session.foreach(s => if (s.isOpen) s.handle(EventSession.Close))
               send(Frame(RST_STREAM, 0, st.id,
@@ -307,7 +312,7 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
           batch.add(outQueue.take())
           outQueue.drainTo(batch)
           var i = 0
-          while (i < batch.size) { if (!handle(batch.get(i))) on = false; i += 1 }
+          while (on && i < batch.size) { if (!handle(batch.get(i))) on = false; i += 1 }
           writeLock.synchronized { out.flush() }
         }
       } catch {
@@ -471,9 +476,19 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
               writeLock.notifyAll()
             }
           case HEADERS | CONTINUATION =>
-            val st = streams.getOrElseUpdate(f.streamId, {
-              val s = new StreamState(f.streamId); s.sendWindow = peerInitialWindow; s
-            })
+            val st = streams.get(f.streamId) match {
+              case Some(s) => s
+              case None =>
+                // sweep fully-written streams on each new-stream arrival:
+                // a replay drives one unary stream per event over a
+                // long-lived connection, and without eviction the map
+                // grows O(events); sweeping only `finished` states keeps
+                // every in-flight stream reachable for window grants
+                streams.filterInPlace((_, s) => !s.finished)
+                val s = new StreamState(f.streamId)
+                s.sendWindow = peerInitialWindow
+                streams.put(f.streamId, s); s
+            }
             val frag = if (f.tpe == HEADERS) headersFragment(f.flags, f.payload) else f.payload
             st.headerBlock.write(frag, 0, frag.length)
             if ((f.flags & END_HEADERS) != 0) {
@@ -522,10 +537,13 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
               if (endStream && st.session.isDefined) finishBidi(st, 0, None)
             }
           case RST_STREAM =>
-            streams.get(f.streamId).foreach { st =>
+            streams.remove(f.streamId).foreach { st =>
               st.pump.foreach(_.interrupt())
               st.session.foreach(s => if (s.isOpen) s.handle(EventSession.Close))
-              st.closed = true
+              // peer reset: no more grants will arrive for this stream,
+              // so mark failed — the writer skips its queued frames
+              // instead of parking 30 s on a window that can't grow
+              st.closed = true; st.failed = true; st.finished = true
             }
           case GOAWAY => open = false
           case _ => () // PRIORITY, PUSH_PROMISE etc.: ignored
@@ -699,6 +717,7 @@ final class GrpcClient(host: String, port: Int, huffman: Boolean = false,
       case Reset => done = true
     }
     queues.remove(sid); bufs.remove(sid); gotHeaders.remove(sid)
+    streamConsumed.remove(sid); headerBufs.remove(sid)
     (status, msgs.result())
   }
 
@@ -734,6 +753,7 @@ final class GrpcClient(host: String, port: Int, huffman: Boolean = false,
         case _ => ()
       }
       queues.remove(sid); bufs.remove(sid); gotHeaders.remove(sid)
+      streamConsumed.remove(sid); headerBufs.remove(sid)
       status
     }
   }
