@@ -95,6 +95,141 @@ object SketchOps extends QueryModule {
       .filter(col("rk") <= KmvK)
       .select("source", "hv")
 
+  // -------------------------------------------------------------------
+  // Quantile sketch: bottom-k hash sample
+  // -------------------------------------------------------------------
+
+  /** Quantile-sketch state size (per group). Rank error of a quantile
+    * read off a uniform k-sample is σ ≈ √(p(1−p)/k)·n — at k=512 the
+    * p50 rank error is ~2.2% of the group, independent of corpus size. */
+  private[graft] val QsK = 512
+
+  /** Quantile percentages the sketch answers (the repo's percentile
+    * gates — q103/q118/q129/q146 — all sit in this range). */
+  private[graft] val QsPs = Seq(25, 50, 75, 90)
+
+  /** The mergeable quantile-sketch state of a `(g, h, rid, v)` row
+    * stream: per group `g`, the k rows whose `(h, rid)` is smallest —
+    * a DETERMINISTIC uniform row sample (the hash is the randomness,
+    * `rid` a unique row key breaking h-ties totally). Same
+    * WindowGroupLimit plan shape as [[kmvTopK]]: map-side partial
+    * top-k state of k rows per group, never a global per-group sort.
+    *
+    * Why not KLL/t-digest: their compaction is randomized (KLL coin-
+    * flips compactor offsets; t-digest is insertion-order-dependent),
+    * so no DuckDB oracle can hash-match them. Bottom-k hash sampling
+    * (Cohen & Kaplan, PODC 2007) gives the same O(1/√k) rank-error
+    * guarantee with an EXACT mergeability law instead of a
+    * distributional one: topK(topK(A) ∪ topK(B)) = topK(A ∪ B) —
+    * every element of the union's bottom-k is in its own side's
+    * bottom-k (the q198 KMV lemma, applied to rows instead of distinct
+    * hashes). */
+  private[graft] def qsTopK(rows: DataFrame, k: Int = QsK): DataFrame =
+    rows.withColumn("rk",
+        row_number().over(Window.partitionBy("g").orderBy("h", "rid")))
+      .filter(col("rk") <= k)
+      .select("g", "h", "rid", "v")
+
+  /** Quantile-sketch merge = re-minimization over the union (exact, by
+    * the bottom-k lemma above). `distinct` guards replayed rows: a row
+    * already in the state must not occupy two of the k slots. */
+  private[graft] def qsMerge(a: DataFrame, b: DataFrame, k: Int = QsK): DataFrame =
+    qsTopK(a.union(b).distinct(), k)
+
+  /** The quantile-sketch row stream of a documents frame — the
+    * [[graft.streaming.SketchStream]] instantiation: g = source,
+    * v = token count, hashed and identified by doc_id. */
+  private[graft] def qsRowsOf(docs: DataFrame): DataFrame =
+    docs.select(col("source").as("g"),
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"),
+      col("doc_id").cast("string").as("rid"),
+      size(split(col("text"), " ")).cast("long").as("v"))
+
+  /** Discrete quantile read: for each p ∈ [[QsPs]], the `v` at 1-based
+    * rank ⌈p·n/100⌉ of the group ordered by `(v, h, rid)` — pure
+    * integer rank arithmetic (`(p·n + 99) div 100`), so Spark and the
+    * DuckDB mirror agree bit-for-bit with no float interpolation. */
+  private def qsQuantiles(df: DataFrame, out: String): DataFrame = {
+    val n = df.groupBy("g").agg(count(lit(1)).cast("long").as("n"))
+    val ranked = df.withColumn("vr",
+      row_number().over(Window.partitionBy("g").orderBy("v", "h", "rid")).cast("long"))
+    val want = broadcast(
+      n.select(col("g").as("wg"), col("n"), explode(lit(QsPs.toArray)).as("p"))
+        .withColumn("want_r", expr("CAST((p * n + 99) DIV 100 AS BIGINT)")))
+    ranked.join(want, ranked("g") === want("wg") && ranked("vr") === want("want_r"))
+      .select(ranked("g"), want("p"), col("v").as(out))
+  }
+
+  /** q199's row stream: lineitem prices in fixed-point cents per
+    * return flag, hashed/identified by the (orderkey, linenumber) PK. */
+  private[graft] def qsPriceRows(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      col("l_returnflag").as("g"),
+      expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '-', " +
+        "CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("h"),
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("rid"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+
+  /** Mergeable quantile sketch (bottom-k hash sample, k=512) over
+    * lineitem extended prices per return flag, with its error measured
+    * against the exact rank quantile at p ∈ {25, 50, 75, 90}.
+    *
+    * This is the third sketch next to CMS (frequency, q197) and KMV
+    * (set cardinality, q198): the fixed-state answer to the percentile
+    * gates that otherwise re-aggregate the corpus (q103/q118/q129/q146
+    * all sort-or-percentile over lineitem-sized inputs). The sketch
+    * pass is ONE map-side-bounded top-k per group (k rows of state per
+    * group per partition — at 100 TB the corpus is scanned once and
+    * never sorted); quantile reads then run on ≤ k·|groups| rows. The
+    * exact ranked ground truth here is the EVAL's, not the operator's —
+    * a production pipeline keeps just the sketch.
+    *
+    * Values are fixed-point cents (`round(price·100)` as BIGINT): TPC-H
+    * prices are cent-valued, so the double is within 1e-9 of an
+    * integer and both engines round to the same cent.
+    *
+    * Reference scope: the reference's event statistics surface
+    * generalized to distribution summaries (SURVEY §2.2 sketch row). */
+  val q199_quantile_sketch_eval = QueryDef(
+    "q199_quantile_sketch_eval",
+    (s, dir) => {
+      val li = qsPriceRows(t(s, dir, "lineitem"))
+      val est = qsQuantiles(qsTopK(li), "v_est")
+      val exact = qsQuantiles(li, "v_exact")
+      est.join(exact, Seq("g", "p"))
+        .select(col("g").as("rf"), col("p"), col("v_est"), col("v_exact"),
+          abs(col("v_est") - col("v_exact")).cast("long").as("abs_err"))
+        .orderBy("rf", "p")
+    },
+    Some {
+      val rid = "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+      s"""WITH rows_ AS (
+            SELECT l_returnflag AS g,
+                   ${duckHexPrefix(rid, 15)} AS h,
+                   $rid AS rid,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem),
+          sk AS (SELECT g, h, rid, v FROM (
+                   SELECT *, row_number() OVER (PARTITION BY g ORDER BY h, rid) AS rk
+                   FROM rows_) WHERE rk <= $QsK),
+          ps AS (SELECT unnest([${QsPs.mkString(", ")}]) AS p),
+          skn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM sk GROUP BY g),
+          skr AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v, h, rid) AS BIGINT) AS vr FROM sk),
+          skw AS (SELECT g, p, (p * n + 99) // 100 AS want_r FROM skn, ps),
+          est AS (SELECT r.g, w.p, r.v AS v_est
+                  FROM skr r JOIN skw w ON w.g = r.g AND w.want_r = r.vr),
+          xn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM rows_ GROUP BY g),
+          xr AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v, h, rid) AS BIGINT) AS vr FROM rows_),
+          xw AS (SELECT g, p, (p * n + 99) // 100 AS want_r FROM xn, ps),
+          ex AS (SELECT r.g, w.p, r.v AS v_exact
+                 FROM xr r JOIN xw w ON w.g = r.g AND w.want_r = r.vr)
+          SELECT e.g AS rf, e.p, e.v_est, x.v_exact,
+                 CAST(abs(e.v_est - x.v_exact) AS BIGINT) AS abs_err
+          FROM est e JOIN ex x ON x.g = e.g AND x.p = e.p
+          ORDER BY rf, e.p"""
+    })
+
   /** DuckDB mirror of Spark's `CAST(conv(substring(md5(x), 1, nib), 16, 10)
     * AS BIGINT)`: per-nibble `instr` lookups recombined positionally
     * (char 1 is the most significant nibble). */
@@ -271,5 +406,6 @@ object SketchOps extends QueryModule {
           LEFT JOIN ex ON ex.s1 = e.s1 AND ex.s2 = e.s2
           ORDER BY e.s1, e.s2"""))
 
-  def defs: Seq[QueryDef] = Seq(q197_cms_error_eval, q198_kmv_theta_sketch)
+  def defs: Seq[QueryDef] =
+    Seq(q197_cms_error_eval, q198_kmv_theta_sketch, q199_quantile_sketch_eval)
 }

@@ -5,24 +5,26 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.SketchOps
 
-/** STREAMING sketch maintenance — the q197/q198 mergeability claim made
-  * operational (the [[SaIndexStream]] pattern applied to summary
-  * state): a `foreachBatch` sink that folds each arriving micro-batch
-  * of documents into live, parquet-persisted CMS and KMV sketches.
-  * This is the sketches' whole value proposition at 100 TB: the state
-  * on disk is KILOBYTES (≤4096 CMS cells + k·|sources| KMV hashes), a
-  * batch update costs one pass over the BATCH — the corpus is never
-  * re-read — and because both merges are associative
-  * ([[SketchOps.cmsMerge]] bucket addition;
-  * [[SketchOps.kmvTopK]] re-minimization), the live state is provably
+/** STREAMING sketch maintenance — the q197/q198/q199 mergeability
+  * claim made operational (the [[SaIndexStream]] pattern applied to
+  * summary state): a `foreachBatch` sink that folds each arriving
+  * micro-batch of documents into live, parquet-persisted CMS, KMV and
+  * quantile sketches. This is the sketches' whole value proposition at
+  * 100 TB: the state on disk is KILOBYTES (≤4096 CMS cells +
+  * k·|sources| KMV hashes + k·|sources| quantile-sample rows), a batch
+  * update costs one pass over the BATCH — the corpus is never re-read —
+  * and because all three merges are associative
+  * ([[SketchOps.cmsMerge]] bucket addition; [[SketchOps.kmvTopK]] and
+  * [[SketchOps.qsMerge]] re-minimization), the live state is provably
   * identical to the batch sketch of everything seen so far, which is
   * exactly what [[SketchStreamSpec]] asserts after every micro-batch.
   *
-  * State layout under `root`: `sk_b<id>/cms` and `sk_b<id>/kmv` — one
-  * directory per applied micro-batch, written under `tmp_b<id>` and
-  * published by rename (the single commit point), after which older
-  * `sk_b*` versions are pruned, so storage holds exactly one sketch
-  * pair. Crash/replay safety follows the idempotent-foreachBatch
+  * State layout under `root`: `sk_b<id>/cms`, `sk_b<id>/kmv` and
+  * `sk_b<id>/qnt` — one directory per applied micro-batch, written
+  * under `tmp_b<id>` and published by rename (the single commit
+  * point), after which older `sk_b*` versions are pruned, so storage
+  * holds exactly one sketch triple. Crash/replay safety follows the
+  * idempotent-foreachBatch
   * contract ([[DurableEventLog]], [[SaIndexStream]]): batch ids are
   * monotone and a replayed id whose `sk_b<id>` exists is a no-op; a
   * crash between the two child writes leaves only an unpublished
@@ -49,6 +51,11 @@ final class SketchStream(spark: SparkSession, root: String) {
     Seq.empty[(String, Long)].toDF("source", "hv")
   }
 
+  private def emptyQnt: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, String, Long)].toDF("g", "h", "rid", "v")
+  }
+
   /** The live CMS state (row, bucket, cnt) as of the last batch. */
   def currentCms: DataFrame = appliedBatches.lastOption
     .map(id => spark.read.parquet(s"$root/sk_b$id/cms"))
@@ -59,12 +66,20 @@ final class SketchStream(spark: SparkSession, root: String) {
     .map(id => spark.read.parquet(s"$root/sk_b$id/kmv"))
     .getOrElse(emptyKmv)
 
+  /** The live quantile-sketch state (g, h, rid, v) — per source, the
+    * k rows of minimal (h, rid) with v = token count (q199's bottom-k
+    * hash sample over the document stream). */
+  def currentQnt: DataFrame = appliedBatches.lastOption
+    .map(id => spark.read.parquet(s"$root/sk_b$id/qnt"))
+    .getOrElse(emptyQnt)
+
   /** The foreachBatch sink: fold one micro-batch of documents
     * (doc_id, text, source) into both sketches. Idempotent on replay;
     * empty batches are no-ops. */
   def sink(batch: Dataset[Row], batchId: Long): Unit = synchronized {
     if (!new File(s"$root/sk_b$batchId").exists()) {
-      val b = batch.select(col("source"), col("text")).localCheckpoint(true)
+      val b = batch.select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint(true)
       if (!b.isEmpty) {
         val before = appliedBatches
         val sh = SketchOps.shingleStreamOf(b).localCheckpoint(true)
@@ -73,14 +88,18 @@ final class SketchStream(spark: SparkSession, root: String) {
         // toward this source's k minima
         val kmv = SketchOps.kmvTopK(
           currentKmv.union(SketchOps.kmvHashes(sh)).distinct())
+        // quantile sketch: re-minimize the union (qsMerge dedups rows,
+        // so a replayed document cannot occupy two of the k slots)
+        val qnt = SketchOps.qsMerge(currentQnt, SketchOps.qsRowsOf(b))
         cms.write.mode("overwrite").parquet(s"$root/tmp_b$batchId/cms")
         kmv.write.mode("overwrite").parquet(s"$root/tmp_b$batchId/kmv")
+        qnt.write.mode("overwrite").parquet(s"$root/tmp_b$batchId/qnt")
         require(new File(s"$root/tmp_b$batchId")
           .renameTo(new File(s"$root/sk_b$batchId")),
           s"could not publish sk_b$batchId")
         before.foreach { old =>
           val dir = new File(s"$root/sk_b$old")
-          Seq("cms", "kmv").foreach { sub =>
+          Seq("cms", "kmv", "qnt").foreach { sub =>
             val d = new File(dir, sub)
             Option(d.listFiles()).foreach(_.foreach(_.delete()))
             d.delete()

@@ -82,6 +82,61 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("srcB", "srcC")) == ((0L, 0L, 0L)))
   }
 
+  test("q199: quantile estimates land inside the 3σ band and the eval is total") {
+    val rows = SketchOps.q199_quantile_sketch_eval.run(spark, sfDir).collect()
+    // 3 return flags × 4 percentiles, every group saturated (≥1.4k
+    // lineitem rows per flag at sf0.001 vs k=512)
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("v_est")
+      val exact = r.getAs[Long]("v_exact")
+      assert(r.getAs[Long]("abs_err") == math.abs(est - exact))
+      // Fixture-derived pin (BloomSkipSpec convention): a p-quantile
+      // from a k=512 uniform sample has rank error σ = √(p(1−p)/512)·n
+      // ≤ 2.21%·n; prices are ~uniform over a 10.4e6-cent range, so 3σ
+      // of value ≈ 0.066 · 10.4e6 ≈ 6.9e5 at the worst case p50.
+      // Measured max |err| = 290_694 (sf0.001) / 431_375 (sf0.1).
+      assert(math.abs(est - exact) <= 700000L,
+        s"${r.getAs[String]("rf")}/p${r.getAs[Int]("p")}: est=$est exact=$exact")
+    }
+  }
+
+  test("q199: half-corpus sketches re-minimize to the full-corpus sketch") {
+    import org.apache.spark.sql.functions._
+    val li = SketchOps.qsPriceRows(
+      graft.sources.Tables.load(spark, sfDir, "lineitem"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    val full = rowsOf(SketchOps.qsTopK(li))
+    // every flag group is saturated, so the merge genuinely evicts:
+    // both halves contribute > k/2 candidate rows per group
+    val merged = rowsOf(SketchOps.qsMerge(
+      SketchOps.qsTopK(li.filter(col("h") % 2 === 0)),
+      SketchOps.qsTopK(li.filter(col("h") % 2 === 1))))
+    assert(merged == full,
+      "re-minimized half-corpus quantile sketches != full-corpus sketch")
+  }
+
+  test("q199: the unsaturated sketch reproduces every quantile exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-qnt").toString
+    // 3 flags × 100 rows (< k=512): the sample IS the group, so the
+    // rank-quantile read must equal the exact one bit-for-bit
+    val rows = for (f <- Seq("A", "N", "R"); i <- 1 to 100) yield
+      (i.toLong * 7 + f.hashCode.abs % 5, i % 7 + 1,
+        (i * 3739 % 99991) + 901.0 / 100.0, f)
+    rows.toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SketchOps.q199_quantile_sketch_eval.run(spark, dir).collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      assert(r.getAs[Long]("abs_err") == 0L,
+        s"unsaturated sketch not exact at ${r.getAs[String]("rf")}/p${r.getAs[Int]("p")}")
+      assert(r.getAs[Long]("v_est") == r.getAs[Long]("v_exact"))
+    }
+  }
+
   test("q198: fixture intersection error stays inside the measured band") {
     val rows = SketchOps.q198_kmv_theta_sketch.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -7,10 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.SketchOps
 import graft.streaming.SketchStream
 
-/** The live streaming half of the q197/q198 story: documents arrive
-  * through a REAL readStream → foreachBatch pipeline, [[SketchStream]]
-  * folds every micro-batch into parquet-persisted CMS and KMV state,
-  * and after EVERY batch the live sketches must equal the from-scratch
+/** The live streaming half of the q197/q198/q199 story: documents
+  * arrive through a REAL readStream → foreachBatch pipeline,
+  * [[SketchStream]] folds every micro-batch into parquet-persisted
+  * CMS, KMV and quantile-sketch state, and after EVERY batch the live
+  * sketches must equal the from-scratch
   * batch sketches of all documents seen so far — the SaIndexStreamSpec
   * "maintained state ≡ batch recomputation" contract applied to
   * mergeable summaries. This is the operational proof of the merge
@@ -61,6 +62,14 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def batchKmv(rows: Seq[(Long, String, String)]): Seq[(String, Long)] =
     kmvRows(SketchOps.kmvTopK(SketchOps.kmvHashes(SketchOps.shingleStreamOf(df(rows)))))
 
+  private def qntRows(d: DataFrame): Seq[(String, Long, String, Long)] =
+    d.select("g", "h", "rid", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(identity)
+
+  private def batchQnt(rows: Seq[(Long, String, String)]): Seq[(String, Long, String, Long)] =
+    qntRows(SketchOps.qsTopK(SketchOps.qsRowsOf(df(rows))))
+
   test("a live foreachBatch stream maintains both sketches; after every batch they equal the batch rebuild") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-sketch-stream").toString
@@ -83,16 +92,20 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"live CMS diverged from the batch sketch after ${seen.size} docs")
         assert(kmvRows(maintainer.currentKmv) == batchKmv(seen),
           s"live KMV diverged from the batch sketch after ${seen.size} docs")
+        assert(qntRows(maintainer.currentQnt) == batchQnt(seen),
+          s"live quantile sketch diverged from the batch sketch after ${seen.size} docs")
       }
     } finally q.stop()
 
     // replay idempotence: re-applying the last micro-batch id is a no-op
-    val (cmsBefore, kmvBefore) =
-      (cmsRows(maintainer.currentCms), kmvRows(maintainer.currentKmv))
+    val (cmsBefore, kmvBefore, qntBefore) =
+      (cmsRows(maintainer.currentCms), kmvRows(maintainer.currentKmv),
+        qntRows(maintainer.currentQnt))
     val lastId = maintainer.appliedBatches.last
     maintainer.sink(df(corpus.drop(6)), lastId)
     assert(cmsRows(maintainer.currentCms) == cmsBefore)
     assert(kmvRows(maintainer.currentKmv) == kmvBefore)
+    assert(qntRows(maintainer.currentQnt) == qntBefore)
 
     // restart: a fresh maintainer on the same root resumes from disk
     val resumed = new SketchStream(spark, s"$root/state")
@@ -103,6 +116,8 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-restart CMS fold must still equal the batch sketch")
     assert(kmvRows(resumed.currentKmv) == batchKmv(corpus ++ extra),
       "post-restart KMV fold must still equal the batch sketch")
+    assert(qntRows(resumed.currentQnt) == batchQnt(corpus ++ extra),
+      "post-restart quantile fold must still equal the batch sketch")
     // exactly one sketch version is retained on disk
     assert(resumed.appliedBatches == Seq(lastId + 1),
       "superseded sketch versions must be pruned on publish")
