@@ -1014,6 +1014,21 @@ object SelectionOps extends QueryModule {
   private[graft] def saBucketSize(nBase: Long): Long =
     math.max(8192L, (nBase + 65535L) / 65536L)
 
+  /** [[saMerge]]'s regime rule, decided from the per-bucket batch
+    * counts it collects anyway: prefer the one-shot global range-rank
+    * ([[saMergeGlobal]]) once the rows the bucket-local path would
+    * re-rank (touched buckets' base rows + the batch) are no longer a
+    * minority of the combined corpus. Below the crossover the bucket
+    * path's cost is ∝ batch (the 100× 4-doc append: 5.7 s vs 357.8 s
+    * global); above it the bucket path does the global path's work
+    * PLUS marker hydration, range assignment and offset stitching —
+    * the measured saturation inversion (100× 32-doc batch: 74 s bucket
+    * vs 19 s global). θ = ½ splits the two measured regimes. Pure
+    * arithmetic on already-collected driver state: zero extra jobs. */
+  private[graft] def saPrefersGlobal(touchedBase: Long, nBase: Long,
+                                     mChars: Long): Boolean =
+    2L * (touchedBase + mChars) >= nBase + mChars
+
   /** INCREMENTAL SUFFIX-ARRAY APPEND, bucket-local — merge a new doc
     * batch into an existing SA with shuffle/sort cost proportional to
     * the BATCH (and the buckets it lands in), never the indexed corpus
@@ -1058,7 +1073,13 @@ object SelectionOps extends QueryModule {
     * with the full rebuild AND with the one-shot global merge for every
     * batch split, chained appends, and batches straddling bucket
     * boundaries; the q194 oracle re-derives the full-corpus SA, so the
-    * gate itself checks append ≡ rebuild). */
+    * gate itself checks append ≡ rebuild).
+    *
+    * REGIME: past saturation (touched-bucket rows no longer a minority
+    * of the combined corpus, [[saPrefersGlobal]]) the merge falls back
+    * to [[saMergeGlobal]] automatically — decided from the per-bucket
+    * counts step 4a collects anyway, so the caller never picks (the
+    * round-9 verdict's last caller-held dial). */
   private[graft] def saMerge(baseSA: DataFrame, baseDocs: DataFrame,
                              newDocs: DataFrame,
                              bucketSizeForTest: Long = -1L): DataFrame = {
@@ -1132,6 +1153,23 @@ object SelectionOps extends QueryModule {
     val batchCnt = assigned.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     def baseCnt(b: Long): Long = if (b == nb - 1L) nBase - (nb - 1L) * bSize else bSize
+
+    // AUTO-REGIME: the same collected counts that size the merge also
+    // decide it (round-9 verdict: the engine, not the caller, picks the
+    // regime). Past saturation the bucket path re-ranks ~the whole
+    // corpus anyway, but through per-bucket windows PLUS the marker /
+    // assignment / offset machinery — measurably slower than the one
+    // global range-rank it was built to avoid (the 100× 32-doc batch:
+    // bucket 74 s vs global 19 s). The test hook keeps forcing the
+    // bucket path so SaAppendSpec can exercise its machinery on corpora
+    // any real batch would saturate.
+    val touchedBase = batchCnt.keys.map(baseCnt).sum
+    if (bucketSizeForTest <= 0 && saPrefersGlobal(touchedBase, nBase, mChars)) {
+      System.err.println(s"[saMerge] regime=global touchedBase=$touchedBase " +
+        s"base=$nBase batchChars=$mChars")
+      return saMergeGlobal(baseSA, baseDocs, newDocs)
+    }
+
     val offRows = {
       var accTotal = 0L; var accBatch = 0L
       (0L until nb.toLong).map { b =>
@@ -1146,8 +1184,8 @@ object SelectionOps extends QueryModule {
       batchCnt.keys.toSeq.sorted.map(Tuple1(_))).toDF("bucket"))
 
     // 3. merge ONLY touched buckets: hydrate their base rows' bounds,
-    // rank locally per bucket (batchCnt.keys.map(baseCnt).sum + M rows)
-    val touchedRows = batchCnt.keys.map(baseCnt).sum + mChars
+    // rank locally per bucket (touchedBase + M rows)
+    val touchedRows = touchedBase + mChars
     val mParts = GlobalRank.derivedParts(confParts, touchedRows)
     val baseT = base.join(touched, "bucket")
       .join(baseDocs.select(col("doc_id"), col("text")), "doc_id")

@@ -151,4 +151,38 @@ class SaAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(merged == full, s"front-loaded batch at bucket size $bs diverged from the rebuild")
     }
   }
+
+  // ---- auto-regime ----------------------------------------------------
+
+  test("the regime rule flips at the touched-majority crossover") {
+    // tiny batch into a big corpus: bucket-local
+    assert(!SelectionOps.saPrefersGlobal(touchedBase = 8192L,
+      nBase = 1000000L, mChars = 4000L))
+    // saturating batch (every bucket touched): global
+    assert(SelectionOps.saPrefersGlobal(touchedBase = 1000000L,
+      nBase = 1000000L, mChars = 90000L))
+    // the boundary itself routes global (ties favor the simpler plan)
+    assert(SelectionOps.saPrefersGlobal(touchedBase = 450000L,
+      nBase = 1000000L, mChars = 100000L))
+    assert(!SelectionOps.saPrefersGlobal(touchedBase = 449999L,
+      nBase = 1000000L, mChars = 100000L))
+    // batch alone comparable to the corpus: always global
+    assert(SelectionOps.saPrefersGlobal(touchedBase = 0L,
+      nBase = 1000L, mChars = 2000L))
+  }
+
+  test("auto-regime merges equal the rebuild on BOTH sides of the crossover") {
+    // derived bucket size (no test hook): a spec-scale corpus is one
+    // bucket, every append saturates it, so saMerge routes GLOBAL —
+    // the fallback path end-to-end
+    val (baseRows, batchRows) = corpus.splitAt(6)
+    val full = saRows(SelectionOps.suffixArrayOf(df(corpus)))
+    val baseSA = SelectionOps.suffixArrayOf(df(baseRows)).localCheckpoint(true)
+    assert(saRows(SelectionOps.saMerge(baseSA, df(baseRows), df(batchRows))) == full,
+      "global-regime auto merge diverged from the rebuild")
+    // forced tiny buckets (test hook): the switch is bypassed and the
+    // bucket machinery runs even though this batch would saturate
+    assert(saRows(SelectionOps.saMerge(baseSA, df(baseRows), df(batchRows), 7L)) == full,
+      "bucket-regime merge diverged from the rebuild")
+  }
 }
