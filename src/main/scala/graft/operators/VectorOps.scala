@@ -103,12 +103,26 @@ object VectorOps extends QueryModule {
     * shuffle, not N·tables·bits. Same dots, same fold, same integer
     * bit-sum: bucket values are bit-identical to the inline form and
     * the oracle. */
-  private def bucketRows(e: DataFrame, bits: Int, nt: Int): DataFrame = {
+  private def bucketRows(e: DataFrame, bits: Int, nt: Int): DataFrame =
+    bucketContrib(e, 0, bits, 0, nt)
+
+  /** Generalized signature pass: the per-(vec, table) CONTRIBUTION of
+    * plane seeds `[bitLo, bitHi)` of tables `[tkLo, tkHi)` — each bit
+    * keeps its ABSOLUTE weight `1L << i`, so contributions compose by
+    * addition: `bucketRows(e, bits, nt)` ≡ contrib over the full
+    * ranges, and a stored signature EXTENDS to a wider shape by adding
+    * `bucketContrib(e, bitsOld, bitsNew, 0, nt)` — the stride-12 seed
+    * layout's whole point, and what lets
+    * [[graft.streaming.AnnIndexStream]] grow the index across
+    * [[lshShape]] boundaries with map-only passes instead of
+    * rebuilds. */
+  private[graft] def bucketContrib(e: DataFrame, bitLo: Int, bitHi: Int,
+                                   tkLo: Int, tkHi: Int): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     val planes = broadcast(
-      (0 until nt).flatMap { k =>
-        (0 until bits).map(i => (k.toLong, 1L << i, hyperplane(12 * k + i)))
+      (tkLo until tkHi).flatMap { k =>
+        (bitLo until bitHi).map(i => (k.toLong, 1L << i, hyperplane(12 * k + i)))
       }.toDF("tk", "w", "wv"))
     e.select(col("vec_id"), col("embedding"))
       .crossJoin(planes)
