@@ -273,6 +273,35 @@ object SelectionOps extends QueryModule {
     * [[cellAssignment]]; the runner-up inherits "next occurrence"
     * semantics on d-ties (nc = −cid is unique, so exclusion by nc
     * removes exactly the primary). */
+  /** TOP-P generalization of [[top2Assignment]] (round-9 verdict task
+    * 5): per vector, its `p` best cells by (d, nc) — one broadcast
+    * centroid array, one `transform` scoring pass, and a bounded
+    * `slice(reverse(array_sort(…)), 1, p)` (k ≤ 1024 structs per row,
+    * map-only). For p = 2 this reproduces [[top2Assignment]] exactly
+    * (`reverse(array_sort)[0]` ≡ `array_max`; element 1 ≡ the
+    * runner-up-by-exclusion), which MultiProbeCurveSpec pins.
+    *
+    * MEASURED CURVE (tools.MultiProbeCurve, BASELINE.md round-10): the
+    * probe sweeps p ∈ {1, 2, 4, 8} at sf0.1 and the 10× rehearsal,
+    * reporting pair recall vs the exact cos ≥ 0.45 ground truth,
+    * candidate volume, and the wall time of the q195-shaped dedup
+    * pass — the q191 k′-curve treatment applied to the probe count.
+    * Un-memoized by design: each probe point is an independent
+    * measurement. */
+  private[graft] def topPAssignment(e: DataFrame, k: Int, p: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cents = broadcast(
+      Seq(Tuple1((0 until k).map(c => (c.toLong, centroid(c))))).toDF("cents"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(cents)
+      .withColumn("ds", transform(col("cents"),
+        c => struct(dot_ff(c("_2"), col("embedding")).as("d"), (-c("_1")).as("nc"))))
+      .select(col("vec_id"),
+        transform(slice(reverse(array_sort(col("ds"))), 1, p),
+          x => (-x("nc")).cast("long")).as("cells"))
+  }
+
   private def top2Assignment(s: SparkSession, dir: String, k: Int): DataFrame =
     ScratchMemo("semasg2", s, dir) {
       import s.implicits._

@@ -176,6 +176,31 @@ class SelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q195's dup set must contain q181's")
   }
 
+  test("topPAssignment generalizes q195's top-2 and is monotone in p") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = e.count()
+    val k = SelectionOps.cellCount(n)
+    // p = 2 reproduces the oracle-checked operator's (c1, c2) exactly
+    val want = SelectionOps.q195_semantic_dedup_multiprobe.run(spark, sfDir)
+      .select("vec_id", "c1", "c2").collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2))).toMap
+    val got2 = SelectionOps.topPAssignment(e, k, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got2 == want, "topPAssignment(p=2) diverged from q195's top-2")
+    // probe sets are distinct cells, nested by p, of size min(p, k)
+    val got1 = SelectionOps.topPAssignment(e, k, 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got4 = SelectionOps.topPAssignment(e, k, 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    got4.foreach { case (id, cells) =>
+      assert(cells.size == math.min(4, k) && cells.distinct == cells,
+        s"probe set malformed for $id")
+      assert(cells.take(1) == got1(id) && cells.take(2) == got2(id),
+        s"probe sets must be nested in p for $id")
+    }
+  }
+
   test("q182 equals the brute-force window/island computation on sf0.001") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "text").collect()
