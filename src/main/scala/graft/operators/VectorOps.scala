@@ -289,21 +289,77 @@ object VectorOps extends QueryModule {
     * therefore the output — is engine-identical at EVERY scale factor:
     * a documented approximate operator whose approximation is
     * deterministic, not a float tolerance. */
+  /** q47's LSH candidate funnel parameterized over the threshold — the
+    * approximate regime of [[similarityJoin]]. */
+  private[graft] def lshPairs(s: SparkSession, dir: String,
+                              threshold: Double): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cands = adaptiveCands(s, dir, 12)
+    val va = e.select(col("vec_id").as("a"), col("embedding").as("av"),
+      sqrt(norm2(col("embedding"))).as("na"))
+    val vb = e.select(col("vec_id").as("b"), col("embedding").as("bv"),
+      sqrt(norm2(col("embedding"))).as("nb"))
+    cands.join(vecSide(s, dir, va), "a").join(vecSide(s, dir, vb), "b")
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+      .orderBy("a", "b")
+  }
+
+  /** The dense-vs-LSH REGIME RULE, derived from (N, threshold) the way
+    * [[lshShape]]/SelectionOps.cellCount derive their shapes — the
+    * round-9 verdict's last caller-held dial made the engine's
+    * decision (task 7). Two measured facts locate the crossover:
+    *
+    *  1. PER-UNIT CONSTANTS (100× rehearsal, BASELINE.md): the dense
+    *     tile sweep does N²/2 primitive-float dots at ~2.7 ns per pair
+    *     (53 s for 2×10¹⁰ at N = 2×10⁵); the funnel pays ~37 ns per
+    *     CANDIDATE row (shuffle + distinct + verify: 105 s cold for
+    *     f·N² ≈ 2.8×10⁹ candidates). With the designed candidate
+    *     fraction f(N) = Σocc²/N² ≈ N^(−1/2) (measured 1.06 → 0.67 →
+    *     0.21 → 0.07 at N = 500/2k/20k/200k), cold cost parity
+    *     f(N)·37 = 2.7 lands at N ≈ 5×10⁵ — below it the exact sweep
+    *     is FASTER than the approximate funnel (measured: 0.4 vs 1.4 s
+    *     at sf0.1, 5.5 vs ~90 s at sf1, 53 vs 105 s at 100×), so
+    *     `nCross` = 2¹⁹.
+    *  2. DISCRIMINATION FLOOR: a pair AT the threshold agrees with one
+    *     band with p^bits, p = 1 − arccos(t)/π; below family recall
+    *     1−(1−p^bits)^tables ≈ 0.9 at the derived shape, the funnel
+    *     cannot see its own boundary (the measured 0.67 recall at
+    *     100×/cos 0.45 — BASELINE's "the exact answer is still q158")
+    *     and no probe count fixes an output that is itself ~quadratic,
+    *     so the sweep is the honest plan at ANY size.
+    *
+    * Above both bars the funnel's N^1.5 growth beats the sweep's N²
+    * and its boundary recall holds — the 100 TB regime. Pure
+    * arithmetic: no data is touched. */
+  private[graft] def similarityRegime(n: Long, threshold: Double): String = {
+    val (bits, tables) = lshShape(n, 12)
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val boundaryRecall = 1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+    if (n < (1L << 19) || boundaryRecall < 0.9) "dense" else "lsh"
+  }
+
+  /** ONE similarity-join entry point: cosine-threshold pairs over the
+    * embeddings corpus, with the dense-exact vs LSH-approximate plan
+    * picked (and logged) by [[similarityRegime]] — the caller states
+    * WHAT (pairs at ≥ threshold), the engine picks HOW, exactly as
+    * saMerge picks its merge regime. Pipelines that reuse the funnel
+    * across queries should keep calling the q47 form directly: the
+    * regime rule prices a STANDALONE join, where the funnel build is
+    * not amortized (warm-funnel reuse is the q47/q62/q159 memo
+    * story). */
+  def similarityJoin(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val n = corpusN(s, dir)
+    val regime = similarityRegime(n, threshold)
+    System.err.println(s"[similarityJoin] regime=$regime n=$n threshold=$threshold")
+    if (regime == "dense") densePairs(s, dir, threshold)
+    else lshPairs(s, dir, threshold)
+  }
+
   val q47_vector_threshold = QueryDef(
     "q47_vector_threshold",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val cands = adaptiveCands(s, dir, 12)
-      val va = e.select(col("vec_id").as("a"), col("embedding").as("av"),
-        sqrt(norm2(col("embedding"))).as("na"))
-      val vb = e.select(col("vec_id").as("b"), col("embedding").as("bv"),
-        sqrt(norm2(col("embedding"))).as("nb"))
-      cands.join(vecSide(s, dir, va), "a").join(vecSide(s, dir, vb), "b")
-        .withColumn("cos", dot(col("av"), col("bv")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.4)
-        .select("a", "b", "cos")
-        .orderBy("a", "b")
-    },
+    (s, dir) => lshPairs(s, dir, 0.4),
     Some(s"""WITH ${adaptiveCandSql(12)}
             SELECT a, b,
                    ${dotSql("x.embedding", "y.embedding")}
@@ -969,7 +1025,22 @@ object VectorOps extends QueryModule {
     * at sf0.1+ (~100× the measured cost). */
   val q158_dense_threshold = QueryDef(
     "q158_dense_threshold",
-    (s, dir) => {
+    (s, dir) => densePairs(s, dir, 0.45),
+    Some(s"""WITH v AS (
+              SELECT vec_id, embedding,
+                     sqrt(${dotSql("embedding", "embedding")}) AS nm
+              FROM embeddings),
+            pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     ${dotSql("x.embedding", "y.embedding")} / (x.nm * y.nm) AS cos
+              FROM v x JOIN v y ON x.vec_id < y.vec_id)
+            SELECT a, b, cos FROM pairs WHERE cos >= 0.45 ORDER BY a, b"""))
+
+  /** q158's tile sweep parameterized over the threshold — the dense
+    * regime of [[similarityJoin]]. */
+  private[graft] def densePairs(s: SparkSession, dir: String,
+                                threshold: Double): DataFrame = {
+    {
       import s.implicits._
       val blockSize = 1024L
       val e = t(s, dir, "embeddings")
@@ -1003,7 +1074,7 @@ object VectorOps extends QueryModule {
           var j = if (bi == bj) i + 1 else 0
           while (j < yv.length) {
             val cos = dotD(xv(i), yv(j)) / (xn(i) * yn(j))
-            if (cos >= 0.45) out += ((xids(i), yids(j), cos))
+            if (cos >= threshold) out += ((xids(i), yids(j), cos))
             j += 1
           }
           i += 1
@@ -1011,16 +1082,8 @@ object VectorOps extends QueryModule {
         out
       }
       pairs.toDF("a", "b", "cos").orderBy("a", "b")
-    },
-    Some(s"""WITH v AS (
-              SELECT vec_id, embedding,
-                     sqrt(${dotSql("embedding", "embedding")}) AS nm
-              FROM embeddings),
-            pairs AS (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                     ${dotSql("x.embedding", "y.embedding")} / (x.nm * y.nm) AS cos
-              FROM v x JOIN v y ON x.vec_id < y.vec_id)
-            SELECT a, b, cos FROM pairs WHERE cos >= 0.45 ORDER BY a, b"""))
+    }
+  }
 
   /** DERIVED-SHAPE RECALL EVALUATION — closes the loop on the
     * corpus-adaptive band shape: for every EXACT pair at cos ≥ 0.45

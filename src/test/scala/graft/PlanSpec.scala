@@ -154,6 +154,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "grid, never the N² row space")
   }
 
+  test("similarityJoin picks the measured-fastest regime and its plan matches") {
+    // the regime rule vs the measured field (BASELINE.md): at the
+    // fixture sizes the dense sweep IS the fastest standalone plan
+    // (0.4 vs 1.4 s at sf0.1 / N=2k; 5.5 vs ~90 s cold at sf1 / N=20k;
+    // 53 vs 105 s cold at 100× / N=200k)
+    assert(VectorOps.similarityRegime(2000L, 0.4) == "dense")
+    assert(VectorOps.similarityRegime(20000L, 0.45) == "dense")
+    assert(VectorOps.similarityRegime(200000L, 0.45) == "dense")
+    // the funnel takes over only past the measured cold crossover AND
+    // above the discrimination floor; a low threshold stays dense at
+    // ANY size (the output itself is ~quadratic — "the exact answer is
+    // still q158")
+    assert(VectorOps.similarityRegime(1L << 21, 0.95) == "lsh")
+    assert(VectorOps.similarityRegime(1L << 21, 0.45) == "dense")
+    // end-to-end at the fixture: the picked plan is the dense tile
+    // sweep (typed per-partition loop over the block grid), and its
+    // rows equal q158's exact sweep at the same threshold
+    val sj = VectorOps.similarityJoin(spark, dir, 0.45)
+    val p = sj.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("SerializeFromObject"),
+      "dense regime must run the tile multiply, not the funnel")
+    assert(!p.contains("CartesianProduct"), "no all-pairs row-space join")
+    val want = plan(VectorOps.q158_dense_threshold) // same shape as the exact op
+    assert(want.contains("SerializeFromObject"))
+    assert(sj.collect().map(_.toSeq).toSeq ==
+      VectorOps.q158_dense_threshold.run(spark, dir).collect().map(_.toSeq).toSeq,
+      "picked regime must reproduce the exact sweep's rows at the fixture")
+  }
+
   test("LSH ANN search joins on bucket equality, never all-pairs (q48)") {
     val p = plan(VectorOps.q48_vector_ann_lsh)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
