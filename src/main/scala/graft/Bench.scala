@@ -76,6 +76,11 @@ object Bench {
     val samples = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     (1 to runs).foreach { _ =>
       qdefs.foreach { case (name, fn) =>
+        // progress marker BEFORE the timed run (stderr, untimed): a
+        // crashed suite names the query that killed it — the 100×
+        // whole-suite rehearsal's first OOM was only locatable by
+        // stage number without this
+        System.err.println(s"[bench-q] $name")
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => failed ::= name; false }

@@ -419,7 +419,7 @@ object DedupOps extends QueryModule {
       } else {
         var labels = edges.select(col("a").as("doc")).distinct()
           .select(col("doc"), col("doc").as("lbl"))
-          .localCheckpoint(true)
+          .transform(Ckpt.ser(_))
         var changed = 1L
         var rounds = 0
         while (changed > 0 && rounds < 50) {
@@ -427,7 +427,7 @@ object DedupOps extends QueryModule {
             .select(col("b").as("doc"), col("lbl"))
           val merged = labels.union(pushed)
             .groupBy("doc").agg(min(col("lbl")).as("lbl"))
-            .localCheckpoint(true)
+            .transform(Ckpt.ser(_))
           changed = merged.join(labels.withColumnRenamed("lbl", "old"), Seq("doc"))
             .filter(col("lbl") < col("old")).count()
           labels = merged

@@ -71,7 +71,7 @@ private[graft] object GlobalRank {
                 rows: Long = -1L): DataFrame = {
     val (input, n) =
       if (rows >= 0L) (df, rows)
-      else { val c = df.localCheckpoint(true); (c, c.count()) }
+      else { val c = Ckpt.ser(df); (c, c.count()) }
     val ranged = input.repartitionByRange(parts(df.sparkSession, n), keys: _*)
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy("__pid").orderBy(keys: _*)
@@ -85,10 +85,10 @@ private[graft] object GlobalRank {
                 rows: Long = -1L): DataFrame = {
     val (input, n) =
       if (rows >= 0L) (df, rows)
-      else { val c = df.localCheckpoint(true); (c, c.count()) }
+      else { val c = Ckpt.ser(df); (c, c.count()) }
     val ranged = input.repartitionByRange(parts(df.sparkSession, n), keys: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true) // pin partition identity: the count job and
+      .transform(Ckpt.ser(_)) // pin partition identity: the count job and
     // the ranking must see the SAME range partitioning (a re-executed
     // non-deterministic sample could legally re-draw bounds)
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))

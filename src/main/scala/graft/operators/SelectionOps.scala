@@ -646,7 +646,7 @@ object SelectionOps extends QueryModule {
       // cache create/drop cycles degraded later executions in the same
       // session (7 s → 45 s), while checkpoint blocks free with the RDD.
       val docBuckets = big.groupBy("doc_id", "lang", "bucket")
-        .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+        .agg(count(lit(1)).as("cnt")).transform(Ckpt.ser(_))
       val rawC = docBuckets.groupBy("bucket").agg(sum("cnt").cast("long").as("cr"))
       val tgtC = docBuckets.filter(col("lang") === "en")
         .groupBy("bucket").agg(sum("cnt").cast("long").as("ct"))
@@ -1004,9 +1004,9 @@ object SelectionOps extends QueryModule {
         coalesce(lead(col("r"), step).over(w), lit(-1L)))
       // localCheckpoint: truncate the per-round lineage (6 chained
       // range-shuffles would otherwise re-execute on every action)
-      base = GlobalRank.orderRank(joined, Seq(col("r"), col("r2")), "rn", rows = nChars)
-        .select(col("doc_id"), col("pos"), col("rn").as("r"))
-        .localCheckpoint(true)
+      base = Ckpt.ser(
+        GlobalRank.orderRank(joined, Seq(col("r"), col("r2")), "rn", rows = nChars)
+          .select(col("doc_id"), col("pos"), col("rn").as("r")))
       // Manber–Myers early exit: once every rank is distinct (all
       // equality classes singletons), further doubling cannot reorder
       // anything, so the remaining rounds — two corpus-sized shuffles
