@@ -99,7 +99,7 @@ object SaAppendProbe {
     // so the first timed variant is not the one paying cold costs
     {
       val w = pool.filter(col("doc_id") === poolIds.head).localCheckpoint(true)
-      SelectionOps.saMerge(baseSA, base, w)
+      SelectionOps.saMerge(baseSA, base, w, bSize)
         .agg(sum(col("sa_pos"))).head()
     }
 
@@ -137,11 +137,17 @@ object SaAppendProbe {
         val r = df.agg(count(lit(1)), sum(col("sa_pos"))).head()
         (r.getLong(0), r.getLong(1))
       }
+      // pass the DERIVED bucket size explicitly: the test hook also
+      // bypasses saMerge's auto-regime fallback, so the probe keeps
+      // measuring the BUCKET path past saturation — locating the
+      // crossover is this probe's whole job, and the shipped saMerge
+      // now switches to the global path at exactly the boundary this
+      // table locates (saPrefersGlobal)
       val (fRes, tFull) = timed {
-        force(SelectionOps.saMerge(baseSA, base, batch))
+        force(SelectionOps.saMerge(baseSA, base, batch, bSize))
       }
       val (tRes, tTouch) = timed {
-        force(SelectionOps.saMerge(baseSA, base, batch)
+        force(SelectionOps.saMerge(baseSA, base, batch, bSize)
           .filter(col("is_new") === 1))
       }
       // SPARK_GRAFT_SA_GLOBAL=all|first|none — the corpus-wide merge is
