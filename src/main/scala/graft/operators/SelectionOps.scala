@@ -281,13 +281,16 @@ object SelectionOps extends QueryModule {
     * (`reverse(array_sort)[0]` ≡ `array_max`; element 1 ≡ the
     * runner-up-by-exclusion), which MultiProbeCurveSpec pins.
     *
-    * MEASURED CURVE (tools.MultiProbeCurve, BASELINE.md round-10): the
-    * probe sweeps p ∈ {1, 2, 4, 8} at sf0.1 and the 10× rehearsal,
-    * reporting pair recall vs the exact cos ≥ 0.45 ground truth,
-    * candidate volume, and the wall time of the q195-shaped dedup
-    * pass — the q191 k′-curve treatment applied to the probe count.
-    * Un-memoized by design: each probe point is an independent
-    * measurement. */
+    * MEASURED CURVE (tools.MultiProbeCurve, BASELINE.md round-10) —
+    * pair recall vs the exact cos ≥ 0.45 truth, candidate rows:
+    * sf0.1 (N=2k, k=8): p=1 .35/253k, p=2 .76/1.0M, p=4 .99/4.0M,
+    * p=8 1.0/16M; 10× (N=20k, k=32): p=1 .16/6.5M, p=2 .43/25M,
+    * p=4 .84/101M, p=8 .998/401M. Candidates grow exactly p²; recall
+    * at fixed p DECAYS with scale (p=4: .99 → .84) — the q191 lesson
+    * again: the dial scales with the corpus, no fixed p dominates, so
+    * the shipped q195 stays at p=2 and exact answers route through
+    * similarityJoin's dense regime. Un-memoized by design: each probe
+    * point is an independent measurement. */
   private[graft] def topPAssignment(e: DataFrame, k: Int, p: Int): DataFrame = {
     val s = e.sparkSession
     import s.implicits._

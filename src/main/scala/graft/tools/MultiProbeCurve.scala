@@ -44,11 +44,10 @@ object MultiProbeCurve {
       .localCheckpoint(true)
     val n = e.count()
     val k = SelectionOps.cellCount(n)
-    // exact ground truth once (p-independent): the q158 dense sweep
-    val exact = e.select(col("vec_id").as("a"), col("embedding").as("av"), col("nm").as("na"))
-      .join(e.select(col("vec_id").as("b"), col("embedding").as("bv"), col("nm").as("nb")),
-        col("a") < col("b"))
-      .filter(dot_ff(col("av"), col("bv")) / (col("na") * col("nb")) >= 0.45)
+    // exact ground truth once (p-independent): the q158 dense tile
+    // sweep (primitive-float loops — the naive non-equi join is ~50×
+    // slower at 10×)
+    val exact = graft.operators.VectorOps.densePairs(spark, sfDir, 0.45)
       .select("a", "b").localCheckpoint(true)
     val nExact = exact.count()
     println(s"[mpcurve] sf=$sfDir n=$n k=$k exact_pairs=$nExact")
