@@ -103,4 +103,34 @@ private[graft] object GlobalRank {
       .withColumn(out, col("__off") + col("__rn"))
       .drop("__pid", "__off", "__rn")
   }
+
+  /** Exact global RUNNING SUM of `value` over `keys` order (inclusive)
+    * — [[rowNumber]]'s device with sums instead of counts: range
+    * partition on the keys, per-partition window prefix sums, and a
+    * broadcast exclusive per-partition total table stitches them into
+    * the global cumulative — parallel local work at any size, driver
+    * state ≤ partition count. The distributed form of the cumulative
+    * scan every quantile/CDF read needs. */
+  def runningSum(df: DataFrame, keys: Seq[Column], value: Column, out: String,
+                 rows: Long = -1L): DataFrame = {
+    val (input, n) =
+      if (rows >= 0L) (df, rows)
+      else { val c = Ckpt.ser(df); (c, c.count()) }
+    val ranged = input.repartitionByRange(parts(df.sparkSession, n), keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+      .transform(Ckpt.ser(_)) // pin partition identity (rowNumber's rule)
+    val totals = ranged.groupBy("__pid").agg(sum("__v").as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offDf = broadcast(ranged.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.withColumn("__run", sum(col("__v")).over(w))
+      .join(offDf, "__pid")
+      .withColumn(out, col("__off") + col("__run"))
+      .drop("__pid", "__off", "__run", "__v")
+  }
 }
