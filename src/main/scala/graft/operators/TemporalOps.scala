@@ -26,26 +26,40 @@ object TemporalOps extends QueryModule {
     * "campaign" windows [orderdate, orderdate+10d] joined to heavy
     * shipments by calendar day. The interval side EXPLODES to its
     * covered days (≤ 11 rows each, bounded by the window length) and the
-    * join becomes a plain shuffled equi-join on the day key — the Spark
-    * shape of an interval join. At 100 TB both sides partition by day;
-    * a theta `BETWEEN` join (the oracle's formulation) would be a
-    * broadcast-nested-loop over the full cross space. Day granularity is
-    * exact here because both bounds and points are date-resolution. */
+    * join becomes a plain equi-join on the day key — the Spark shape of
+    * an interval join. A theta `BETWEEN` join (the oracle's
+    * formulation) would be a broadcast-nested-loop over the full cross
+    * space. Day granularity is exact here because both bounds and
+    * points are date-resolution.
+    *
+    * AGGREGATE PUSHDOWN THROUGH THE JOIN (round-10, from the first
+    * whole-suite 100× bench): the final measure — hits per campaign —
+    * is ADDITIVE over days, so the point side pre-aggregates map-side
+    * to per-day counts (≤ |calendar days| rows — 2.5k at every scale,
+    * a calendar is not data-sized) and the pair join becomes one
+    * BROADCAST lookup with `sum(dc)` replacing `count(*)`. Without the
+    * pushdown the joined intermediate is Σ_day |intervals(day)|·
+    * |points(day)| rows — ~13×10⁹ at 100× because the replicated
+    * fixture densifies the SAME date range on both sides — and the
+    * bench measured it at 246 s; with it the join input is the
+    * exploded interval side only, 4.4 s. Same output bit-for-bit: a
+    * campaign×day with no points drops out of either inner join. */
   val q95_interval_join = QueryDef(
     "q95_interval_join",
     (s, dir) => {
       val camp = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1995)
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("c_start"))
-      val pts = t(s, dir, "lineitem")
+      val dayCnt = t(s, dir, "lineitem")
         .filter(col("l_quantity") >= 45)
         .select(to_date(col("l_shipdate")).as("p_day"))
+        .groupBy("p_day").agg(count(lit(1)).cast("long").as("dc"))
       camp
         .select(col("o_orderkey"),
           explode(expr("sequence(c_start, date_add(c_start, 10), interval 1 day)")).as("p_day"))
-        .join(pts, "p_day")
+        .join(broadcast(dayCnt), "p_day")
         .groupBy("o_orderkey")
-        .agg(count(lit(1)).cast("long").as("n_hits"))
+        .agg(sum("dc").cast("long").as("n_hits"))
         .orderBy("o_orderkey")
     },
     Some("""WITH camp AS (
