@@ -7,12 +7,14 @@ import graft.sources.Tables
 
 /** Mergeable summary sketches with error evals — the fixed-size-state
   * answers to questions whose exact forms need a corpus-sized shuffle.
+  * Four axes: frequency (CMS, q197), set cardinality (KMV, q198),
+  * quantiles (bottom-k sample, q199), membership (Bloom, q200).
   *
-  * Both sketches here are MERGEABLE: per-partition partial states
+  * Every sketch here is MERGEABLE: per-partition partial states
   * combine associatively, so at 100 TB each is one map-side-combined
   * aggregation producing kilobytes of state, where the exact answer
-  * (full token histogram / distinct-token intersection join) shuffles
-  * the corpus. The evals follow the repo's measured-approximation rule
+  * (full token histogram / distinct-token intersection join / ranked
+  * corpus / distinct membership set) shuffles the corpus. The evals follow the repo's measured-approximation rule
   * (q153/q154/q157/q159/q185): every approximate structure ships with
   * its error measured against exact ground truth on the same fixture.
   *
@@ -255,14 +257,19 @@ object SketchOps extends QueryModule {
           ORDER BY rf, e.p"""
     })
 
+  /** DuckDB mirror of Spark's `CAST(conv(substring(md5(x), off, nib), 16,
+    * 10) AS BIGINT)`: per-nibble `instr` lookups recombined positionally
+    * (char `off` is the most significant nibble). */
+  private def duckHexAt(x: String, off: Int, nib: Int): String =
+    (0 until nib).map { i =>
+      val p = math.pow(16.0, (nib - 1 - i).toDouble).toLong
+      s"(instr('0123456789abcdef', substr(md5($x), ${off + i}, 1)) - 1) * $p"
+    }.mkString(" + ")
+
   /** DuckDB mirror of Spark's `CAST(conv(substring(md5(x), 1, nib), 16, 10)
     * AS BIGINT)`: per-nibble `instr` lookups recombined positionally
     * (char 1 is the most significant nibble). */
-  private def duckHexPrefix(x: String, nib: Int): String =
-    (0 until nib).map { i =>
-      val p = math.pow(16.0, (nib - 1 - i).toDouble).toLong
-      s"(instr('0123456789abcdef', substr(md5($x), ${i + 1}, 1)) - 1) * $p"
-    }.mkString(" + ")
+  private def duckHexPrefix(x: String, nib: Int): String = duckHexAt(x, 1, nib)
 
   /** Count–min sketch (d=4 rows × w=1024 buckets) over the corpus
     * shingle stream, with its error measured against exact counts for
@@ -431,6 +438,173 @@ object SketchOps extends QueryModule {
           LEFT JOIN ex ON ex.s1 = e.s1 AND ex.s2 = e.s2
           ORDER BY e.s1, e.s2"""))
 
+  // -------------------------------------------------------------------
+  // Bloom membership sketch (packed bitmap, derived width)
+  // -------------------------------------------------------------------
+
+  /** Bloom hash count. j=4 matches the optimal (m/n)·ln2 for the
+    * derived m/n = 8 bits/key below (8·ln2 ≈ 5.5; 4 keeps every
+    * position inside one md5 and is within 1.2× of the optimum's FPR). */
+  private[graft] val BloomJ = 4
+
+  /** Bloom width: the smallest power of two ≥ 8·n keys, clamped to
+    * [2¹⁰, 2²⁴] — PURE integer derivation (no log2 float call) so the
+    * DuckDB mirror (a min over a 15-row powers relation) is exact.
+    * Power-of-two m keeps `% m` unbiased over the uniform 24-bit md5
+    * ranges below (m divides 2²⁴). At the 2²⁴ cap the bitmap is 2 MiB —
+    * past that a production filter shards by key prefix (the filter is
+    * mergeable, so shards are just more filters). */
+  private[graft] def bloomBits(n: Long): Long =
+    (10 to 24).map(1L << _).find(_ >= 8L * math.max(n, 1L)).getOrElse(1L << 24)
+
+  /** The j=4 bit positions of key column `w`: DISJOINT 6-nibble (24-bit)
+    * ranges of ONE md5, mod m — the q197 one-hash device (pairwise
+    * independence from disjoint bit ranges of a strong hash; one md5
+    * call per key, not four). */
+  private[graft] def bloomPosCols(m: Long): Seq[org.apache.spark.sql.Column] =
+    (0 until BloomJ).map(r =>
+      expr(s"CAST(conv(substring(md5(w), ${1 + 6 * r}, 6), 16, 10) AS BIGINT) % $m")
+        .as(s"p$r"))
+
+  /** Key → (widx, mask) bit-coordinate rows: 32-bit words so the mask
+    * shift stays ≤ 31 (DuckDB range-checks BIGINT left shifts; a 63-bit
+    * shift would error there while Spark wraps — 32-bit words make the
+    * packed form portable to the oracle at 2× the word count, which is
+    * size-irrelevant). */
+  private def bloomCoords(keys: DataFrame, m: Long): DataFrame =
+    keys.select((col("w") +: bloomPosCols(m)): _*)
+      .select(col("w"),
+        explode(array((0 until BloomJ).map(r => col(s"p$r")): _*)).as("pos"))
+      .select(col("w"), expr("pos DIV 32").as("widx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+
+  /** The mergeable Bloom state of a key stream: (widx, bits) packed
+    * words — ONE map-side-combined `bit_or` aggregation over ≤ m/32
+    * keys (the sketch is m BITS — 32 KiB at the sf0.1-derived m — where
+    * the exact membership set is the corpus's distinct keys). */
+  private[graft] def bloomOf(keys: DataFrame, m: Long): DataFrame =
+    bloomCoords(keys, m)
+      .groupBy("widx").agg(expr("bit_or(mask)").as("bits"))
+
+  /** Bloom merge = word-wise OR (associative/commutative/idempotent —
+    * the replay-safest merge law of the four sketches: a re-folded
+    * batch cannot change the state at all). */
+  private[graft] def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy("widx").agg(expr("bit_or(bits)").as("bits"))
+
+  /** Membership probe: a key passes iff ALL j of its positions are set.
+    * The sketch side is broadcast (≤ m/32 words ≤ 512k rows at the cap);
+    * the probe stream is never shuffled. */
+  private[graft] def bloomProbe(keys: DataFrame, sketch: DataFrame, m: Long): DataFrame =
+    bloomCoords(keys, m)
+      .join(broadcast(sketch), Seq("widx"), "left")
+      .withColumn("hit",
+        when(expr("coalesce(bits, CAST(0 AS BIGINT)) & mask") =!= 0L, 1L).otherwise(0L))
+      .groupBy("w").agg((sum("hit") === BloomJ).as("pass"))
+
+  /** Bloom membership sketch over the build half's distinct shingles,
+    * probed with the held-out half: zero false negatives asserted IN
+    * the result (the q197 est≥exact device — gate on the law, not
+    * trust), false-positive rate measured against exact set difference,
+    * and compared to the load-factor prediction (ones/m)^j.
+    *
+    * This is the fourth sketch axis: membership (Bloom 1970), next to
+    * frequency (CMS, q197), set cardinality (KMV, q198) and quantiles
+    * (bottom-k, q199). The 100 TB use is the decontamination gate
+    * (q70) and the bloom semi-join prefilter (q83) with a TRANSPORTABLE,
+    * mergeable filter: per-partition partial bitmaps OR together
+    * map-side, the published state is m bits, and probing is a
+    * broadcast hash join against ≤ m/32 packed words — the corpus on
+    * the probe side is scanned once and never shuffled. The exact
+    * anti-join here is the EVAL's ground truth; a production pipeline
+    * keeps just the filter.
+    *
+    * The build/probe split is md5-parity of doc_id (first hex nibble
+    * < '8'), so both halves and the split itself are deterministic in
+    * both engines. All reported numbers are integers or fixed-point
+    * (the one double — the load-factor power — is an identical
+    * left-associated product of one division in both engines).
+    *
+    * Reference scope: the reference's subject-membership gating
+    * (SURVEY §2.1 R3) generalized to approximate set membership
+    * (SURVEY §2.2 sketch row). */
+  val q200_bloom_filter_eval = QueryDef(
+    "q200_bloom_filter_eval",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '8'").as("bs"),
+          split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("bs"), explode(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+      val build = Ckpt.ser(sh.filter(col("bs")).select("w").distinct())
+      val neg = sh.filter(!col("bs")).select("w").distinct()
+        .join(build, Seq("w"), "left_anti")
+      val n = build.count()
+      val m = bloomBits(n)
+      val sk = Ckpt.ser(bloomOf(build, m))
+      val ones = sk.agg(sum(expr("bit_count(bits)")).cast("long").as("ones"))
+      val fn = bloomProbe(build, sk, m)
+        .agg(sum(when(!col("pass"), 1L).otherwise(0L)).cast("long").as("fn_cnt"))
+      val fp = bloomProbe(neg, sk, m)
+        .agg(count(lit(1)).cast("long").as("probes_neg"),
+          sum(when(col("pass"), 1L).otherwise(0L)).cast("long").as("fp_cnt"))
+      val r = s"(CAST(ones AS DOUBLE) / $m)"
+      ones.crossJoin(fn).crossJoin(fp)
+        .select(
+          lit(n).cast("long").as("n_build"),
+          lit(m).cast("long").as("m_bits"),
+          col("ones"), col("fn_cnt"), col("probes_neg"), col("fp_cnt"),
+          expr("fp_cnt * 1000000 DIV probes_neg").cast("long").as("fpr_fp"),
+          expr(s"CAST(floor($r * $r * $r * $r * 1.0e6) AS BIGINT)").as("fpr_pred_fp"))
+        .orderBy("n_build")
+    },
+    Some {
+      val rr = "(SELECT unnest(range(4)) AS r)"
+      def posCase(src: String) =
+        s"CASE r ${(0 until BloomJ).map(r =>
+          s"WHEN $r THEN (${duckHexAt(src, 1 + 6 * r, 6)}) % m").mkString(" ")} END"
+      s"""WITH halves AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS bs,
+                                 string_split(text, ' ') AS ws
+                          FROM documents),
+          sidx AS (SELECT bs, ws, unnest(range(1, len(ws) - 1)) AS i FROM halves),
+          words AS (SELECT bs, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w FROM sidx),
+          build AS (SELECT DISTINCT w FROM words WHERE bs),
+          neg AS (SELECT DISTINCT w FROM words WHERE NOT bs
+                  EXCEPT SELECT w FROM build),
+          nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM build),
+          mm AS (SELECT coalesce(
+                   (SELECT min(1::BIGINT << u) FROM range(10, 25) t(u), nb
+                    WHERE (1::BIGINT << u) >= 8 * n),
+                   1::BIGINT << 24) AS m FROM nb),
+          occ AS (SELECT ${posCase("w")} AS pos FROM build, $rr, mm),
+          sk AS (SELECT pos // 32 AS widx,
+                        bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+                 FROM occ GROUP BY 1),
+          bp AS (SELECT w, ${posCase("w")} AS pos FROM build, $rr, mm),
+          bh AS (SELECT w, CASE WHEN coalesce(bits, 0) & (1::BIGINT << CAST(pos % 32 AS INT)) <> 0
+                                THEN 1 ELSE 0 END AS hit
+                 FROM bp LEFT JOIN sk ON sk.widx = bp.pos // 32),
+          fn AS (SELECT CAST(sum(CASE WHEN s <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS fn_cnt
+                 FROM (SELECT w, sum(hit) AS s FROM bh GROUP BY w)),
+          np_ AS (SELECT w, ${posCase("w")} AS pos FROM neg, $rr, mm),
+          nh AS (SELECT w, CASE WHEN coalesce(bits, 0) & (1::BIGINT << CAST(pos % 32 AS INT)) <> 0
+                                THEN 1 ELSE 0 END AS hit
+                 FROM np_ LEFT JOIN sk ON sk.widx = np_.pos // 32),
+          fp AS (SELECT CAST(count(*) AS BIGINT) AS probes_neg,
+                        CAST(sum(CASE WHEN s = 4 THEN 1 ELSE 0 END) AS BIGINT) AS fp_cnt
+                 FROM (SELECT w, sum(hit) AS s FROM nh GROUP BY w)),
+          ons AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS ones FROM sk)
+          SELECT n AS n_build, m AS m_bits, ones, fn_cnt, probes_neg, fp_cnt,
+                 CAST(fp_cnt * 1000000 // probes_neg AS BIGINT) AS fpr_fp,
+                 CAST(floor((CAST(ones AS DOUBLE) / m) * (CAST(ones AS DOUBLE) / m)
+                      * (CAST(ones AS DOUBLE) / m) * (CAST(ones AS DOUBLE) / m)
+                      * 1.0e6) AS BIGINT) AS fpr_pred_fp
+          FROM nb, mm, ons, fn, fp
+          ORDER BY n_build"""
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q197_cms_error_eval, q198_kmv_theta_sketch, q199_quantile_sketch_eval)
+    Seq(q197_cms_error_eval, q198_kmv_theta_sketch, q199_quantile_sketch_eval,
+      q200_bloom_filter_eval)
 }

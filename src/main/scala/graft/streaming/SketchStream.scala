@@ -5,22 +5,24 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.SketchOps
 
-/** STREAMING sketch maintenance — the q197/q198/q199 mergeability
+/** STREAMING sketch maintenance — the q197/q198/q199/q200 mergeability
   * claim made operational (the [[SaIndexStream]] pattern applied to
   * summary state): a `foreachBatch` sink that folds each arriving
-  * micro-batch of documents into live, parquet-persisted CMS, KMV and
-  * quantile sketches. This is the sketches' whole value proposition at
-  * 100 TB: the state on disk is KILOBYTES (≤4096 CMS cells +
-  * k·|sources| KMV hashes + k·|sources| quantile-sample rows), a batch
-  * update costs one pass over the BATCH — the corpus is never re-read —
-  * and because all three merges are associative
-  * ([[SketchOps.cmsMerge]] bucket addition; [[SketchOps.kmvTopK]] and
-  * [[SketchOps.qsMerge]] re-minimization), the live state is provably
+  * micro-batch of documents into live, parquet-persisted CMS, KMV,
+  * quantile and Bloom sketches. This is the sketches' whole value
+  * proposition at 100 TB: the state on disk is KILOBYTES (≤4096 CMS
+  * cells + k·|sources| KMV hashes + k·|sources| quantile-sample rows +
+  * m/32 Bloom words), a batch update costs one pass over the BATCH —
+  * the corpus is never re-read — and because all four merges are
+  * associative ([[SketchOps.cmsMerge]] bucket addition;
+  * [[SketchOps.kmvTopK]] and [[SketchOps.qsMerge]] re-minimization;
+  * [[SketchOps.bloomMerge]] word-wise OR), the live state is provably
   * identical to the batch sketch of everything seen so far, which is
   * exactly what [[SketchStreamSpec]] asserts after every micro-batch.
   *
-  * State layout under `root`: `sk_b<id>/cms`, `sk_b<id>/kmv` and
-  * `sk_b<id>/qnt` — one directory per applied micro-batch, written
+  * State layout under `root`: `sk_b<id>/cms`, `sk_b<id>/kmv`,
+  * `sk_b<id>/qnt` and `sk_b<id>/bloom` — one directory per applied
+  * micro-batch, written
   * under `tmp_b<id>` and published by rename (the single commit
   * point), after which older `sk_b*` versions are pruned, so storage
   * holds exactly one sketch triple. Crash/replay safety follows the
@@ -30,7 +32,8 @@ import graft.operators.SketchOps
   * crash between the two child writes leaves only an unpublished
   * `tmp_b<id>`, invisible to readers, and the retry's overwrite
   * converges. */
-final class SketchStream(spark: SparkSession, root: String) {
+final class SketchStream(spark: SparkSession, root: String,
+    bloomM: Long = 1L << 18) {
   new File(root).mkdirs()
 
   private def batchIds: Seq[Long] =
@@ -56,6 +59,11 @@ final class SketchStream(spark: SparkSession, root: String) {
     Seq.empty[(String, Long, String, Long)].toDF("g", "h", "rid", "v")
   }
 
+  private def emptyBloom: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("widx", "bits")
+  }
+
   /** The live CMS state (row, bucket, cnt) as of the last batch. */
   def currentCms: DataFrame = appliedBatches.lastOption
     .map(id => spark.read.parquet(s"$root/sk_b$id/cms"))
@@ -72,6 +80,15 @@ final class SketchStream(spark: SparkSession, root: String) {
   def currentQnt: DataFrame = appliedBatches.lastOption
     .map(id => spark.read.parquet(s"$root/sk_b$id/qnt"))
     .getOrElse(emptyQnt)
+
+  /** The live Bloom membership state (widx, bits) — `bloomM` bits of
+    * packed words over every shingle seen so far (q200's filter, width
+    * FIXED at construction: filters of different widths cannot merge).
+    * Word-wise OR is idempotent, so this is the replay-safest of the
+    * four folds — a re-applied batch is a literal no-op on the bits. */
+  def currentBloom: DataFrame = appliedBatches.lastOption
+    .map(id => spark.read.parquet(s"$root/sk_b$id/bloom"))
+    .getOrElse(emptyBloom)
 
   /** The foreachBatch sink: fold one micro-batch of documents
     * (doc_id, text, source) into both sketches. Idempotent on replay;
@@ -91,15 +108,18 @@ final class SketchStream(spark: SparkSession, root: String) {
         // quantile sketch: re-minimize the union (qsMerge dedups rows,
         // so a replayed document cannot occupy two of the k slots)
         val qnt = SketchOps.qsMerge(currentQnt, SketchOps.qsRowsOf(b))
+        val blm = SketchOps.bloomMerge(currentBloom,
+          SketchOps.bloomOf(sh.select("w").distinct(), bloomM))
         cms.write.mode("overwrite").parquet(s"$root/tmp_b$batchId/cms")
         kmv.write.mode("overwrite").parquet(s"$root/tmp_b$batchId/kmv")
         qnt.write.mode("overwrite").parquet(s"$root/tmp_b$batchId/qnt")
+        blm.write.mode("overwrite").parquet(s"$root/tmp_b$batchId/bloom")
         require(new File(s"$root/tmp_b$batchId")
           .renameTo(new File(s"$root/sk_b$batchId")),
           s"could not publish sk_b$batchId")
         before.foreach { old =>
           val dir = new File(s"$root/sk_b$old")
-          Seq("cms", "kmv", "qnt").foreach { sub =>
+          Seq("cms", "kmv", "qnt", "bloom").foreach { sub =>
             val d = new File(dir, sub)
             Option(d.listFiles()).foreach(_.foreach(_.delete()))
             d.delete()

@@ -137,6 +137,49 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q200: no false negatives, and the measured FPR tracks the load prediction") {
+    val rows = SketchOps.q200_bloom_filter_eval.run(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("fn_cnt") == 0L, "a Bloom filter can NEVER miss a member")
+    assert(r.getAs[Long]("probes_neg") > 0L)
+    val n = r.getAs[Long]("n_build")
+    val m = r.getAs[Long]("m_bits")
+    assert(m >= 8 * n && m < 16 * n || m == (1L << 24), s"derived m=$m out of band for n=$n")
+    assert(r.getAs[Long]("ones") <= 4 * n)
+    // Fixture-derived pin (BloomSkipSpec convention): the load-factor
+    // prediction (ones/m)^4 is the expected FPR for a probe key with 4
+    // independent positions; over the held-out probes the measurement
+    // concentrates. Measured: sf0.001 pred 5698e-6 / fpr 5658e-6
+    // (0.99× pred, 6,009 probes); sf0.01 pred 5637e-6 / fpr 4672e-6
+    // (0.83×, 5,778 probes). The pin is [pred/3, 3·pred] — generous
+    // against probe-count noise, tight against a broken hash (a
+    // correlated-position bug inflates FPR by orders of magnitude).
+    val pred = r.getAs[Long]("fpr_pred_fp")
+    val fpr = r.getAs[Long]("fpr_fp")
+    assert(fpr <= 3 * pred + 1, s"measured FPR $fpr ≫ predicted $pred")
+    assert(fpr >= pred / 3 - 1, s"measured FPR $fpr ≪ predicted $pred")
+  }
+
+  test("q200: half-corpus filters OR to the full-corpus filter, idempotently") {
+    import org.apache.spark.sql.functions._
+    val sh = SketchOps.shingleStreamOf(
+      graft.sources.Tables.load(spark, sfDir, "documents"))
+      .select("w").distinct()
+    val m = 1L << 14
+    def words(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = words(SketchOps.bloomOf(sh, m))
+    val lo = SketchOps.bloomOf(sh.filter(length(col("w")) % 2 === 0), m)
+    val hi = SketchOps.bloomOf(sh.filter(length(col("w")) % 2 === 1), m)
+    val merged = words(SketchOps.bloomMerge(lo, hi))
+    assert(merged == full, "OR of half-corpus filters != full-corpus filter")
+    // idempotence: re-folding a half changes nothing (the replay law
+    // SketchStream leans on)
+    val again = words(SketchOps.bloomMerge(SketchOps.bloomMerge(lo, hi), lo))
+    assert(again == full, "re-folding a half changed the bits")
+  }
+
   test("q198: fixture intersection error stays inside the measured band") {
     val rows = SketchOps.q198_kmv_theta_sketch.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

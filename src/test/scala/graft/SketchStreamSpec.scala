@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.SketchOps
 import graft.streaming.SketchStream
 
-/** The live streaming half of the q197/q198/q199 story: documents
+/** The live streaming half of the q197/q198/q199/q200 story: documents
   * arrive through a REAL readStream → foreachBatch pipeline,
   * [[SketchStream]] folds every micro-batch into parquet-persisted
   * CMS, KMV and quantile-sketch state, and after EVERY batch the live
@@ -70,10 +70,21 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def batchQnt(rows: Seq[(Long, String, String)]): Seq[(String, Long, String, Long)] =
     qntRows(SketchOps.qsTopK(SketchOps.qsRowsOf(df(rows))))
 
+  // spec-sized Bloom width (the stream fixes m at construction)
+  private val bloomM = 1L << 12
+
+  private def bloomRows(d: DataFrame): Seq[(Long, Long)] =
+    d.select("widx", "bits").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+
+  private def batchBloom(rows: Seq[(Long, String, String)]): Seq[(Long, Long)] =
+    bloomRows(SketchOps.bloomOf(
+      SketchOps.shingleStreamOf(df(rows)).select("w").distinct(), bloomM))
+
   test("a live foreachBatch stream maintains both sketches; after every batch they equal the batch rebuild") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-sketch-stream").toString
-    val maintainer = new SketchStream(spark, s"$root/state")
+    val maintainer = new SketchStream(spark, s"$root/state", bloomM)
     val in = MemoryStream[(Long, String, String)](spark, numPartitions = 1)
     val q = in.toDS().toDF("doc_id", "text", "source").writeStream
       .outputMode("append")
@@ -94,6 +105,8 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"live KMV diverged from the batch sketch after ${seen.size} docs")
         assert(qntRows(maintainer.currentQnt) == batchQnt(seen),
           s"live quantile sketch diverged from the batch sketch after ${seen.size} docs")
+        assert(bloomRows(maintainer.currentBloom) == batchBloom(seen),
+          s"live Bloom filter diverged from the batch filter after ${seen.size} docs")
       }
     } finally q.stop()
 
@@ -101,14 +114,16 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (cmsBefore, kmvBefore, qntBefore) =
       (cmsRows(maintainer.currentCms), kmvRows(maintainer.currentKmv),
         qntRows(maintainer.currentQnt))
+    val bloomBefore = bloomRows(maintainer.currentBloom)
     val lastId = maintainer.appliedBatches.last
     maintainer.sink(df(corpus.drop(6)), lastId)
     assert(cmsRows(maintainer.currentCms) == cmsBefore)
     assert(kmvRows(maintainer.currentKmv) == kmvBefore)
     assert(qntRows(maintainer.currentQnt) == qntBefore)
+    assert(bloomRows(maintainer.currentBloom) == bloomBefore)
 
     // restart: a fresh maintainer on the same root resumes from disk
-    val resumed = new SketchStream(spark, s"$root/state")
+    val resumed = new SketchStream(spark, s"$root/state", bloomM)
     assert(cmsRows(resumed.currentCms) == cmsBefore)
     val extra = Seq((8L, prose(5, 75), "delta"), (9L, prose(1, 45), "alpha"))
     resumed.sink(df(extra), lastId + 1)
@@ -118,6 +133,8 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-restart KMV fold must still equal the batch sketch")
     assert(qntRows(resumed.currentQnt) == batchQnt(corpus ++ extra),
       "post-restart quantile fold must still equal the batch sketch")
+    assert(bloomRows(resumed.currentBloom) == batchBloom(corpus ++ extra),
+      "post-restart Bloom fold must still equal the batch filter")
     // exactly one sketch version is retained on disk
     assert(resumed.appliedBatches == Seq(lastId + 1),
       "superseded sketch versions must be pruned on publish")
