@@ -33,7 +33,9 @@ import graft.sources.Tables
   *
   * Usage:
   *   sbt "runMain graft.tools.SaAppendProbe <sfDir> [batchDocs ...]"
-  *   (default batches: 4 32 256 2048 docs, nested, held out of the base)
+  *   (default batches: 4 32 256 2048 docs, nested, held out of the base;
+  *   SPARK_GRAFT_SA_REPS interleaved timed reps per variant, default 3,
+  *   medians reported; SPARK_GRAFT_SA_GLOBAL=all|first|none)
   */
 object SaAppendProbe {
   def main(args: Array[String]): Unit = {
@@ -137,19 +139,46 @@ object SaAppendProbe {
         val r = df.agg(count(lit(1)), sum(col("sa_pos"))).head()
         (r.getLong(0), r.getLong(1))
       }
+      // Median hygiene (round-9 verdict "what's wrong" #1): each
+      // variant runs SPARK_GRAFT_SA_REPS times (default 3),
+      // INTERLEAVED (full, touch, full, touch, …), and every rep
+      // unpersists the checkpoint blocks its saMerge call created —
+      // a single-run table let one 32-doc `touch` reading (74.4 s vs
+      // `full` 19.2 s, variants that do nested work) masquerade as a
+      // regime: the slow rep was paying GC/spill pressure from the
+      // PREVIOUS variant's still-persisted merge checkpoints, not its
+      // own plan.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SA_REPS", "3").toInt
+      val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      def cleanNew(): Unit =
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => keep(id) }
+          .values.foreach(_.unpersist(true))
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
       // pass the DERIVED bucket size explicitly: the test hook also
       // bypasses saMerge's auto-regime fallback, so the probe keeps
       // measuring the BUCKET path past saturation — locating the
       // crossover is this probe's whole job, and the shipped saMerge
       // now switches to the global path at exactly the boundary this
       // table locates (saPrefersGlobal)
-      val (fRes, tFull) = timed {
-        force(SelectionOps.saMerge(baseSA, base, batch, bSize))
+      var fRes: (Long, Long) = (0L, 0L)
+      val samples = (1 to reps).map { _ =>
+        val (fr, tF) = timed {
+          force(SelectionOps.saMerge(baseSA, base, batch, bSize))
+        }
+        cleanNew()
+        val (_, tT) = timed {
+          force(SelectionOps.saMerge(baseSA, base, batch, bSize)
+            .filter(col("is_new") === 1))
+        }
+        cleanNew()
+        fRes = fr
+        (tF, tT)
       }
-      val (tRes, tTouch) = timed {
-        force(SelectionOps.saMerge(baseSA, base, batch, bSize)
-          .filter(col("is_new") === 1))
-      }
+      val tFull = med(samples.map(_._1))
+      val tTouch = med(samples.map(_._2))
+      System.err.println(samples.map { case (f, tc) =>
+        f"full=$f%.1f/touch=$tc%.1f" }.mkString(s"[sa-append] batch=$k reps: ", "  ", ""))
       // SPARK_GRAFT_SA_GLOBAL=all|first|none — the corpus-wide merge is
       // ~4 min per batch at 100×; "first" keeps one cross-variant
       // checksum + timing without paying it per batch size
@@ -160,7 +189,7 @@ object SaAppendProbe {
       } else ((-1L, -1L), -1.0)
       if (runGlobal) require(fRes == gRes,
         s"bucket-local (count, ranksum) $fRes != global $gRes")
-      val _ = tRes
+      cleanNew()
       println(f"[sa-append] batch=$k%-5d suffixes=$mChars%-8d " +
         f"touched=$touched%-6d of $nb  touch=$tTouch%.2fs " +
         f"full=$tFull%.2fs global=$tGlobal%.2fs")
