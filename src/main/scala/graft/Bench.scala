@@ -126,8 +126,18 @@ object Bench {
     System.err.println(
       s"[bench-runs] h2c_replay ${h2cSamples.map(x => f"$x%.2f").mkString(" ")}")
     val h2c = h2cSamples.sorted.apply(h2cSamples.size / 2)
+    // Live-maintenance rows: each value is already a median of 3
+    // tail-slice folds against a mature persisted state (see the
+    // helpers), so one call per row suffices.
+    System.gc()
+    val sketchFold = sketchFoldSeconds(spark, sfDir)
+    System.err.println(f"[bench-runs] sketch_fold $sketchFold%.2f")
+    System.gc()
+    val annFold = annFoldSeconds(spark, sfDir)
+    System.err.println(f"[bench-runs] ann_fold $annFold%.2f")
     val all = results :+ ("stream_replay" -> replay) :+
-      ("wire_replay" -> wire) :+ ("h2c_replay" -> h2c)
+      ("wire_replay" -> wire) :+ ("h2c_replay" -> h2c) :+
+      ("sketch_fold" -> sketchFold) :+ ("ann_fold" -> annFold)
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // 1-decimal, trailing zeros stripped ("0.52"→"0.5", "1.0"→"1") for
     // the compact stdout array — the full 2-decimal medians live in
@@ -173,7 +183,9 @@ object Bench {
           s""""$k":[${samples(k).reverse.map(f).mkString(",")}]"""
         } :+ s""""stream_replay":[${replaySamples.map(f).mkString(",")}]"""
           :+ s""""wire_replay":[${wireSamples.map(f).mkString(",")}]"""
-          :+ s""""h2c_replay":[${h2cSamples.map(f).mkString(",")}]""").mkString("{", ",", "}")
+          :+ s""""h2c_replay":[${h2cSamples.map(f).mkString(",")}]"""
+          :+ s""""sketch_fold":[${f(sketchFold)}]"""
+          :+ s""""ann_fold":[${f(annFold)}]""").mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName",""" +
       s""""runs":$runs,"failed":$failedJson,"queries":$qmap,"samples":$smap}"""
     }
@@ -471,5 +483,75 @@ object Bench {
     server.stop()
     mux.stop()
     elapsed
+  }
+
+  private def rmTree(p: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(p))
+  }
+
+  /** Live sketch-maintenance throughput (`sketch_fold` row): the sf
+    * documents arrive in 8 md5-order batches; batches 0–4 build a
+    * MATURE persisted state untimed, then each timed sample folds one
+    * further 1/8 slice through [[graft.streaming.SketchStream]]
+    * (CMS + KMV + quantile + Bloom merge + parquet publish) — the cost
+    * a foreachBatch micro-batch actually pays against live state, the
+    * operational number behind the q197–q200 mergeability claims.
+    * Returns the median of the 3 tail-slice folds. */
+  private[graft] def sketchFoldSeconds(spark: org.apache.spark.sql.SparkSession,
+                                       sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-sketchfold").toString
+    val m = new graft.streaming.SketchStream(spark, root)
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int").as("ab"))
+      .localCheckpoint(true)
+    def slice(b: Int) = docs
+      .filter(col("ab") >= b * 32 && col("ab") < (b + 1) * 32).drop("ab")
+    (0 until 5).foreach(b => m.sink(slice(b), b.toLong))
+    val ts = (5 until 8).map { b =>
+      System.gc()
+      val t0 = System.nanoTime()
+      m.sink(slice(b), b.toLong)
+      (System.nanoTime() - t0) / 1e9
+    }
+    docs.unpersist(true)
+    rmTree(root)
+    ts.sorted.apply(ts.size / 2)
+  }
+
+  /** Live ANN-index-maintenance throughput (`ann_fold` row): the sf
+    * embeddings arrive in 8 md5-order batches; batches 0–4 build a
+    * mature bucket/pair state untimed, then each timed sample folds one
+    * further 1/8 slice through [[graft.streaming.AnnIndexStream]]
+    * (signature append + candidate-pair join + publish; shape-boundary
+    * folds pay their amortized rebuild where they land). Median of the
+    * 3 tail-slice folds. */
+  private[graft] def annFoldSeconds(spark: org.apache.spark.sql.SparkSession,
+                                    sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-annfold").toString
+    val m = new graft.streaming.AnnIndexStream(spark, root)
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+          .cast("int").as("ab"))
+      .localCheckpoint(true)
+    def slice(b: Int) = emb
+      .filter(col("ab") >= b * 32 && col("ab") < (b + 1) * 32).drop("ab")
+    (0 until 5).foreach(b => m.sink(slice(b), b.toLong))
+    val ts = (5 until 8).map { b =>
+      System.gc()
+      val t0 = System.nanoTime()
+      m.sink(slice(b), b.toLong)
+      (System.nanoTime() - t0) / 1e9
+    }
+    emb.unpersist(true)
+    rmTree(root)
+    ts.sorted.apply(ts.size / 2)
   }
 }
