@@ -367,18 +367,18 @@ object DedupOps extends QueryModule {
             ORDER BY a, b"""))
 
   /** Transitive near-dup CLUSTERS: connected components over the q43
-    * Jaccard pair graph via min-label propagation — A~B and B~C put A,
-    * C in one cluster even when A~C itself misses the threshold, which
-    * pairwise "drop the higher id" (q58's step 2) cannot express. One
-    * row per clustered doc with its component representative (min
-    * doc_id) — scalar-only output, totally ordered.
+    * Jaccard pair graph — A~B and B~C put A, C in one cluster even
+    * when A~C itself misses the threshold, which pairwise "drop the
+    * higher id" (q58's step 2) cannot express. One row per clustered
+    * doc with its component representative (min doc_id) — scalar-only
+    * output, totally ordered.
     *
-    * Shape at scale: the loop is Pregel's — each iteration is one
-    * hash-join + one min-aggregation, both partial-aggregable, and
-    * terminates after O(component diameter) rounds (near-dup clusters
-    * are shallow; 3-4 rounds here). `localCheckpoint` truncates the
-    * growing lineage each round so the plan doesn't deepen with the
-    * iteration count. The converged fixpoint is unique regardless of
+    * Shape at scale: below the driver threshold the reduced edge list
+    * collapses to one in-process union-find; above it, alternating
+    * large-star/small-star contraction
+    * ([[GraphOps.connectedComponentsWithRounds]]) labels components in
+    * O(log² n) edge-shuffle rounds INDEPENDENT of component diameter.
+    * The converged fixpoint (min-id labels) is unique regardless of
     * execution order — the DuckDB oracle reaches the same one through a
     * recursive CTE. */
   val q68_dedup_clusters = QueryDef(
@@ -393,10 +393,11 @@ object DedupOps extends QueryModule {
       // inverted-index candidate join, Jaccard verify — has already
       // reduced the graph to near-dup edges. Below a threshold the
       // component labeling is cheaper as one in-process union-find than
-      // as N distributed rounds (each round = 2 jobs); above it, the
-      // Pregel-style min-label loop takes over unchanged. 5M edges
-      // ≈ 80 MB collected — far under driver headroom, while a 100 TB
-      // corpus whose dup graph exceeds it stays fully distributed.
+      // as N distributed rounds (each round = 2 jobs); above it,
+      // star contraction (GraphOps.connectedComponents) takes over.
+      // 5M edges ≈ 80 MB collected — far under driver headroom, while
+      // a 100 TB corpus whose dup graph exceeds it stays fully
+      // distributed in O(log²) rounds.
       val smallGraphEdges = 5000000L
       if (edges.count() <= smallGraphEdges) {
         val e = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -417,23 +418,15 @@ object DedupOps extends QueryModule {
         val rows = nodes.map(d => (d, find(d)))
         s.createDataFrame(rows).toDF("doc_id", "cluster_id").orderBy("doc_id")
       } else {
-        var labels = edges.select(col("a").as("doc")).distinct()
-          .select(col("doc"), col("doc").as("lbl"))
-          .transform(Ckpt.ser(_))
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 50) {
-          val pushed = edges.join(labels, col("a") === col("doc"))
-            .select(col("b").as("doc"), col("lbl"))
-          val merged = labels.union(pushed)
-            .groupBy("doc").agg(min(col("lbl")).as("lbl"))
-            .transform(Ckpt.ser(_))
-          changed = merged.join(labels.withColumnRenamed("lbl", "old"), Seq("doc"))
-            .filter(col("lbl") < col("old")).count()
-          labels = merged
-          rounds += 1
-        }
-        labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+        // Distributed branch: alternating large-star/small-star
+        // contraction (GraphOps.connectedComponents, q202's operator) —
+        // O(log² n) rounds regardless of component DIAMETER, where the
+        // min-label Pregel loop this replaced paid O(diameter) rounds
+        // (each round a full edge shuffle; chain-shaped dup components
+        // made it the 100 TB worst case). Same unique fixpoint: every
+        // clustered doc labeled with its component minimum.
+        GraphOps.connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
           .orderBy("doc_id")
       }
     },

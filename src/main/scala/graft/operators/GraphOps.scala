@@ -87,6 +87,160 @@ object GraphOps extends QueryModule {
           SELECT id AS nation_id, r AS pr_fp FROM r3 ORDER BY nation_id"""
     })
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii: "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the
+    * O(log² n)-round labeling that replaces min-label propagation's
+    * O(diameter) rounds. q68's Pregel loop is fine for shallow near-dup
+    * clusters; on a 100 TB dup graph with chain-shaped components
+    * (boilerplate templates stitched through intermediate revisions)
+    * the diameter IS the problem, and each saved round is a full
+    * edge-shuffle saved.
+    *
+    * Each round is two grouped aggregations over the CURRENT edge set
+    * (shuffle key = node, map-side-combinable min), nothing
+    * driver-side except the two-number convergence probe; lineage is
+    * truncated per round ([[Ckpt.ser]]). The fixpoint is the star graph
+    * rooted at each component's minimum node — unique regardless of
+    * execution order, so the result is deterministic and
+    * oracle-matchable.
+    *
+    * Returns (labels, rounds): labels = one row per node that appears
+    * in an edge, `(node, comp)` with comp = min node id of its
+    * component (roots labeled with themselves).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      edges0: DataFrame, maxRounds: Int = 60): (DataFrame, Int) = {
+    val sym0 = edges0.select(col("a"), col("b"))
+      .union(edges0.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+
+    // large-star: every neighbor ABOVE u re-attaches to the minimum of
+    // u's closed neighborhood. Keeps high nodes hanging off ever-lower
+    // parents without growing the edge count past 2m.
+    def largeStar(sym: DataFrame): DataFrame = {
+      val m = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("mn"))
+      sym.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("mn").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    // small-star: u and every neighbor BELOW u collapse onto the
+    // minimum of that set — the halving step that gives the log bound.
+    def smallStar(sym: DataFrame): DataFrame = {
+      val below = sym.filter(col("b") < col("a"))
+      val m = below.groupBy("a").agg(min("b").as("mn"))
+      val moved = below.join(m, "a").filter(col("b") =!= col("mn"))
+        .select(col("b").as("a"), col("mn").as("b"))
+      moved.union(m.select(col("a"), col("mn").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    var cur = Ckpt.ser(sym0)
+    var curProbe = probe(cur)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val next = Ckpt.ser(smallStar(largeStar(
+        cur.union(cur.select(col("b").as("a"), col("a").as("b")))
+          .distinct())))
+      // Convergence probe: compare successive small-star outputs by
+      // (count, order-free hash) — two longs, one job, no driver-side
+      // edge list.
+      val np = probe(next)
+      done = np == curProbe
+      cur = next
+      curProbe = np
+      rounds += 1
+    }
+    val roots = cur.select(col("b").as("node")).distinct()
+      .join(cur.select(col("a").as("node")).distinct(), Seq("node"), "left_anti")
+    val labels = cur.select(col("a").as("node"), col("b").as("comp"))
+      .union(roots.select(col("node"), col("node").as("comp")))
+    (labels, rounds)
+  }
+
+  /** (edge count, order-independent edge hash) of an edge frame — the
+    * convergence probe's two longs. The hash is a bit_xor fold of
+    * per-edge xxhash64: order-free, overflow-free under ANSI (a SUM of
+    * 2⁶³-scale hashes overflows), and collision-sound here because the
+    * probed frames are `distinct()` edge SETS. */
+  private def probe(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)).cast("long"),
+      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).cast("long"))
+      .collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Star-contraction connected components over node-pair edges —
+    * labels only, for callers ([[DedupOps.q68_dedup_clusters]]'s
+    * distributed branch) that don't need the round count. */
+  private[graft] def connectedComponents(edges0: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edges0)._1
+
+  /** Connected components of the rare-shingle co-occurrence graph:
+    * docs are linked when they share a 3-gram shingle with corpus
+    * document-frequency EXACTLY 2 (each such shingle is one edge:
+    * its min-doc to its max-doc), thinned to 1/16 of shingle-hash
+    * space so the graph has mixed component sizes (at sf0.01: 269
+    * edges / 319 docs / 59 components, largest 159). Transitive
+    * rare-overlap clusters are the provenance groups near-dup
+    * pipelines quarantine together — and precisely the graph shape
+    * (chains through intermediate revisions, NOT dense cliques) where
+    * min-label propagation pays O(diameter) rounds and star
+    * contraction pays O(log²).
+    *
+    * Edge construction is one distinct-shingle aggregation (df, min,
+    * max per shingle — map-side combinable); the CC loop then runs on
+    * the edge set alone. Output: every clustered doc with its
+    * component representative (min doc_id) and the component size.
+    *
+    * Reference scope: the reference's resource-hierarchy grouping
+    * (SURVEY §2.1 R2) generalized to transitive closure over derived
+    * document relations; algorithm per Kiveris et al. (SoCC 2014). */
+  val q202_cc_components = QueryDef(
+    "q202_cc_components",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+        .distinct()
+      val edges = sh.groupBy("w")
+        .agg(count(lit(1)).cast("long").as("df"),
+          min("doc_id").as("a"), max("doc_id").as("b"))
+        .filter(col("df") === 2 && col("a") < col("b")
+          && expr("(instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1) % 16") === 0)
+        .select("a", "b").distinct()
+      val labels = connectedComponents(edges)
+      val sizes = labels.groupBy("comp").agg(count(lit(1)).cast("long").as("csize"))
+      labels.join(sizes, "comp")
+        .select(col("node").as("doc_id"), col("comp").as("cluster_id"), col("csize"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+            base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sidx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM base WHERE len(ws) >= 3),
+            sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w FROM sidx),
+            dfq AS (SELECT w, count(*) AS df, min(doc_id) AS a, max(doc_id) AS b
+                    FROM sh GROUP BY w),
+            e0 AS (SELECT DISTINCT a, b FROM dfq
+                   WHERE df = 2 AND a < b
+                     AND (instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) % 16 = 0),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            reach AS (
+              SELECT DISTINCT a AS src, a AS dst FROM edges
+              UNION
+              SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst),
+            lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+            sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize FROM lab GROUP BY cluster_id)
+            SELECT l.doc_id, l.cluster_id, s.csize
+            FROM lab l JOIN sz s ON s.cluster_id = l.cluster_id
+            ORDER BY l.doc_id"""))
+
   /** 2-hop reachability profile: for each source nation, the number of
     * distinct nations reachable in exactly two trade hops and the total
     * 2-path weight Σ w₁·w₂. One self-join of the bounded adjacency on
@@ -112,5 +266,6 @@ object GraphOps extends QueryModule {
             FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
             GROUP BY e1.src ORDER BY src"""))
 
-  def defs: Seq[QueryDef] = Seq(q99_pagerank, q109_graph_2hop)
+  def defs: Seq[QueryDef] =
+    Seq(q99_pagerank, q109_graph_2hop, q202_cc_components)
 }

@@ -1649,9 +1649,103 @@ object SelectionOps extends QueryModule {
             GROUP BY th.lang, th.n_docs, th.n_target, th.thresh
             ORDER BY th.lang"""))
 
+  /** Per-source sampling weight 1..8 — the fixture stand-in for a
+    * configured quality/tier prior (curated≫crawled). Keyed off one
+    * md5 nibble of the source name so weights VARY across sources,
+    * stay deterministic in both engines, and stay TOTAL over arbitrary
+    * source strings (a parsed source index would be an ANSI cast error
+    * on any corpus that doesn't follow the fixture's naming — this
+    * helper also feeds [[graft.streaming.SketchStream]], which folds
+    * whatever stream it is pointed at). */
+  private val wsampleTier =
+    "1 + (instr('0123456789abcdef', substring(md5(source), 1, 1)) - 1) % 8"
+
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT, deterministic and
+    * mergeable: draw 100 documents with inclusion odds proportional to
+    * an integer per-source weight, as one map-only pass + a bottom-k.
+    *
+    * The device is Efraimidis–Spirakis order sampling with the
+    * randomness replaced by content addressing AND the transcendental
+    * key u^(1/w) replaced by integer-weight hash replication: document
+    * d with weight w gets w 60-bit hash replicas md5(d:j), j<w, and its
+    * key is their MINIMUM — P(d has the overall minimum) = w_d/Σw
+    * EXACTLY (all replicas are i.i.d. uniform under the hash), and
+    * conditioning forward gives precisely the ES
+    * without-replacement order. No pow/ln appears anywhere (a
+    * last-ulp pow difference between engines could flip a selection at
+    * the boundary — the q192 sqrt lesson, hardened further), the whole
+    * key is integer arithmetic, and the draw is reproducible on any
+    * partitioning, any cluster size, any rerun.
+    *
+    * Scale shape: the replica minimum is array_min over a generated
+    * per-row array — NO shuffle, no explode (w ≤ 8 md5 calls per row,
+    * whole-stage codegen); the sample is then orderBy+limit = Spark's
+    * TakeOrderedAndProject (map-side partial top-k, never a global
+    * sort). The per-doc key is min-mergeable and the sample is
+    * bottom-k re-minimizable (the q198/q199 lemma), so partial samples
+    * from corpus shards merge exactly — [[graft.streaming.SketchStream]]
+    * folds this sample live as its fifth state.
+    *
+    * Reference scope: the reference's bounded pull (SURVEY §2.1 R10)
+    * generalized to weighted corpus subsampling (SURVEY §2.2 selection
+    * row); ES sampling per Efraimidis & Spirakis (IPL 2006). */
+  /** Sample size of [[q203_weighted_sample]] and the live
+    * [[graft.streaming.SketchStream]] fold. */
+  private[graft] val WsK = 100
+
+  /** The per-document weighted-sample key rows (doc_id, source, w,
+    * hv_min) — map-only (no shuffle, no explode): w ≤ 8 replica hashes
+    * generated and min-folded inside one codegen'd expression. */
+  private[graft] def wsampleKeysOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        expr(s"CAST($wsampleTier AS BIGINT)").as("w"))
+      .withColumn("hv_min", expr(
+        """array_min(transform(sequence(0, CAST(w - 1 AS INT)),
+           j -> CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT)))"""))
+
+  /** Weighted-sample state: the [[WsK]] key rows of minimal
+    * (hv_min, doc_id). Bottom-k of a union re-minimizes exactly (the
+    * q198/q199 lemma), and `distinct` guards replayed documents (a
+    * doc's key row is a pure function of the doc, so a replay is a
+    * duplicate row, not a second slot). */
+  private[graft] def wsampleMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).distinct()
+      .orderBy("hv_min", "doc_id").limit(WsK)
+      .select("doc_id", "source", "w", "hv_min")
+
+  val q203_weighted_sample = QueryDef(
+    "q203_weighted_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = wsampleKeysOf(t(s, dir, "documents"))
+      keyed.orderBy("hv_min", "doc_id").limit(WsK)
+        .withColumn("draw",
+          row_number().over(Window.orderBy("hv_min", "doc_id")).cast("long"))
+        .select(col("draw"), col("doc_id"), col("source"), col("w"), col("hv_min"))
+        .orderBy("draw")
+    },
+    Some {
+      val hv = (0 until 15).map { i =>
+        val p = math.pow(16.0, (14 - i).toDouble).toLong
+        s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), ${1 + i}, 1)) - 1) * $p"
+      }.mkString(" + ")
+      s"""WITH docs AS (SELECT doc_id, source,
+                               CAST($wsampleTier AS BIGINT) AS w
+                        FROM documents),
+          reps AS (SELECT doc_id, source, w, unnest(range(0, w)) AS j FROM docs),
+          keys_ AS (SELECT doc_id, source, w,
+                           CAST(min($hv) AS BIGINT) AS hv_min
+                    FROM reps GROUP BY doc_id, source, w),
+          pick AS (SELECT * FROM keys_ ORDER BY hv_min, doc_id LIMIT 100)
+          SELECT CAST(row_number() OVER (ORDER BY hv_min, doc_id) AS BIGINT) AS draw,
+                 doc_id, source, w, hv_min
+          FROM pick ORDER BY draw"""
+    })
+
   override def defs: Seq[QueryDef] =
     Seq(q181_semantic_dedup, q182_dup_spans, q183_dsir_importance, q184_cluster_safe_split,
       q185_semdedup_recall_eval, q186_suffix_array, q187_sa_dup_lengths,
       q188_selection_pipeline, q192_mixture_temperature, q194_sa_append,
-      q195_semantic_dedup_multiprobe, q196_multiprobe_recall_eval)
+      q195_semantic_dedup_multiprobe, q196_multiprobe_recall_eval,
+      q203_weighted_sample)
 }

@@ -604,7 +604,144 @@ object SketchOps extends QueryModule {
           ORDER BY n_build"""
     })
 
+  // -------------------------------------------------------------------
+  // Misra–Gries heavy-hitters sketch (canonical binary merge tree)
+  // -------------------------------------------------------------------
+
+  /** MG capacity. At k=64 the level-0 reduction is REAL on the fixture
+    * (per-doc distinct mixed n-grams ≈ 150 > k) and the final sketch is
+    * informative (top unigram counts ≈ 960 exceed the ≈ 575 deduction
+    * at sf0.01 — measured, not assumed). */
+  private[graft] val MgK = 64
+
+  /** One MG reduction: per group, subtract the (k+1)-th largest counter
+    * (ties broken by token — a total order, so both engines pick the
+    * same δ) from every counter and keep the positive ones. At most k
+    * entries survive (only counters strictly above δ can). */
+  private[graft] def mgReduce(st: DataFrame): DataFrame = {
+    val byC = Window.partitionBy("gid").orderBy(col("c").desc, col("w"))
+    st.withColumn("rn", row_number().over(byC))
+      .withColumn("delta",
+        max(when(col("rn") === MgK + 1, col("c")).otherwise(lit(0L)))
+          .over(Window.partitionBy("gid")))
+      .filter(col("c") > col("delta"))
+      .select(col("gid"), col("w"), (col("c") - col("delta")).cast("long").as("c"))
+  }
+
+  /** One canonical merge round: pair groups gid↦gid/2, add counters,
+    * reduce. A group with no partner merges with ∅ (identity), so
+    * sparse/odd gids need no special casing. */
+  private[graft] def mgMergeRound(st: DataFrame): DataFrame =
+    mgReduce(st.groupBy(expr("gid DIV 2").as("gid"), col("w"))
+      .agg(sum("c").cast("long").as("c")))
+
+  /** The mixed n-gram stream (unigrams ∪ word-3-gram shingles) of a
+    * documents frame: (doc_id, w). This is the BPE-adjacent vocabulary
+    * candidate stream — multi-granularity token counts — and the one
+    * fixture stream where heavy hitters actually exist (unigram counts
+    * ≈ 960 over a 43k-token distinct space; shingles alone are flat,
+    * max count 8 at sf0.01). */
+  private[graft] def mgStreamOf(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val uni = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+    val sh = ws.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+    uni.union(sh)
+  }
+
+  /** Misra–Gries heavy-hitters sketch (k=64) over the mixed n-gram
+    * stream, evaluated against exact counts for the top 20 tokens.
+    *
+    * MG is the DETERMINISTIC frequency-top-k summary: k counters, and
+    * after ANY sequence of merges every token satisfies
+    * est ≤ exact ≤ est + (N − M)/(k+1) (N = stream length, M = the
+    * final counters' mass — Agarwal, Cormode, Huang, Phillips, Wei, Yi:
+    * "Mergeable Summaries", PODS 2012). CMS (q197) answers point
+    * frequency with overcount; MG answers WHICH tokens are heavy with
+    * undercount and O(k) state — the two are the classic complementary
+    * pair.
+    *
+    * The engine computes the summary over a CANONICAL binary merge
+    * tree so the oracle can reproduce it bit-for-bit (MG counter values
+    * — unlike the error bound — depend on the merge tree, so a
+    * hash-matched oracle needs a pinned tree): level 0 is each
+    * document's own histogram reduced to MG_k (embarrassingly parallel
+    * — a doc's histogram needs no cross-doc data), and round r merges
+    * gid↦gid/2 until one group remains. ⌈log₂ maxdoc⌉ rounds, each a
+    * map-side-combinable sum + a k-bounded reduction over ≤ k·D
+    * surviving rows — at 100 TB the corpus is read once (level 0) and
+    * every later round shuffles a frame that SHRINKS geometrically.
+    * The arbitrary-tree merge law (what a production pipeline uses —
+    * partials merged in arrival order) is SketchSpec's property check;
+    * the live fold deliberately stays out of [[graft.streaming.SketchStream]]
+    * because a fold tree differs from the canonical tree and would not
+    * hash-match a rebuild (documented divergence, law-gated instead).
+    *
+    * Reference scope: the reference's event-statistics surface
+    * (SURVEY §2.2 sketch row) — frequency gating with bounded state. */
+  val q201_mg_heavy_hitters = QueryDef(
+    "q201_mg_heavy_hitters",
+    (s, dir) => {
+      val occ = mgStreamOf(t(s, dir, "documents")).transform(Ckpt.ser(_))
+      val lvl0 = mgReduce(occ.groupBy(col("doc_id").as("gid"), col("w"))
+        .agg(count(lit(1)).cast("long").as("c")))
+      val maxGid = occ.agg(max("doc_id")).collect().head.getLong(0)
+      val rounds = math.max(64 - java.lang.Long.numberOfLeadingZeros(maxGid), 1)
+      var st = Ckpt.ser(lvl0)
+      (1 to rounds).foreach { _ => st = Ckpt.ser(mgMergeRound(st)) }
+      val exact = occ.groupBy("w").agg(count(lit(1)).cast("long").as("c_exact"))
+      val top = exact.orderBy(col("c_exact").desc, col("w")).limit(20)
+      val tot = occ.agg(count(lit(1)).cast("long").as("n"))
+      val mass = st.agg(coalesce(sum("c"), lit(0L)).cast("long").as("m"))
+      top.join(broadcast(st.select(col("w"), col("c").as("c_est"))), Seq("w"), "left")
+        .crossJoin(tot).crossJoin(mass)
+        .select(col("w"), col("c_exact"),
+          coalesce(col("c_est"), lit(0L)).cast("long").as("c_est"),
+          (col("c_exact") - coalesce(col("c_est"), lit(0L))).cast("long").as("undercount"),
+          expr(s"CAST((n - m) DIV ${MgK + 1} AS BIGINT)").as("mg_bound"))
+        .orderBy("w")
+    },
+    Some {
+      val reduce = (out: String, in: String) =>
+        s"""$out AS (SELECT gid, w, c - delta AS c FROM (
+              SELECT gid, w, c,
+                     max(CASE WHEN rn = ${MgK + 1} THEN c ELSE CAST(0 AS BIGINT) END)
+                       OVER (PARTITION BY gid) AS delta
+              FROM (SELECT gid, w, c,
+                           row_number() OVER (PARTITION BY gid ORDER BY c DESC, w) AS rn
+                    FROM $in)) WHERE c - delta > 0)"""
+      val round = (k: Int) =>
+        s"""m$k AS (SELECT gid // 2 AS gid, w, CAST(sum(c) AS BIGINT) AS c
+                    FROM r${k - 1} GROUP BY 1, 2),
+            ${reduce(s"r$k", s"m$k")}"""
+      // 17 unrolled rounds cover doc_id < 2^17; extra rounds are exact
+      // no-ops (a lone gid-0 group merged with ∅ and re-reduced with
+      // δ=0), so one static oracle serves every fixture scale.
+      val R = 17
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          uni AS (SELECT doc_id, unnest(ws) AS w FROM base),
+          sidx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                   FROM base WHERE len(ws) >= 3),
+          sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w FROM sidx),
+          occ AS (SELECT * FROM uni UNION ALL SELECT * FROM sh),
+          s0 AS (SELECT doc_id AS gid, w, CAST(count(*) AS BIGINT) AS c
+                 FROM occ GROUP BY 1, 2),
+          ${reduce("r0", "s0")},
+          ${(1 to R).map(round).mkString(",\n          ")},
+          exact AS (SELECT w, CAST(count(*) AS BIGINT) AS c_exact FROM occ GROUP BY w),
+          top AS (SELECT w, c_exact FROM exact ORDER BY c_exact DESC, w LIMIT 20),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM occ),
+          mass AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS m FROM r$R)
+          SELECT t.w, t.c_exact,
+                 CAST(coalesce(f.c, 0) AS BIGINT) AS c_est,
+                 CAST(t.c_exact - coalesce(f.c, 0) AS BIGINT) AS undercount,
+                 CAST((n - m) // ${MgK + 1} AS BIGINT) AS mg_bound
+          FROM top t LEFT JOIN r$R f ON f.w = t.w, tot, mass
+          ORDER BY t.w"""
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q197_cms_error_eval, q198_kmv_theta_sketch, q199_quantile_sketch_eval,
-      q200_bloom_filter_eval)
+      q200_bloom_filter_eval, q201_mg_heavy_hitters)
 }

@@ -180,6 +180,112 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == full, "re-folding a half changed the bits")
   }
 
+  test("q201: MG never overcounts, the undercount honors the (N−M)/(k+1) bound, and the sketch is informative") {
+    val rows = SketchOps.q201_mg_heavy_hitters.run(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val bound = rows.head.getAs[Long]("mg_bound")
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("c_exact")
+      val est = r.getAs[Long]("c_est")
+      assert(est <= exact, s"MG overcounted ${r.getAs[String]("w")}: $est > $exact")
+      assert(r.getAs[Long]("undercount") == exact - est)
+      assert(exact - est <= bound,
+        s"${r.getAs[String]("w")}: undercount ${exact - est} breaks the MG bound $bound")
+    }
+    // the sketch must actually SURVIVE the fixture's deductions — an
+    // all-zero estimate column would be a vacuous (mis-sized) sketch
+    assert(rows.count(_.getAs[Long]("c_est") > 0) >= 10,
+      "MG estimates all zeroed — k is mis-sized for the fixture stream")
+  }
+
+  test("q201: the merge law survives ARBITRARY merge trees, not just the canonical one") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val occ = SketchOps.mgStreamOf(docs).cache()
+    val exact = occ.groupBy("w").agg(count(lit(1)).cast("long").as("c_exact"))
+    val n = occ.count()
+    for (seed <- Seq(3, 17)) {
+      // scatter docs over 16 arbitrary groups (a random 4-level merge
+      // tree — what a production pipeline's arrival order produces),
+      // then fold with the engine's own reduce/merge rounds
+      val lvl0 = SketchOps.mgReduce(
+        occ.withColumn("gid", pmod(xxhash64(col("doc_id"), lit(seed)), lit(16L)))
+          .groupBy("gid", "w").agg(count(lit(1)).cast("long").as("c")))
+      var st = lvl0
+      (1 to 4).foreach(_ => st = SketchOps.mgMergeRound(st))
+      val m = st.agg(coalesce(sum("c"), lit(0L))).collect().head.getLong(0)
+      val bound = (n - m) / 65L
+      val joined = exact.join(st.select(col("w"), col("c").as("c_est")), Seq("w"), "left")
+        .select(col("w"), col("c_exact"), coalesce(col("c_est"), lit(0L)).as("c_est"))
+        .collect()
+      joined.foreach { r =>
+        val (ex, es) = (r.getLong(1), r.getLong(2))
+        assert(es <= ex, s"seed $seed: MG overcounted ${r.getString(0)}")
+        assert(ex - es <= bound,
+          s"seed $seed: ${r.getString(0)} undercount ${ex - es} > bound $bound")
+      }
+    }
+  }
+
+  test("q203: the weighted sample is the exact bottom-k of the replicated-hash keys, and halves merge to the full draw") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SelectionOps
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    // JVM-side reference: per doc, min over w MD5 replicas (60-bit
+    // prefix), bottom-100 by (key, doc_id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val ref = docs.select("doc_id", "source").collect().map { r =>
+      val (id, src) = (r.getLong(0), r.getString(1))
+      val hex = md.digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val w = 1 + Integer.parseInt(hex.substring(0, 1), 16) % 8
+      val key = (0 until w).map(j => h60(s"$id:$j")).min
+      (key, id, w.toLong)
+    }.sortBy(t => (t._1, t._2)).take(100)
+    val got = SelectionOps.q203_weighted_sample.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("hv_min"), r.getAs[Long]("doc_id"), r.getAs[Long]("w")))
+    assert(got.toSeq == ref.toSeq, "engine draw != JVM reference draw")
+
+    // mergeability: bottom-k of shard samples == bottom-k of the corpus
+    val keys = SelectionOps.wsampleKeysOf(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("hv_min"), r.getAs[Long]("doc_id"))).sortBy(identity).toSeq
+    val full = rows(keys.orderBy("hv_min", "doc_id").limit(100))
+    val lo = keys.filter(col("doc_id") % 2 === 0).orderBy("hv_min", "doc_id").limit(100)
+    val hi = keys.filter(col("doc_id") % 2 === 1).orderBy("hv_min", "doc_id").limit(100)
+    assert(rows(SelectionOps.wsampleMerge(lo, hi)) == full,
+      "re-minimized shard samples != full-corpus draw")
+    // replay: folding a shard twice changes nothing (keys are pure
+    // functions of the doc, so dedup absorbs the replay)
+    assert(rows(SelectionOps.wsampleMerge(SelectionOps.wsampleMerge(lo, hi), lo)) == full)
+  }
+
+  test("q203: inclusion odds track the integer weights") {
+    import spark.implicits._
+    import graft.operators.SelectionOps
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def tier(src: String): Int = {
+      val hex = md.digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      1 + Integer.parseInt(hex.substring(0, 1), 16) % 8
+    }
+    // find one weight-8 and one weight-1 source name
+    val s8 = (0 until 1000).map(i => s"heavy$i").find(tier(_) == 8).get
+    val s1 = (0 until 1000).map(i => s"light$i").find(tier(_) == 1).get
+    val docs = ((0L until 1000L).map(i => (i, s8)) ++
+      (1000L until 2000L).map(i => (i, s1))).toDF("doc_id", "source")
+    val sample = SelectionOps.wsampleKeysOf(docs)
+      .orderBy("hv_min", "doc_id").limit(100).collect()
+    val heavy = sample.count(_.getAs[Long]("w") == 8L)
+    // E[heavy] = 100 · 8000/9000 ≈ 89; the draw is deterministic, so
+    // this is a pinned measurement with a generous band against the
+    // hypergeometric spread (σ ≈ 3.1)
+    assert(heavy >= 75 && heavy <= 97,
+      s"weight-8 docs drew $heavy of 100 (expected ≈89) — weights not honored")
+  }
+
   test("q198: fixture intersection error stays inside the measured band") {
     val rows = SketchOps.q198_kmv_theta_sketch.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -81,6 +81,15 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     bloomRows(SketchOps.bloomOf(
       SketchOps.shingleStreamOf(df(rows)).select("w").distinct(), bloomM))
 
+  private def wsRows(d: DataFrame): Seq[(Long, String, Long, Long)] =
+    d.select("doc_id", "source", "w", "hv_min").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity)
+
+  private def batchWsample(rows: Seq[(Long, String, String)]): Seq[(Long, String, Long, Long)] =
+    wsRows(graft.operators.SelectionOps.wsampleKeysOf(df(rows))
+      .orderBy("hv_min", "doc_id").limit(graft.operators.SelectionOps.WsK))
+
   test("a live foreachBatch stream maintains both sketches; after every batch they equal the batch rebuild") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-sketch-stream").toString
@@ -107,6 +116,8 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"live quantile sketch diverged from the batch sketch after ${seen.size} docs")
         assert(bloomRows(maintainer.currentBloom) == batchBloom(seen),
           s"live Bloom filter diverged from the batch filter after ${seen.size} docs")
+        assert(wsRows(maintainer.currentWsample) == batchWsample(seen),
+          s"live weighted sample diverged from the batch draw after ${seen.size} docs")
       }
     } finally q.stop()
 
@@ -115,12 +126,14 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       (cmsRows(maintainer.currentCms), kmvRows(maintainer.currentKmv),
         qntRows(maintainer.currentQnt))
     val bloomBefore = bloomRows(maintainer.currentBloom)
+    val wsBefore = wsRows(maintainer.currentWsample)
     val lastId = maintainer.appliedBatches.last
     maintainer.sink(df(corpus.drop(6)), lastId)
     assert(cmsRows(maintainer.currentCms) == cmsBefore)
     assert(kmvRows(maintainer.currentKmv) == kmvBefore)
     assert(qntRows(maintainer.currentQnt) == qntBefore)
     assert(bloomRows(maintainer.currentBloom) == bloomBefore)
+    assert(wsRows(maintainer.currentWsample) == wsBefore)
 
     // restart: a fresh maintainer on the same root resumes from disk
     val resumed = new SketchStream(spark, s"$root/state", bloomM)
@@ -135,6 +148,8 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-restart quantile fold must still equal the batch sketch")
     assert(bloomRows(resumed.currentBloom) == batchBloom(corpus ++ extra),
       "post-restart Bloom fold must still equal the batch filter")
+    assert(wsRows(resumed.currentWsample) == batchWsample(corpus ++ extra),
+      "post-restart weighted-sample fold must still equal the batch draw")
     // exactly one sketch version is retained on disk
     assert(resumed.appliedBatches == Seq(lastId + 1),
       "superseded sketch versions must be pruned on publish")
