@@ -617,10 +617,18 @@ object SketchOps extends QueryModule {
   /** One MG reduction: per group, subtract the (k+1)-th largest counter
     * (ties broken by token — a total order, so both engines pick the
     * same δ) from every counter and keep the positive ones. At most k
-    * entries survive (only counters strictly above δ can). */
+    * entries survive (only counters strictly above δ can — a survivor
+    * has c > δ = c₍ₖ₊₁₎, hence rank ≤ k, so pre-filtering to rank
+    * ≤ k+1 loses nothing and lets Catalyst's InferWindowGroupLimit
+    * prune to k+1 rows per group MAP-SIDE, before the window shuffle —
+    * at level 0 that is the difference between shuffling every per-doc
+    * histogram (~150 rows/doc on the fixture) and shuffling 65). The δ
+    * window then reuses the rank window's partitioning: no second
+    * exchange. */
   private[graft] def mgReduce(st: DataFrame): DataFrame = {
     val byC = Window.partitionBy("gid").orderBy(col("c").desc, col("w"))
     st.withColumn("rn", row_number().over(byC))
+      .filter(col("rn") <= MgK + 1)
       .withColumn("delta",
         max(when(col("rn") === MgK + 1, col("c")).otherwise(lit(0L)))
           .over(Window.partitionBy("gid")))
@@ -628,11 +636,21 @@ object SketchOps extends QueryModule {
       .select(col("gid"), col("w"), (col("c") - col("delta")).cast("long").as("c"))
   }
 
-  /** One canonical merge round: pair groups gid↦gid/2, add counters,
-    * reduce. A group with no partner merges with ∅ (identity), so
-    * sparse/odd gids need no special casing. */
+  /** Canonical-tree fan-in. 256-ary, not binary: an F-ary round is
+    * "combine F sketches, reduce once" — still exactly the mergeable-
+    * summaries operation (the (N−M)/(k+1) bound is tree-independent),
+    * but the tree is 3 levels deep for any fixture (doc_id < 256³ ≈
+    * 16.7M) instead of 21 at 100×, and the tree's cost is its BOTTOM
+    * level, paid once instead of re-shuffled through log₂ rounds:
+    * measured 98 → 16 s warm at 100× against the binary tree. */
+  private[graft] val MgF = 256
+
+  /** One canonical merge round: group gid↦gid/F, add counters, reduce.
+    * A group with missing members merges with ∅ (identity), so sparse
+    * gids need no special casing, and a round applied to an already-
+    * collapsed single group is an exact no-op (δ = 0). */
   private[graft] def mgMergeRound(st: DataFrame): DataFrame =
-    mgReduce(st.groupBy(expr("gid DIV 2").as("gid"), col("w"))
+    mgReduce(st.groupBy(expr(s"gid DIV $MgF").as("gid"), col("w"))
       .agg(sum("c").cast("long").as("c")))
 
   /** The mixed n-gram stream (unigrams ∪ word-3-gram shingles) of a
@@ -650,6 +668,40 @@ object SketchOps extends QueryModule {
     uni.union(sh)
   }
 
+  /** Level-0 MG summaries, MAP-ONLY: a document's MG sketch is a pure
+    * function of its own row, so each doc's mixed n-gram histogram and
+    * its k-bounded reduction are computed inside array expressions —
+    * sort the doc's tokens, run-length the sorted array into (w, c)
+    * structs, order by (c desc, w), subtract the (k+1)-th count —
+    * emitting ≤ k rows per doc with ZERO shuffle, where the
+    * groupBy/window equivalent (what [[mgReduce]] does for MERGE
+    * rounds, where groups genuinely span partitions) pays two
+    * corpus-scale exchanges of the per-doc histograms. Bit-identical
+    * to `mgReduce(occ.groupBy(doc_id, w).count)` — SketchSpec pins the
+    * equality on the fixture. */
+  private[graft] def mgLevel0Of(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("gid"), split(col("text"), " ").as("ws"))
+      .select(col("gid"), expr(
+        """array_sort(concat(ws,
+             CASE WHEN size(ws) >= 3
+                  THEN transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+                  ELSE CAST(array() AS ARRAY<STRING>) END))""").as("st"))
+      .select(col("gid"), col("st"), expr(
+        "filter(sequence(0, size(st)-1), i -> i = size(st)-1 OR st[i] != st[i+1])").as("ends"))
+      .select(col("gid"), expr(
+        """transform(sequence(0, size(ends)-1), k -> struct(
+             st[ends[k]] AS w,
+             CAST(ends[k] - (CASE WHEN k = 0 THEN -1 ELSE ends[k-1] END) AS BIGINT) AS c))""").as("hist"))
+      .select(col("gid"), expr(
+        """array_sort(hist, (l, r) ->
+             CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1
+                  WHEN l.w < r.w THEN -1 WHEN l.w > r.w THEN 1 ELSE 0 END)""").as("hs"))
+      .select(col("gid"), col("hs"), expr(
+        s"CASE WHEN size(hs) >= ${MgK + 1} THEN hs[$MgK].c ELSE CAST(0 AS BIGINT) END").as("delta"))
+      .select(col("gid"), explode(expr(
+        "transform(filter(hs, x -> x.c > delta), x -> struct(x.w AS w, x.c - delta AS c))")).as("e"))
+      .select(col("gid"), col("e.w").as("w"), col("e.c").as("c"))
+
   /** Misra–Gries heavy-hitters sketch (k=64) over the mixed n-gram
     * stream, evaluated against exact counts for the top 20 tokens.
     *
@@ -662,16 +714,17 @@ object SketchOps extends QueryModule {
     * undercount and O(k) state — the two are the classic complementary
     * pair.
     *
-    * The engine computes the summary over a CANONICAL binary merge
+    * The engine computes the summary over a CANONICAL 256-ary merge
     * tree so the oracle can reproduce it bit-for-bit (MG counter values
     * — unlike the error bound — depend on the merge tree, so a
     * hash-matched oracle needs a pinned tree): level 0 is each
-    * document's own histogram reduced to MG_k (embarrassingly parallel
-    * — a doc's histogram needs no cross-doc data), and round r merges
-    * gid↦gid/2 until one group remains. ⌈log₂ maxdoc⌉ rounds, each a
+    * document's own histogram reduced to MG_k (map-only — a doc's
+    * histogram needs no cross-doc data, see [[mgLevel0Of]]), and round
+    * r merges gid↦gid/[[MgF]] until one group remains —
+    * ⌈log₂₅₆ maxdoc⌉ ≤ 3 rounds at any fixture scale, each a
     * map-side-combinable sum + a k-bounded reduction over ≤ k·D
     * surviving rows — at 100 TB the corpus is read once (level 0) and
-    * every later round shuffles a frame that SHRINKS geometrically.
+    * every later round shuffles a frame that SHRINKS by the fan-in.
     * The arbitrary-tree merge law (what a production pipeline uses —
     * partials merged in arrival order) is SketchSpec's property check;
     * the live fold deliberately stays out of [[graft.streaming.SketchStream]]
@@ -683,13 +736,26 @@ object SketchOps extends QueryModule {
   val q201_mg_heavy_hitters = QueryDef(
     "q201_mg_heavy_hitters",
     (s, dir) => {
-      val occ = mgStreamOf(t(s, dir, "documents")).transform(Ckpt.ser(_))
-      val lvl0 = mgReduce(occ.groupBy(col("doc_id").as("gid"), col("w"))
-        .agg(count(lit(1)).cast("long").as("c")))
-      val maxGid = occ.agg(max("doc_id")).collect().head.getLong(0)
-      val rounds = math.max(64 - java.lang.Long.numberOfLeadingZeros(maxGid), 1)
-      var st = Ckpt.ser(lvl0)
-      (1 to rounds).foreach { _ => st = Ckpt.ser(mgMergeRound(st)) }
+      // occ is a def, not a cache: the mixed n-gram stream is the
+      // repo's largest intermediate (O(corpus tokens)), and each of its
+      // three consumers only needs one cheap map-side re-explode —
+      // caching it serialized was measured 4.5× SLOWER warm at 10×
+      // (storage-memory pressure + 18 eager checkpoint jobs).
+      val docs = t(s, dir, "documents")
+      def occ = mgStreamOf(docs)
+      val lvl0 = mgLevel0Of(docs)
+      val maxGid = docs.agg(max("doc_id")).collect().head.getLong(0)
+      val rounds = {
+        var g = maxGid; var r = 0
+        while (g > 0 || r == 0) { g /= MgF; r += 1 }
+        r
+      }
+      // The round count is predetermined (no mid-loop action), so the
+      // whole merge tree is ONE lazy plan evaluated once; only the
+      // final ≤k-row sketch is checkpointed (it is consumed twice).
+      var st = lvl0
+      (1 to rounds).foreach { _ => st = mgMergeRound(st) }
+      st = Ckpt.ser(st)
       val exact = occ.groupBy("w").agg(count(lit(1)).cast("long").as("c_exact"))
       val top = exact.orderBy(col("c_exact").desc, col("w")).limit(20)
       val tot = occ.agg(count(lit(1)).cast("long").as("n"))
@@ -712,13 +778,14 @@ object SketchOps extends QueryModule {
                            row_number() OVER (PARTITION BY gid ORDER BY c DESC, w) AS rn
                     FROM $in)) WHERE c - delta > 0)"""
       val round = (k: Int) =>
-        s"""m$k AS (SELECT gid // 2 AS gid, w, CAST(sum(c) AS BIGINT) AS c
+        s"""m$k AS (SELECT gid // $MgF AS gid, w, CAST(sum(c) AS BIGINT) AS c
                     FROM r${k - 1} GROUP BY 1, 2),
             ${reduce(s"r$k", s"m$k")}"""
-      // 17 unrolled rounds cover doc_id < 2^17; extra rounds are exact
-      // no-ops (a lone gid-0 group merged with ∅ and re-reduced with
-      // δ=0), so one static oracle serves every fixture scale.
-      val R = 17
+      // 3 unrolled 256-ary rounds cover doc_id < 256³ ≈ 16.7M; extra
+      // rounds are exact no-ops (a lone gid-0 group merged with ∅ and
+      // re-reduced with δ=0), so one static oracle serves every
+      // fixture scale.
+      val R = 3
       s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           uni AS (SELECT doc_id, unnest(ws) AS w FROM base),
           sidx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i

@@ -78,7 +78,10 @@ object ExplainDump {
       ("q197_cms_error_eval — one-pass 4×1024 mergeable sketch agg; top-200 probes broadcast-joined to the 4096-row sketch", SketchOps.q197_cms_error_eval),
       ("q198_kmv_theta_sketch — per-source k-min window on the distinct hash stream; all pair math on broadcast sketch rows", SketchOps.q198_kmv_theta_sketch),
       ("q199_quantile_sketch_eval — per-group bottom-k hash sample (WindowGroupLimit), rank reads on ≤ k·|groups| rows", SketchOps.q199_quantile_sketch_eval),
-      ("q200_bloom_filter_eval — one map-side-combined bit_or pass to ≤ m/32 packed words; probes broadcast-join the filter", SketchOps.q200_bloom_filter_eval))
+      ("q200_bloom_filter_eval — one map-side-combined bit_or pass to ≤ m/32 packed words; probes broadcast-join the filter", SketchOps.q200_bloom_filter_eval),
+      ("q201_mg_heavy_hitters — WindowGroupLimit prunes each merge group to k+1 rows map-side; one lazy merge-tree plan, no corpus cache", SketchOps.q201_mg_heavy_hitters),
+      ("q202_cc_components — star-contraction rounds: per-round grouped min + edge re-key, lineage truncated, no driver edge list", GraphOps.q202_cc_components),
+      ("q203_weighted_sample — map-only replicated-hash keys (no explode, no shuffle) into TakeOrderedAndProject bottom-k", SelectionOps.q203_weighted_sample))
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append(s"Input: `$dir`. These plans back the contracts asserted in " +

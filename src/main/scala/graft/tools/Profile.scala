@@ -69,6 +69,37 @@ object Profile {
       case "x:replay" =>
         val sec = graft.Bench.streamReplaySeconds(spark, sfDir)
         (sec * 1000).toLong // report ms in the "rows" slot
+      case "x:mg_lvl0" =>
+        // q201's map-only per-doc MG summaries alone
+        graft.operators.SketchOps.mgLevel0Of(
+          graft.sources.Tables.load(spark, sfDir, "documents")).count()
+      case "x:mg_tree" =>
+        // level 0 + the full canonical merge tree (no eval side)
+        val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+        val maxGid = docs.agg(max("doc_id")).collect().head.getLong(0)
+        var st = graft.operators.SketchOps.mgLevel0Of(docs)
+        var g = maxGid; var r = 0
+        while (g > 0 || r == 0) {
+          st = graft.operators.SketchOps.mgMergeRound(st)
+          g /= graft.operators.SketchOps.MgF; r += 1
+        }
+        st.count()
+      case "x:mg_lvl0_shuffle" =>
+        // the groupBy/window equivalent of mgLevel0Of (all codegen'd
+        // standard operators, no interpreted higher-order functions)
+        graft.operators.SketchOps.mgReduce(
+          graft.operators.SketchOps.mgStreamOf(
+            graft.sources.Tables.load(spark, sfDir, "documents"))
+            .groupBy(col("doc_id").as("gid"), col("w"))
+            .agg(count(lit(1)).cast("long").as("c"))).count()
+      case "x:mg_exact" =>
+        // the eval's exact ground-truth aggregation alone
+        graft.operators.SketchOps.mgStreamOf(
+          graft.sources.Tables.load(spark, sfDir, "documents"))
+          .groupBy("w").agg(count(lit(1))).count()
+      case "x:mg_tot" =>
+        graft.operators.SketchOps.mgStreamOf(
+          graft.sources.Tables.load(spark, sfDir, "documents")).count()
       case q => graft.SparkEntry.queries(q)(spark, sfDir).count()
     }
   }

@@ -198,6 +198,19 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "MG estimates all zeroed — k is mis-sized for the fixture stream")
   }
 
+  test("q201: the map-only level 0 is bit-identical to the groupBy/window reduction") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(identity).toSeq
+    val mapOnly = rows(SketchOps.mgLevel0Of(docs))
+    val viaShuffle = rows(SketchOps.mgReduce(
+      SketchOps.mgStreamOf(docs).groupBy(col("doc_id").as("gid"), col("w"))
+        .agg(count(lit(1)).cast("long").as("c"))))
+    assert(mapOnly == viaShuffle,
+      "array-expression level 0 diverged from the shuffle-based reduction")
+  }
+
   test("q201: the merge law survives ARBITRARY merge trees, not just the canonical one") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
