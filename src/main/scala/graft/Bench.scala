@@ -135,9 +135,13 @@ object Bench {
     System.gc()
     val annFold = annFoldSeconds(spark, sfDir)
     System.err.println(f"[bench-runs] ann_fold $annFold%.2f")
+    System.gc()
+    val ccFold = ccFoldSeconds(spark, sfDir)
+    System.err.println(f"[bench-runs] cc_fold $ccFold%.2f")
     val all = results :+ ("stream_replay" -> replay) :+
       ("wire_replay" -> wire) :+ ("h2c_replay" -> h2c) :+
-      ("sketch_fold" -> sketchFold) :+ ("ann_fold" -> annFold)
+      ("sketch_fold" -> sketchFold) :+ ("ann_fold" -> annFold) :+
+      ("cc_fold" -> ccFold)
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // 1-decimal, trailing zeros stripped ("0.52"→"0.5", "1.0"→"1") for
     // the compact stdout array — the full 2-decimal medians live in
@@ -185,7 +189,8 @@ object Bench {
           :+ s""""wire_replay":[${wireSamples.map(f).mkString(",")}]"""
           :+ s""""h2c_replay":[${h2cSamples.map(f).mkString(",")}]"""
           :+ s""""sketch_fold":[${f(sketchFold)}]"""
-          :+ s""""ann_fold":[${f(annFold)}]""").mkString("{", ",", "}")
+          :+ s""""ann_fold":[${f(annFold)}]"""
+          :+ s""""cc_fold":[${f(ccFold)}]""").mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName",""" +
       s""""runs":$runs,"failed":$failedJson,"queries":$qmap,"samples":$smap}"""
     }
@@ -551,6 +556,38 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     emb.unpersist(true)
+    rmTree(root)
+    ts.sorted.apply(ts.size / 2)
+  }
+
+  /** Live CC-label-maintenance throughput (`cc_fold` row): q202's
+    * rare-shingle edge set, materialized once untimed, arrives in 8
+    * md5-order batches; batches 0–4 build mature labels untimed, then
+    * each timed sample folds one further 1/8 slice through
+    * [[graft.streaming.CcStream]] (labels-as-edges ∪ batch
+    * re-contraction + publish — cost ∝ labeled nodes + batch, never
+    * cumulative edges). Median of the 3 tail-slice folds. */
+  private[graft] def ccFoldSeconds(spark: org.apache.spark.sql.SparkSession,
+                                   sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-ccfold").toString
+    val m = new graft.streaming.CcStream(spark, root)
+    val edges = graft.operators.GraphOps.rareShingleEdges(
+        graft.sources.Tables.load(spark, sfDir, "documents"))
+      .select(col("a"), col("b"),
+        conv(substring(md5(concat_ws(":", col("a"), col("b"))), 1, 2), 16, 10)
+          .cast("int").as("ab"))
+      .localCheckpoint(true)
+    def slice(b: Int) = edges
+      .filter(col("ab") >= b * 32 && col("ab") < (b + 1) * 32).drop("ab")
+    (0 until 5).foreach(b => m.sink(slice(b), b.toLong))
+    val ts = (5 until 8).map { b =>
+      System.gc()
+      val t0 = System.nanoTime()
+      m.sink(slice(b), b.toLong)
+      (System.nanoTime() - t0) / 1e9
+    }
+    edges.unpersist(true)
     rmTree(root)
     ts.sorted.apply(ts.size / 2)
   }

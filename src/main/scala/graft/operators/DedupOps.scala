@@ -381,54 +381,60 @@ object DedupOps extends QueryModule {
     * The converged fixpoint (min-id labels) is unique regardless of
     * execution order — the DuckDB oracle reaches the same one through a
     * recursive CTE. */
+  /** q68's hybrid component labeling (the switch GraphFrames' connected
+    * components makes): the DISTRIBUTED heavy lifting — shingling,
+    * inverted-index candidate join, Jaccard verify — has already
+    * reduced the graph to near-dup edges. Below `smallGraphEdges` the
+    * labeling is cheaper as one in-process union-find than as N
+    * distributed rounds (each round = 2 jobs); above it, star
+    * contraction ([[GraphOps.connectedComponents]], q202's operator)
+    * takes over — O(log² n) rounds regardless of component DIAMETER,
+    * where the min-label Pregel loop it replaced paid O(diameter)
+    * rounds. The default threshold's 5M edges ≈ 80 MB collected — far
+    * under driver headroom — while a 100 TB corpus whose dup graph
+    * exceeds it stays fully distributed. Both branches converge to the
+    * SAME unique fixpoint (every clustered doc labeled with its
+    * component minimum) — DedupSpec forces the distributed branch on
+    * the fixture and asserts equality. */
+  /** Test hook: the memoized q43/q68 verified pair set (CcSpec forces
+    * [[clusterLabels]]' distributed branch on it). */
+  private[graft] def fixturePairs(s: SparkSession, dir: String): DataFrame =
+    SharedPairs(s, dir).select("a", "b")
+
+  private[graft] def clusterLabels(s: SparkSession, pairs: DataFrame,
+                                   smallGraphEdges: Long = 5000000L): DataFrame = {
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+    if (edges.count() <= smallGraphEdges) {
+      val e = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = e.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+      val rows = nodes.map(d => (d, find(d)))
+      s.createDataFrame(rows).toDF("doc_id", "cluster_id").orderBy("doc_id")
+    } else {
+      GraphOps.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id")
+    }
+  }
+
   val q68_dedup_clusters = QueryDef(
     "q68_dedup_clusters",
     (s, dir) => {
       // the q43 funnel's result via the shared materialization (same
       // pair set: identical size filter + Jaccard ≥ 0.8 verify)
-      val pairs = SharedPairs(s, dir).select("a", "b")
-      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
-      // Hybrid component step (the switch GraphFrames' connected
-      // components makes): the DISTRIBUTED heavy lifting — shingling,
-      // inverted-index candidate join, Jaccard verify — has already
-      // reduced the graph to near-dup edges. Below a threshold the
-      // component labeling is cheaper as one in-process union-find than
-      // as N distributed rounds (each round = 2 jobs); above it,
-      // star contraction (GraphOps.connectedComponents) takes over.
-      // 5M edges ≈ 80 MB collected — far under driver headroom, while
-      // a 100 TB corpus whose dup graph exceeds it stays fully
-      // distributed in O(log²) rounds.
-      val smallGraphEdges = 5000000L
-      if (edges.count() <= smallGraphEdges) {
-        val e = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        e.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val nodes = e.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
-        val rows = nodes.map(d => (d, find(d)))
-        s.createDataFrame(rows).toDF("doc_id", "cluster_id").orderBy("doc_id")
-      } else {
-        // Distributed branch: alternating large-star/small-star
-        // contraction (GraphOps.connectedComponents, q202's operator) —
-        // O(log² n) rounds regardless of component DIAMETER, where the
-        // min-label Pregel loop this replaced paid O(diameter) rounds
-        // (each round a full edge shuffle; chain-shaped dup components
-        // made it the 100 TB worst case). Same unique fixpoint: every
-        // clustered doc labeled with its component minimum.
-        GraphOps.connectedComponents(pairs)
-          .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-          .orderBy("doc_id")
-      }
+      clusterLabels(s, SharedPairs(s, dir).select("a", "b"))
     },
     Some(s"""WITH RECURSIVE $shinglesSql,
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

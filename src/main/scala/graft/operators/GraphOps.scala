@@ -199,26 +199,33 @@ object GraphOps extends QueryModule {
     * Reference scope: the reference's resource-hierarchy grouping
     * (SURVEY §2.1 R2) generalized to transitive closure over derived
     * document relations; algorithm per Kiveris et al. (SoCC 2014). */
+  /** q202's edge derivation: docs linked by a shared df=2 shingle,
+    * thinned to 1/16 of shingle-hash space. The thinning depends on w
+    * ALONE, so it runs BEFORE the (doc_id, w) distinct — a 16× cut of
+    * the only corpus-scale shuffle in the query (measured 26 → 13.5 s
+    * warm at 100×); df is per-shingle, so thinning shingles first
+    * cannot change any kept shingle's df. Shared with the `cc_fold`
+    * bench row, which folds this edge set through
+    * [[graft.streaming.CcStream]]. */
+  private[graft] def rareShingleEdges(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+      .filter(expr("(instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1) % 16") === 0)
+      .distinct()
+    sh.groupBy("w")
+      .agg(count(lit(1)).cast("long").as("df"),
+        min("doc_id").as("a"), max("doc_id").as("b"))
+      .filter(col("df") === 2 && col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   val q202_cc_components = QueryDef(
     "q202_cc_components",
     (s, dir) => {
-      // The 1/16 hash-space thinning depends on w ALONE, so it runs
-      // BEFORE the (doc_id, w) distinct — a 16× cut of the only
-      // corpus-scale shuffle in the query (measured 26 → ~7 s warm at
-      // 100×). df is per-shingle, so thinning shingles first cannot
-      // change any kept shingle's df.
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
-        .filter(expr("(instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1) % 16") === 0)
-        .distinct()
-      val edges = sh.groupBy("w")
-        .agg(count(lit(1)).cast("long").as("df"),
-          min("doc_id").as("a"), max("doc_id").as("b"))
-        .filter(col("df") === 2 && col("a") < col("b"))
-        .select("a", "b").distinct()
+      val edges = rareShingleEdges(t(s, dir, "documents"))
       val labels = connectedComponents(edges)
       val sizes = labels.groupBy("comp").agg(count(lit(1)).cast("long").as("csize"))
       labels.join(sizes, "comp")

@@ -88,4 +88,17 @@ class CcSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("empty edge set yields empty labels") {
     assert(ccLabels(Seq.empty)._1.isEmpty)
   }
+
+  test("q68's distributed branch (forced) labels the fixture dup graph exactly like the union-find branch") {
+    import graft.operators.DedupOps
+    val sfDir = "/root/testdata/sf0.001"
+    val pairs = DedupOps.fixturePairs(spark, sfDir)
+    def rows(d: DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaUnionFind = rows(DedupOps.clusterLabels(spark, pairs))
+    val viaContraction = rows(DedupOps.clusterLabels(spark, pairs, smallGraphEdges = 0L))
+    assert(viaContraction == viaUnionFind,
+      "the >5M-edge star-contraction branch diverged from the in-process union-find")
+    assert(viaUnionFind.nonEmpty, "fixture dup graph unexpectedly empty")
+  }
 }
