@@ -23,6 +23,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // CALIBRATION row (round-10 verdict task 6): a fixed synthetic
+    // no-I/O workload timed FIRST in every run — 10⁸ xxhash64 rows
+    // reduced to two longs, pure codegen CPU across all 32 slots, zero
+    // disk/shuffle. Its value measures the HOST (CPU steal, frequency,
+    // co-tenancy), not the engine, so cross-round suite deltas can be
+    // normalized by the calib ratio instead of burning an analysis
+    // round proving a uniform 1.3× was the machine (as round 10 did).
+    // One untimed run warms the generated class; median of 3 timed.
+    val calib = {
+      import org.apache.spark.sql.functions.{col, lit, xxhash64, expr, count}
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 100000000L, 1L, 32)
+          .select(xxhash64(col("id")).as("h"))
+          // bit_xor, not sum: a SUM of 2^63-scale hashes overflows under
+          // ANSI (the GraphOps.probe lesson)
+          .agg(expr("bit_xor(h)"), count(lit(1))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // warm codegen off the clock
+      val ts = (1 to 3).map(_ => run()).sorted
+      ts(ts.size / 2)
+    }
+    System.err.println(f"[bench-runs] calib $calib%.2f")
     // Steady-state measurement (JMH-style): run every query once
     // UNTIMED at the target scale factor so codegen compilation and JIT
     // warm up off the clock. Warming at the TARGET dir matters: AQE and
@@ -126,6 +150,22 @@ object Bench {
     System.err.println(
       s"[bench-runs] h2c_replay ${h2cSamples.map(x => f"$x%.2f").mkString(" ")}")
     val h2c = h2cSamples.sorted.apply(h2cSamples.size / 2)
+    // Pressure rows (round-10 verdict tasks 1-2), one sample each: the
+    // redelivery soak ends on a full at-least-once drain (self-asserting,
+    // so a plausible-but-wrong fast time cannot happen), and the
+    // many-groups row runs the 2000-group churn probe — per-batch cost
+    // vs group count has its full curve in GroupScaleProbe/BASELINE.md.
+    System.gc()
+    val redelivery = redeliveryReplaySeconds(spark, sfDir)
+    System.err.println(f"[bench-runs] redelivery_replay $redelivery%.2f")
+    System.gc()
+    val muxGroups = {
+      val rows = graft.sources.Tables.load(spark, sfDir, "events")
+        .select("event_id", "user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      graft.tools.GroupScaleProbe.run(spark, rows, 2000).totalSec
+    }
+    System.err.println(f"[bench-runs] mux_groups $muxGroups%.2f")
     // Live-maintenance rows: each value is already a median of 3
     // tail-slice folds against a mature persisted state (see the
     // helpers), so one call per row suffices.
@@ -140,6 +180,7 @@ object Bench {
     System.err.println(f"[bench-runs] cc_fold $ccFold%.2f")
     val all = results :+ ("stream_replay" -> replay) :+
       ("wire_replay" -> wire) :+ ("h2c_replay" -> h2c) :+
+      ("redelivery_replay" -> redelivery) :+ ("mux_groups" -> muxGroups) :+
       ("sketch_fold" -> sketchFold) :+ ("ann_fold" -> annFold) :+
       ("cc_fold" -> ccFold)
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
@@ -171,7 +212,8 @@ object Bench {
     // so no bounded capture window can lose it again.
     val qv = all.map { case (_, v) => fj(v) }.mkString("[", ",", "]")
     val headline =
-      s""""stream_replay":${fj(replay)},"wire_replay":${fj(wire)},"h2c_replay":${fj(h2c)}"""
+      s""""calib":${f(calib)},"stream_replay":${fj(replay)},""" +
+      s""""wire_replay":${fj(wire)},"h2c_replay":${fj(h2c)}"""
     val failedJson = failed.sorted.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
     val sfName = new java.io.File(sfDir).getName
@@ -188,11 +230,14 @@ object Bench {
         } :+ s""""stream_replay":[${replaySamples.map(f).mkString(",")}]"""
           :+ s""""wire_replay":[${wireSamples.map(f).mkString(",")}]"""
           :+ s""""h2c_replay":[${h2cSamples.map(f).mkString(",")}]"""
+          :+ s""""redelivery_replay":[${f(redelivery)}]"""
+          :+ s""""mux_groups":[${f(muxGroups)}]"""
           :+ s""""sketch_fold":[${f(sketchFold)}]"""
           :+ s""""ann_fold":[${f(annFold)}]"""
           :+ s""""cc_fold":[${f(ccFold)}]""").mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName",""" +
-      s""""runs":$runs,"failed":$failedJson,"queries":$qmap,"samples":$smap}"""
+      s""""runs":$runs,"calib":${f(calib)},"failed":$failedJson,""" +
+      s""""queries":$qmap,"samples":$smap}"""
     }
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
@@ -244,8 +289,106 @@ object Bench {
     elapsed
   }
 
-  /** The sf-row → hierarchy-event mapping shared by both replays. */
-  private def replayEvent(eventId: Long, uid: Long, et: String): graft.core.Event = {
+  /** Redelivery-under-pressure replay (`redelivery_replay` row,
+    * round-10 verdict task 2): the same event stream as
+    * [[streamReplaySeconds]], but drained through the FULL consumer
+    * dispatch path under induced failures — 2 competing sessions per
+    * group pull and ack concurrently with ingest; 10% of chunks are
+    * deliberately NOT acked on first claim (the silent-client shape:
+    * they must come back via ack-wait expiry with the same chunkId);
+    * and mid-run every group has one session killed (dead-owner
+    * failover) and replaced. The run only ends when EVERY chunk is
+    * acked — the at-least-once drain assertion at whatever scale the
+    * bench dir holds (10M events at the 100× rehearsal). Elapsed
+    * seconds returned; redelivery/failover counters on stderr quantify
+    * the overhead vs the ack-free stream_replay row. */
+  private[graft] def redeliveryReplaySeconds(spark: org.apache.spark.sql.SparkSession,
+                                             sfDir: String): Double = {
+    import graft.core._
+    import graft.streaming.MultiplexedDelivery
+    val rows = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type").collect()
+    val ackWait = sys.env.getOrElse("SPARK_GRAFT_ACK_WAIT_MS", "3000").toLong
+    val mux = new MultiplexedDelivery(spark,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
+      sourcePartitions = sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTS", "8").toInt,
+      ackWaitMillis = ackWait)
+    (0 until 5).foreach(p => mux.addGroup(s"rd-p$p", ResourceType.Project, s"p$p",
+      Hierarchy(projectId = s"p$p"), includeSubresources = true))
+    mux.start()
+    val target = rows.length.toLong
+    val ackedRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    // each chunk is dropped (left unacked past the ack-wait) AT MOST
+    // once, by whichever session first claims it — deterministic 10%
+    val droppedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    @volatile var consume = true
+    final class Consumer(p: Int, idx: Int) {
+      val group = s"rd-p$p"
+      val sid: Long = mux.openSession(group)
+      val dead = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val thread: Thread = new Thread(() => {
+        while (consume && !dead.get) {
+          val claimed = mux.pull(group, sid, max = 4)
+          claimed.foreach { c =>
+            if (!dead.get) {
+              val unlucky = (c.chunkId.hashCode & 0x7fffffff) % 10 == 0
+              if (unlucky && droppedOnce.add(c.chunkId)) ()
+              else if (mux.ack(c.groupId, c.chunkId))
+                ackedRows.addAndGet(c.resourceIds.size.toLong)
+            }
+          }
+          if (claimed.isEmpty) Thread.sleep(20)
+        }
+      }, s"redelivery-consumer-$group-$idx")
+      thread.setDaemon(true); thread.start()
+      /** Abrupt death while possibly holding flights: stop acking,
+        * close the session — its flights fail over to survivors. */
+      def kill(): Unit = { dead.set(true); mux.closeSession(group, sid); () }
+    }
+    var sessions = (0 until 5).flatMap(p => (0 until 2).map(i => new Consumer(p, i)))
+    val t0 = System.nanoTime()
+    val batchRows = sys.env.get("SPARK_GRAFT_REPLAY_BATCH").map(_.toInt)
+      .getOrElse(math.max(25000, rows.length / 12))
+    var batchNo = 0
+    val nBatches = (rows.length + batchRows - 1) / batchRows
+    rows.grouped(batchRows).foreach { chunk =>
+      if (batchNo == nBatches / 2) {
+        // mid-run session kills: one session per group dies (possibly
+        // holding flights) — failover must hand them to the survivor —
+        // and a fresh session joins the competition
+        sessions.zipWithIndex.filter(_._2 % 2 == 0).foreach(_._1.kill())
+        sessions = sessions ++ (0 until 5).map(p => new Consumer(p, 2))
+      }
+      mux.emitAll(chunk.map(r => replayEvent(r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
+      mux.processAllAvailable()
+      batchNo += 1
+    }
+    // at-least-once drain: EVERY chunk must end acked, through the
+    // redelivery of the dropped tenth + the failed-over flights
+    val deadline = System.nanoTime() + 600L * 1000000000L
+    while ((0 until 5).map(p => mux.pendingRowCount(s"rd-p$p")).sum > 0
+           && System.nanoTime() < deadline) Thread.sleep(50)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    consume = false
+    sessions.foreach(_.thread.join(2000))
+    val leftover = (0 until 5).map(p => mux.pendingRowCount(s"rd-p$p")).sum
+    val (offers, redeliveries, failovers) = mux.dispatcher.counters
+    val (_, pend, ackRes) = mux.ledgerStats
+    mux.stop()
+    require(leftover == 0L,
+      s"redelivery replay must drain every chunk ($leftover rows still pending)")
+    require(ackedRows.get >= target,
+      s"at-least-once drain violated (${ackedRows.get} < $target acked rows)")
+    System.err.println(f"[redelivery-replay] rows=$target acked=${ackedRows.get} " +
+      f"offers=$offers redeliveries=$redeliveries failovers=$failovers " +
+      f"dropped=${droppedOnce.size} ledger_pending=$pend ledger_acked_resident=$ackRes " +
+      f"total=$elapsed%.1fs")
+    elapsed
+  }
+
+  /** The sf-row → hierarchy-event mapping shared by the replays and
+    * the many-groups scale probe ([[graft.tools.GroupScaleProbe]]). */
+  private[graft] def replayEvent(eventId: Long, uid: Long, et: String): graft.core.Event = {
     import graft.core._
     val project = s"p${uid % 5}"
     val ts = new java.sql.Timestamp(0L)

@@ -401,32 +401,43 @@ object DedupOps extends QueryModule {
   private[graft] def fixturePairs(s: SparkSession, dir: String): DataFrame =
     SharedPairs(s, dir).select("a", "b")
 
-  private[graft] def clusterLabels(s: SparkSession, pairs: DataFrame,
+  private[graft] def clusterLabels(s: SparkSession, pairs0: DataFrame,
                                    smallGraphEdges: Long = 5000000L): DataFrame = {
-    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
-    if (edges.count() <= smallGraphEdges) {
-      val e = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
+    // Cache the PAIR frame both branches actually consume (the old gate
+    // cached a symmetrized frame only to count it — the symmetrized
+    // count is exactly 2× the pair count), and unpersist it before
+    // returning: the small branch collects what it needs here, and the
+    // distributed branch's labels derive from star contraction's own
+    // eager checkpoints ([[Ckpt.ser]] truncates lineage), so neither
+    // result retains the cache. Union-find needs each pair ONCE —
+    // collecting pairs instead of symmetrized edges also halves the
+    // driver rows at the threshold.
+    val pairs = pairs0.cache()
+    try {
+      if (2L * pairs.count() <= smallGraphEdges) {
+        val e = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        e.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = e.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+        val rows = nodes.map(d => (d, find(d)))
+        s.createDataFrame(rows).toDF("doc_id", "cluster_id").orderBy("doc_id")
+      } else {
+        GraphOps.connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+          .orderBy("doc_id")
       }
-      e.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val nodes = e.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
-      val rows = nodes.map(d => (d, find(d)))
-      s.createDataFrame(rows).toDF("doc_id", "cluster_id").orderBy("doc_id")
-    } else {
-      GraphOps.connectedComponents(pairs)
-        .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-        .orderBy("doc_id")
-    }
+    } finally pairs.unpersist()
   }
 
   val q68_dedup_clusters = QueryDef(

@@ -154,6 +154,13 @@ object GraphOps extends QueryModule {
       curProbe = np
       rounds += 1
     }
+    // The O(log² n) bound makes 60 rounds generous for any graph this
+    // engine can hold; exhausting them means a real bug (the labeling
+    // below would be silently non-star, i.e. WRONG components), so
+    // fail loudly instead of returning it.
+    require(done,
+      s"star contraction did not converge in $maxRounds rounds — " +
+        s"non-star labeling would be incorrect downstream")
     val roots = cur.select(col("b").as("node")).distinct()
       .join(cur.select(col("a").as("node")).distinct(), Seq("node"), "left_anti")
     val labels = cur.select(col("a").as("node"), col("b").as("comp"))

@@ -745,6 +745,11 @@ object SketchOps extends QueryModule {
       def occ = mgStreamOf(docs)
       val lvl0 = mgLevel0Of(docs)
       val maxGid = docs.agg(max("doc_id")).collect().head.getLong(0)
+      // The oracle unrolls exactly 3 merge rounds (covers doc_id <
+      // 256³); past that the engine would run a 4th round the oracle's
+      // r3 does not, silently diverging. Fail loudly at the boundary.
+      require(maxGid < 16777216L,
+        s"q201 oracle unrolls 3 merge rounds (doc_id < 256^3); got max doc_id $maxGid")
       val rounds = {
         var g = maxGid; var r = 0
         while (g > 0 || r == 0) { g /= MgF; r += 1 }

@@ -44,13 +44,39 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     * delivery: one distributed write per micro-batch for ALL groups).
     * `rows` must carry groupId, chunkId, subject, resourceId. */
   def writeMulti(rows: DataFrame): Unit =
-    rows.select(col("groupId"), col("chunkId"), col("subject"),
-        col("resourceId"), monotonically_increasing_id().as("seq"))
-      .write
+    prepare(rows).write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("groupId", "chunkId")
       .parquet(dir)
+
+  private def prepare(rows: DataFrame): DataFrame =
+    rows.select(col("groupId"), col("chunkId"), col("subject"),
+      col("resourceId"), monotonically_increasing_id().as("seq"))
+
+  /** Payload write + per-group row counts from ONE pass over the batch
+    * (persisted, then written and aggregated — two jobs over cached
+    * batch-proportional data). This is the MANY-GROUPS regime of the
+    * write-first pattern: [[chunkCounts]] costs one filesystem
+    * existence probe PER REGISTERED GROUP per micro-batch — O(G) stat
+    * calls whether or not a group matched anything — which at thousands
+    * of groups dwarfs a second aggregation over the (small) batch; here
+    * the count cost is O(batch) regardless of group count. The engines
+    * switch regimes on the registered-group count (measured crossover
+    * in BASELINE.md round-11). */
+  def writeMultiWithCounts(rows: DataFrame): Map[String, Long] = {
+    val prepared = prepare(rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      prepared.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("groupId", "chunkId")
+        .parquet(dir)
+      prepared.groupBy("groupId").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally { prepared.unpersist(); () }
+  }
 
   /** Hydrate the payloads of `chunkIds` for `groupId` in ONE pruned
     * scan: (chunkId → (subjects, resourceIds)), each in delivery order.
@@ -100,6 +126,23 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
+  }
+
+  /** Chunk ids with durable payload partitions for a group — the
+    * FULL delivery history (acked included), read from the partitioned
+    * table itself. This is the post-eviction history surface: the
+    * driver ledger keeps only pending + out-of-order-acked metas
+    * ([[ChunkLedger]]), so "all chunks ever" is answered by the durable
+    * layer that actually retains them. One directory listing. */
+  def listChunks(groupId: String): Seq[String] = {
+    val (filesystem, path) = fs
+    val gdir = new org.apache.hadoop.fs.Path(path, s"groupId=$groupId")
+    if (!filesystem.exists(gdir)) return Seq.empty
+    filesystem.listStatus(gdir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("chunkId="))
+      .map(_.stripPrefix("chunkId="))
   }
 
   /** Drop a group's payload partitions (group delete / retention). */

@@ -62,16 +62,25 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   @volatile private var ingestQuery: Option[StreamingQuery] = None
   private val deliveries: concurrent.Map[String, StreamingQuery] =
     new ConcurrentHashMap[String, StreamingQuery]().asScala
-  private val ledger: concurrent.Map[(String, String), ChunkMeta] =
-    new ConcurrentHashMap[(String, String), ChunkMeta]().asScala
+  /** Bounded metadata ledger (pending per group; acked history evicted
+    * behind a per-group watermark — see [[ChunkLedger]]). */
+  private val ledger = new ChunkLedger
   /** WAL-backed chunk/ack METADATA — replayed on construction so pending
     * (unacked) chunks survive a process restart (see LedgerStore).
     * Payloads are durable in [[DeliveryTable]] parquet under ckptRoot,
     * written by executors — the driver holds ids+counts only. */
   private val store = new LedgerStore(s"$ckptRoot/ledger")
-  store.load().foreach { case (k, v) => ledger.put(k, v) }
-  store.loadFlights().foreach { case ((g, c), (s, at, d)) =>
-    dispatcher.restore(g, c, s, at, d)
+  locally {
+    ledger.beginLoad()
+    val (metas, wms) = store.loadState()
+    wms.foreach { case (g, w) => ledger.restoreWatermark(g, w) }
+    metas.values.foreach { m =>
+      if (m.acked) ledger.restoreAcked(m) else { ledger.record(m); () }
+    }
+    ledger.settleLoad()
+    store.loadFlights().foreach { case ((g, c), (s, at, d)) =>
+      dispatcher.restore(g, c, s, at, d)
+    }
   }
   private val table = new DeliveryTable(spark, s"$ckptRoot/deliveries")
 
@@ -173,13 +182,13 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
         // Write-first: one pass (the write — an empty batch writes no
         // partitions), then the count from the written parquet footers.
         val chunkId = s"$groupId-$batchId"
-        if (!ledger.contains((groupId, chunkId))) {
+        if (!ledger.isKnown(groupId, chunkId, batchId)) {
           table.write(groupId, chunkId, batch.select("subject", "resourceId"))
           table.chunkCounts(Seq(groupId), _ => chunkId).get(groupId).foreach { n =>
             val meta = ChunkMeta(groupId, chunkId, batchId, n,
               new Timestamp(System.currentTimeMillis()), acked = false)
-            store.appendChunk(meta)                // WAL after payload
-            ledger.put((groupId, chunkId), meta)
+            if (ledger.record(meta)) store.appendChunk(meta) // WAL after payload
+            ()
           }
         }
         ()
@@ -271,18 +280,22 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
                 && Subjects.matchesCol(col("subject"), col("filterSubject"))
                 && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
             .select(col("id").as("groupId"), col("subject"), col("resourceId"))
-          table.writeMulti(matched
-            .withColumn("chunkId", concat(col("groupId"), lit(s"-$batchId"))))
-          table.chunkCounts(snapshot.map(_.id), g => s"$g-$batchId")
-            .foreach { case (gid, n) =>
-              val chunkId = s"$gid-$batchId"
-              if (!ledger.contains((gid, chunkId))) {
-                val meta = ChunkMeta(gid, chunkId, batchId, n,
-                  new Timestamp(System.currentTimeMillis()), acked = false)
-                store.appendChunk(meta)
-                ledger.put((gid, chunkId), meta)
-              }
+          val withChunk = matched
+            .withColumn("chunkId", concat(col("groupId"), lit(s"-$batchId")))
+          // Count regime — see MultiplexedDelivery.FooterCountMaxGroups.
+          val counts =
+            if (snapshot.size > MultiplexedDelivery.FooterCountMaxGroups)
+              table.writeMultiWithCounts(withChunk)
+            else {
+              table.writeMulti(withChunk)
+              table.chunkCounts(snapshot.map(_.id), g => s"$g-$batchId")
             }
+          counts.foreach { case (gid, n) =>
+            val chunkId = s"$gid-$batchId"
+            val meta = ChunkMeta(gid, chunkId, batchId, n,
+              new Timestamp(System.currentTimeMillis()), acked = false)
+            if (ledger.record(meta)) store.appendChunk(meta)
+          }
         }
         ()
       }
@@ -354,13 +367,13 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     (0 until nChunks).foreach { k =>
       val chunkId = s"$groupId-backfill-$k"
       // Idempotent per (groupId, chunkId): a re-run backfill re-serves
-      // nothing already in the ledger (WAL rules — acked stays acked).
-      if (!ledger.contains((groupId, chunkId))) {
-        val meta = ChunkMeta(groupId, chunkId, batchId = -(k + 1L),
-          math.min(chunkRows.toLong, n - k.toLong * chunkRows),
-          new Timestamp(System.currentTimeMillis()), acked = false)
+      // nothing already in the ledger (WAL rules — acked stays acked,
+      // including acked history compacted into the watermark).
+      val meta = ChunkMeta(groupId, chunkId, batchId = -(k + 1L),
+        math.min(chunkRows.toLong, n - k.toLong * chunkRows),
+        new Timestamp(System.currentTimeMillis()), acked = false)
+      if (ledger.record(meta)) {
         store.appendChunk(meta)
-        ledger.put((groupId, chunkId), meta)
         created += 1
       }
     }
@@ -384,9 +397,7 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   }
 
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
-    hydrate(groupId, ledger.collect {
-      case ((g, _), c) if g == groupId && !c.acked => c
-    }.toSeq.sortBy(_.batchId))
+    hydrate(groupId, ledger.pending(groupId))
 
   /** Consumer pull with JetStream semantics (see [[EventEngine.pull]]):
     * disjoint claims across competing sessions, ack-wait redelivery
@@ -394,9 +405,7 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     * flight so the redelivery timer survives restart. */
   def pull(groupId: String, sessionId: Long,
            max: Int = Int.MaxValue): Seq[DeliveryChunk] = {
-    val metas = ledger.collect {
-      case ((g, _), c) if g == groupId && !c.acked => c
-    }.toSeq.sortBy(_.batchId)
+    val metas = ledger.pending(groupId)
     val claimed =
       dispatcher.offer(groupId, sessionId, metas.map(_.chunkId), max).toSet
     for (c <- claimed; f <- dispatcher.flight(groupId, c))
@@ -405,21 +414,22 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   }
 
   /** Pending row count from driver metadata alone (no payload read). */
-  def pendingRowCount(groupId: String): Long =
-    ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c.rows }.sum
+  def pendingRowCount(groupId: String): Long = ledger.pendingRows(groupId)
 
+  /** All chunks ever delivered (acked history re-listed from the
+    * durable payload table — see [[EventEngine.historyMetas]]). */
   def deliveredChunks(groupId: String): Seq[DeliveryChunk] =
-    hydrate(groupId,
-      ledger.collect { case ((g, _), c) if g == groupId => c }.toSeq.sortBy(_.batchId))
+    hydrate(groupId, EventEngine.historyMetas(
+      groupId, ledger.pending(groupId), ledger.ackedResident(groupId),
+      table.listChunks(groupId)))
 
   def ack(groupId: String, chunkId: String): Boolean =
-    ledger.get((groupId, chunkId)) match {
-      case Some(c) if !c.acked =>
+    ledger.ack(groupId, chunkId) match {
+      case Some(_) =>
         store.appendAck(groupId, chunkId)
-        ledger.put((groupId, chunkId), c.copy(acked = true))
         dispatcher.settle(groupId, chunkId)
         true
-      case _ => false
+      case None => false // unknown id or duplicate ack
     }
 
   def processAllAvailable(): Unit = {

@@ -79,16 +79,22 @@ final class EventEngine(val spark: SparkSession,
   private val queries: concurrent.Map[String, StreamingQuery] =
     new ConcurrentHashMap[String, StreamingQuery]().asScala
 
-  /** Delivery ledger: (groupId, chunkId) → METADATA ONLY. The
-    * reference's `ack_chunks: Mutex<HashMap>` holds full message
-    * vectors (public_event_server.rs:318-319); here payloads live in
-    * the distributed [[DeliveryTable]] and the driver keeps ids+counts
-    * — no event row transits or resides in driver memory between
-    * delivery and ack. */
-  private val ledger: concurrent.Map[(String, String), ChunkMeta] =
-    new ConcurrentHashMap[(String, String), ChunkMeta]().asScala
+  /** Delivery ledger: METADATA ONLY, bounded. The reference's
+    * `ack_chunks: Mutex<HashMap>` holds full message vectors
+    * (public_event_server.rs:318-319); here payloads live in the
+    * distributed [[DeliveryTable]], and the driver keeps ids+counts for
+    * PENDING chunks only — acked history is evicted behind a per-group
+    * watermark ([[ChunkLedger]]), so driver residency is O(unacked),
+    * independent of all-time volume. */
+  private val ledger = new ChunkLedger
   store.foreach { st =>
-    st.load().foreach { case (k, v) => ledger.put(k, v) }
+    ledger.beginLoad()
+    val (metas, wms) = st.loadState()
+    wms.foreach { case (g, w) => ledger.restoreWatermark(g, w) }
+    metas.values.foreach { m =>
+      if (m.acked) ledger.restoreAcked(m) else { ledger.record(m); () }
+    }
+    ledger.settleLoad()
     st.loadFlights().foreach { case ((g, c), (s, at, d)) =>
       dispatcher.restore(g, c, s, at, d)
     }
@@ -100,9 +106,13 @@ final class EventEngine(val spark: SparkSession,
     * collision would overwrite a durable chunk's payload while the
     * ledger keeps the stale meta — or silently lose events behind an
     * acked id). Ids are `group-(epoch + batchId)`: monotone across
-    * restarts, deterministic within an incarnation. */
-  private val chunkSeqBase: Long =
-    ledger.values.map(_.batchId).maxOption.map(_ + 1L).getOrElse(0L)
+    * restarts, deterministic within an incarnation. The epoch survives
+    * acked-history eviction because the ledger's maxBatchId also tracks
+    * compacted watermarks. */
+  private val chunkSeqBase: Long = {
+    val m = ledger.maxBatchId
+    if (m == Long.MinValue) 0L else m + 1L
+  }
 
   /** Per-incarnation checkpoint root for the per-group delivery queries:
     * a group query stopped on last-session-close and restarted by a
@@ -208,12 +218,12 @@ final class EventEngine(val spark: SparkSession,
         val chunkId = s"${group.id}-$seq"
         table.write(group.id, chunkId, batch.select("subject", "resourceId"))
         table.chunkCounts(Seq(group.id), _ => chunkId).get(group.id).foreach { n =>
-          if (!ledger.contains((group.id, chunkId))) {
-            val meta = ChunkMeta(group.id, chunkId, seq, n,
-              new Timestamp(System.currentTimeMillis()), acked = false)
-            store.foreach(_.appendChunk(meta)) // WAL after payload
-            ledger.putIfAbsent((group.id, chunkId), meta)
-          }
+          val meta = ChunkMeta(group.id, chunkId, seq, n,
+            new Timestamp(System.currentTimeMillis()), acked = false)
+          // record() is the replay guard: false when the chunk is
+          // already pending or already acked (possibly only as a
+          // compacted watermark) — never resurrect it.
+          if (ledger.record(meta)) store.foreach(_.appendChunk(meta))
           ()
         }
         ()
@@ -239,9 +249,7 @@ final class EventEngine(val spark: SparkSession,
     * Monitoring/reconnect surface: bypasses flight bookkeeping; live
     * consumer sessions pull through [[pull]] instead. */
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
-    hydrate(groupId, ledger.collect {
-      case ((g, _), c) if g == groupId && !c.acked => c
-    }.toSeq.sortBy(_.batchId))
+    hydrate(groupId, ledger.pending(groupId))
 
   /** Consumer pull with JetStream semantics: of the group's unacked
     * chunks, return those offerable to THIS session — not in flight
@@ -255,9 +263,7 @@ final class EventEngine(val spark: SparkSession,
     * expiry is this engine's trigger). */
   def pull(groupId: String, sessionId: Long,
            max: Int = Int.MaxValue): Seq[DeliveryChunk] = {
-    val metas = ledger.collect {
-      case ((g, _), c) if g == groupId && !c.acked => c
-    }.toSeq.sortBy(_.batchId)
+    val metas = ledger.pending(groupId)
     val claimed =
       dispatcher.offer(groupId, sessionId, metas.map(_.chunkId), max).toSet
     for (st <- store; c <- claimed; f <- dispatcher.flight(groupId, c))
@@ -267,24 +273,28 @@ final class EventEngine(val spark: SparkSession,
 
   /** Pending row count from driver metadata alone — monitoring/backlog
     * accounting without touching the payload table. */
-  def pendingRowCount(groupId: String): Long =
-    ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c.rows }.sum
+  def pendingRowCount(groupId: String): Long = ledger.pendingRows(groupId)
 
-  /** All chunks ever delivered to a group (acked + pending). */
+  /** All chunks ever delivered to a group (acked + pending). Pending
+    * and out-of-order-acked metas come from the driver ledger; acked
+    * chunks already evicted behind the watermark are re-listed from the
+    * durable payload table (their batchId re-derived from the chunk
+    * id's trailing sequence — a monitoring surface, not a replay
+    * input). */
   def deliveredChunks(groupId: String): Seq[DeliveryChunk] =
-    hydrate(groupId,
-      ledger.collect { case ((g, _), c) if g == groupId => c }.toSeq.sortBy(_.batchId))
+    hydrate(groupId, EventEngine.historyMetas(
+      groupId, ledger.pending(groupId), ledger.ackedResident(groupId),
+      table.listChunks(groupId)))
 
   /** R12/R13 ack path: mark a chunk consumed. Unknown chunk ids are
     * ignored (reference panics — public_event_server.rs:368). */
   def ack(groupId: String, chunkId: String): Boolean =
-    ledger.get((groupId, chunkId)) match {
-      case Some(c) if !c.acked =>
+    ledger.ack(groupId, chunkId) match {
+      case Some(_) =>
         store.foreach(_.appendAck(groupId, chunkId))
-        ledger.put((groupId, chunkId), c.copy(acked = true))
         dispatcher.settle(groupId, chunkId)
         true
-      case _ => false
+      case None => false // unknown id or duplicate ack
     }
 
   /** R13 close: stop the group's delivery query (the `close` flag /
@@ -298,7 +308,7 @@ final class EventEngine(val spark: SparkSession,
   def deleteStreamGroup(groupId: String): Unit = {
     close(groupId)
     groups.remove(groupId)
-    ledger.keys.filter(_._1 == groupId).foreach(ledger.remove)
+    ledger.dropGroup(groupId)
     dispatcher.dropGroup(groupId)
     table.drop(groupId)
   }
@@ -312,5 +322,29 @@ final class EventEngine(val spark: SparkSession,
   def stop(): Unit = {
     queries.values.foreach(_.stop())
     queries.clear()
+  }
+}
+
+object EventEngine {
+  /** Assemble the "all chunks ever" meta list for a group from the
+    * bounded ledger + the durable payload table's partition listing
+    * (shared by [[EventEngine.deliveredChunks]] and
+    * [[DurableEventLog.deliveredChunks]]). Resident metas win; chunk
+    * ids only present on disk (acked history evicted behind the
+    * watermark) are synthesized with batchId parsed from the trailing
+    * `-<seq>` (backfill ids surface their positive slice index). */
+  private[streaming] def historyMetas(groupId: String,
+      pending: Seq[ChunkMeta], ackedResident: Seq[ChunkMeta],
+      diskChunkIds: Seq[String]): Seq[ChunkMeta] = {
+    val resident = pending ++ ackedResident
+    val residentIds = resident.map(_.chunkId).toSet
+    val evicted = diskChunkIds.filterNot(residentIds).map { cid =>
+      val i = cid.lastIndexOf('-')
+      val seq =
+        try if (i < 0) 0L else cid.substring(i + 1).toLong
+        catch { case _: NumberFormatException => 0L }
+      ChunkMeta(groupId, cid, seq, 0L, new Timestamp(0L), acked = true)
+    }
+    (resident ++ evicted).sortBy(m => (m.batchId, m.chunkId))
   }
 }

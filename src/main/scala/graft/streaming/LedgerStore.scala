@@ -57,6 +57,15 @@ final class LedgerStore(dir: String) {
   def appendAck(groupId: String, chunkId: String): Unit =
     append(ackLine(groupId, chunkId))
 
+  /** Watermark record: every chunk of `g` with batchId ≤ `w` is acked
+    * (or never existed). Written by [[compact]] in place of the acked
+    * chunk+ack line pairs it swallows — the WAL-side half of the
+    * [[ChunkLedger]] acked-history eviction: after compaction both the
+    * WAL and driver memory are O(pending + groups), not O(all-time
+    * chunks). */
+  private def wmLine(groupId: String, w: Long): String =
+    s"""{"t":"wm","g":"${esc(groupId)}","w":$w}"""
+
   private def offerLine(groupId: String, chunkId: String, sessionId: Long,
                         offeredAt: Long, deliveries: Int): String =
     s"""{"t":"offer","g":"${esc(groupId)}","c":"${esc(chunkId)}","s":$sessionId,""" +
@@ -74,42 +83,74 @@ final class LedgerStore(dir: String) {
     * restart) is idempotent by (groupId, chunkId) AND ack-preserving:
     * the chunk→ack→chunk sequence keeps acked=true — a client that
     * already acked must not see the chunk re-served as pending. */
-  def load(): Map[(String, String), ChunkMeta] = {
-    if (!Files.exists(path)) return Map.empty
+  def load(): Map[(String, String), ChunkMeta] = loadState()._1
+
+  /** Full replay: (chunk metas, per-group watermarks). A chunk line at
+    * or below its group's watermark-so-far replays as acked (compaction
+    * writes watermarks first; a post-crash foreachBatch replay can only
+    * re-append chunks the mint guard let through). */
+  def loadState(): (Map[(String, String), ChunkMeta], Map[String, Long]) = {
+    if (!Files.exists(path)) return (Map.empty, Map.empty)
     val state = scala.collection.mutable.Map[(String, String), ChunkMeta]()
+    val wms = scala.collection.mutable.Map[String, Long]()
     Files.readAllLines(path, StandardCharsets.UTF_8).asScala.foreach { line =>
-      parse(line).foreach {
-        case Left(chunk) =>
-          val k = (chunk.groupId, chunk.chunkId)
-          val acked = state.get(k).exists(_.acked)
-          state.put(k, chunk.copy(acked = acked))
-        case Right((g, c)) =>
-          state.get((g, c)).foreach(ch => state.put((g, c), ch.copy(acked = true)))
+      field(line, "t") match {
+        case Some("wm") =>
+          for (g <- field(line, "g"); w <- field(line, "w"))
+            wms.put(g, math.max(wms.getOrElse(g, Long.MinValue), w.toLong))
+        case _ =>
+          parse(line).foreach {
+            case Left(chunk) =>
+              val k = (chunk.groupId, chunk.chunkId)
+              val acked = state.get(k).exists(_.acked) ||
+                chunk.batchId <= wms.getOrElse(chunk.groupId, Long.MinValue)
+              state.put(k, chunk.copy(acked = acked))
+            case Right((g, c)) =>
+              state.get((g, c)).foreach(ch => state.put((g, c), ch.copy(acked = true)))
+          }
       }
     }
-    state.toMap
+    (state.toMap, wms.toMap)
   }
 
   /** Rewrite the WAL to the minimal lines reproducing current state:
-    * one chunk record per (groupId, chunkId), an ack record for the
-    * acked ones, and the LATEST offer record for each surviving flight
-    * (redelivery timer + delivery count). Append-only logs otherwise
-    * grow with every micro-batch retry, offer, and ack forever;
-    * compaction is the same hygiene the event log gets from compactTo.
-    * Acked chunks are RETAINED (not dropped): their keys are what makes
-    * a later foreachBatch replay idempotent — dropping them would
-    * resurrect the chunk as pending on re-append.
+    * per group, a WATERMARK line covering the acked prefix, then one
+    * chunk record per surviving (above-watermark) chunk, an ack record
+    * for the acked ones among them, and the LATEST offer record for
+    * each pending flight (redelivery timer + delivery count).
+    * Append-only logs otherwise grow with every micro-batch retry,
+    * offer, and ack forever; compaction is the same hygiene the event
+    * log gets from compactTo.
+    *
+    * Acked chunks below the watermark are DROPPED — the watermark line
+    * carries the replay-idempotence information their keys used to
+    * (`batchId ≤ wm ⇒ acked`, see [[loadState]]), so a later
+    * foreachBatch replay still cannot resurrect them, while the WAL
+    * stops growing with all-time history: post-compaction size is
+    * O(pending + groups), matching the in-memory [[ChunkLedger]] bound.
     * Atomic: write to a temp file, then move over the live WAL. */
   def compact(): Unit = synchronized {
-    val state = load()
+    val (state, wms0) = loadState()
     val fl = loadFlights()
+    val wms = scala.collection.mutable.Map[String, Long]() ++ wms0
+    state.values.groupBy(_.groupId).foreach { case (g, cs) =>
+      val unacked = cs.filter(!_.acked)
+      val w = if (unacked.isEmpty) cs.map(_.batchId).max
+              else unacked.map(_.batchId).min - 1
+      wms.put(g, math.max(wms.getOrElse(g, Long.MinValue), w)); ()
+    }
     val tmp = path.resolveSibling(path.getFileName.toString + ".compact")
     val sb = new StringBuilder
+    wms.toSeq.sortBy(_._1).foreach { case (g, w) =>
+      if (w > Long.MinValue) sb.append(wmLine(g, w)).append('\n')
+    }
     state.values.toSeq.sortBy(c => (c.groupId, c.batchId, c.chunkId)).foreach { c =>
-      sb.append(chunkLine(c)).append('\n')
-      if (c.acked) sb.append(ackLine(c.groupId, c.chunkId)).append('\n')
-      else fl.get((c.groupId, c.chunkId)).foreach { case (s, at, d) =>
-        sb.append(offerLine(c.groupId, c.chunkId, s, at, d)).append('\n')
+      if (c.batchId > wms.getOrElse(c.groupId, Long.MinValue)) {
+        sb.append(chunkLine(c)).append('\n')
+        if (c.acked) sb.append(ackLine(c.groupId, c.chunkId)).append('\n')
+        else fl.get((c.groupId, c.chunkId)).foreach { case (s, at, d) =>
+          sb.append(offerLine(c.groupId, c.chunkId, s, at, d)).append('\n')
+        }
       }
     }
     Files.writeString(tmp, sb.toString, StandardCharsets.UTF_8)

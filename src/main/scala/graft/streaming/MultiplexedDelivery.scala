@@ -35,7 +35,9 @@ final class MultiplexedDelivery(val spark: SparkSession,
                                 sourcePartitions: Int = 1,
                                 security: EngineSecurity = EngineSecurity.Permissive,
                                 ackWaitMillis: Long = 30000L,
-                                clock: () => Long = () => System.currentTimeMillis())
+                                clock: () => Long = () => System.currentTimeMillis(),
+                                footerCountMaxGroups: Int =
+                                  MultiplexedDelivery.FooterCountMaxGroups)
     extends ConsumerHost {
   import spark.implicits._
 
@@ -54,8 +56,11 @@ final class MultiplexedDelivery(val spark: SparkSession,
 
   private val groups: concurrent.Map[String, StreamGroup] =
     new ConcurrentHashMap[String, StreamGroup]().asScala
-  private val ledger: concurrent.Map[(String, String), ChunkMeta] =
-    new ConcurrentHashMap[(String, String), ChunkMeta]().asScala
+  /** Bounded metadata ledger — pending chunks indexed per group, acked
+    * history evicted behind a per-group watermark ([[ChunkLedger]]):
+    * pulls cost O(that group's pending) even at 10k groups, and driver
+    * residency is O(unacked), not O(all-time chunks). */
+  private val ledger = new ChunkLedger
   /** Optional WAL (same LedgerStore as DurableEventLog): with a
     * ledgerDir, pending/acked chunk state survives a process restart —
     * a reconnecting client is re-served exactly its unacked chunks.
@@ -65,7 +70,13 @@ final class MultiplexedDelivery(val spark: SparkSession,
     * otherwise) — the driver holds ids+counts only. */
   private val store: Option[LedgerStore] = ledgerDir.map(new LedgerStore(_))
   store.foreach { st =>
-    st.load().foreach { case (k, v) => ledger.put(k, v) }
+    ledger.beginLoad()
+    val (metas, wms) = st.loadState()
+    wms.foreach { case (g, w) => ledger.restoreWatermark(g, w) }
+    metas.values.foreach { m =>
+      if (m.acked) ledger.restoreAcked(m) else { ledger.record(m); () }
+    }
+    ledger.settleLoad()
     // restore flights: the owning sessions are from the dead process, so
     // every restored chunk is immediately offerable (restart failover)
     // while offeredAt and the delivery count stay monotone
@@ -81,8 +92,10 @@ final class MultiplexedDelivery(val spark: SparkSession,
     * a restarted incarnation's fresh query restarts Spark batch ids at
     * 0, and minting `group-0` again would overwrite a restored chunk's
     * payload behind its journaled meta. Ids are `group-(epoch+batchId)`. */
-  private val chunkSeqBase: Long =
-    ledger.values.map(_.batchId).maxOption.map(_ + 1L).getOrElse(0L)
+  private val chunkSeqBase: Long = {
+    val m = ledger.maxBatchId
+    if (m == Long.MinValue) 0L else m + 1L
+  }
 
   def emit(resource: ResourceType, eventType: String, resourceId: String,
            relation: RelationCtx, ts: Timestamp = new Timestamp(0L),
@@ -121,7 +134,7 @@ final class MultiplexedDelivery(val spark: SparkSession,
 
   def removeGroup(groupId: String): Unit = {
     groups.remove(groupId)
-    ledger.keys.filter(_._1 == groupId).foreach(ledger.remove)
+    ledger.dropGroup(groupId)
     dispatcher.dropGroup(groupId)
     table.drop(groupId)
   }
@@ -163,18 +176,28 @@ final class MultiplexedDelivery(val spark: SparkSession,
                 && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
             .select(col("id").as("groupId"), col("subject"), col("resourceId"))
           val seq = chunkSeqBase + batchId
-          table.writeMulti(matched
-            .withColumn("chunkId", concat(col("groupId"), lit(s"-$seq"))))
-          table.chunkCounts(snapshot.map(_.id), g => s"$g-$seq")
-            .foreach { case (gid, n) =>
-              val chunkId = s"$gid-$seq"
-              if (!ledger.contains((gid, chunkId))) {
-                val meta = ChunkMeta(gid, chunkId, seq, n,
-                  new Timestamp(System.currentTimeMillis()), acked = false)
-                store.foreach(_.appendChunk(meta)) // WAL after payload
-                ledger.put((gid, chunkId), meta)
-              }
+          val withChunk = matched
+            .withColumn("chunkId", concat(col("groupId"), lit(s"-$seq")))
+          // Count regime (see DeliveryTable.writeMultiWithCounts): the
+          // parquet-footer path pays one filesystem probe per REGISTERED
+          // group per batch — O(G) stat calls; past the crossover a
+          // second aggregation over the cached batch is cheaper and
+          // O(batch) regardless of group count.
+          val counts =
+            if (snapshot.size > footerCountMaxGroups)
+              table.writeMultiWithCounts(withChunk)
+            else {
+              table.writeMulti(withChunk)
+              table.chunkCounts(snapshot.map(_.id), g => s"$g-$seq")
             }
+          counts.foreach { case (gid, n) =>
+            val chunkId = s"$gid-$seq"
+            val meta = ChunkMeta(gid, chunkId, seq, n,
+              new Timestamp(System.currentTimeMillis()), acked = false)
+            // record() is the replay guard: false when already
+            // pending or acked (incl. a compacted watermark)
+            if (ledger.record(meta)) store.foreach(_.appendChunk(meta))
+          }
         }
         ()
       }
@@ -197,9 +220,7 @@ final class MultiplexedDelivery(val spark: SparkSession,
   }
 
   def pendingChunks(groupId: String): Seq[DeliveryChunk] =
-    hydrate(groupId, ledger.collect {
-      case ((g, _), c) if g == groupId && !c.acked => c
-    }.toSeq.sortBy(_.batchId))
+    hydrate(groupId, ledger.pending(groupId))
 
   /** R9 attach for the session protocol: the group must exist and the
     * caller must hold a Read grant on its resource (the per-attach
@@ -235,9 +256,7 @@ final class MultiplexedDelivery(val spark: SparkSession,
     * redelivery timer survives restart. */
   def pull(groupId: String, sessionId: Long,
            max: Int = Int.MaxValue): Seq[DeliveryChunk] = {
-    val metas = ledger.collect {
-      case ((g, _), c) if g == groupId && !c.acked => c
-    }.toSeq.sortBy(_.batchId)
+    val metas = ledger.pending(groupId)
     val claimed =
       dispatcher.offer(groupId, sessionId, metas.map(_.chunkId), max).toSet
     for (st <- store; c <- claimed; f <- dispatcher.flight(groupId, c))
@@ -247,17 +266,19 @@ final class MultiplexedDelivery(val spark: SparkSession,
 
   /** Pending row count from driver metadata alone (no payload read) —
     * the backlog-accounting path for monitoring and the bench. */
-  def pendingRowCount(groupId: String): Long =
-    ledger.collect { case ((g, _), c) if g == groupId && !c.acked => c.rows }.sum
+  def pendingRowCount(groupId: String): Long = ledger.pendingRows(groupId)
+
+  /** Driver-ledger footprint: (groups, pending metas, resident acked
+    * metas) — the many-groups probe's memory surface. */
+  def ledgerStats: (Int, Long, Long) = ledger.stats
 
   def ack(groupId: String, chunkId: String): Boolean =
-    ledger.get((groupId, chunkId)) match {
-      case Some(c) if !c.acked =>
+    ledger.ack(groupId, chunkId) match {
+      case Some(_) =>
         store.foreach(_.appendAck(groupId, chunkId))
-        ledger.put((groupId, chunkId), c.copy(acked = true))
         dispatcher.settle(groupId, chunkId)
         true
-      case _ => false
+      case None => false // unknown id or duplicate ack
     }
 
   def processAllAvailable(): Unit = query.foreach(_.processAllAvailable())
@@ -266,4 +287,13 @@ final class MultiplexedDelivery(val spark: SparkSession,
     query.foreach(_.stop())
     query = None
   }
+}
+
+object MultiplexedDelivery {
+  /** Above this many registered groups the per-batch chunk counts come
+    * from a second aggregation over the cached batch instead of parquet
+    * footers + per-group existence probes (O(batch) vs O(groups) —
+    * measured crossover, BASELINE.md round-11; GroupScaleProbe
+    * re-measures it). */
+  val FooterCountMaxGroups: Int = 64
 }

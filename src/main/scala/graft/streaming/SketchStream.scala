@@ -31,7 +31,7 @@ import graft.operators.{SelectionOps, SketchOps}
   * directory per applied micro-batch, written
   * under `tmp_b<id>` and published by rename (the single commit
   * point), after which older `sk_b*` versions are pruned, so storage
-  * holds exactly one sketch triple. Crash/replay safety follows the
+  * holds exactly one sketch version (all five states). Crash/replay safety follows the
   * idempotent-foreachBatch
   * contract ([[DurableEventLog]], [[SaIndexStream]]): batch ids are
   * monotone and a replayed id whose `sk_b<id>` exists is a no-op; a

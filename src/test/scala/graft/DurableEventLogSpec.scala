@@ -180,9 +180,17 @@ class DurableEventLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.compact()
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(dir, "ledger.jsonl"))
-    assert(lines.size == 3, s"2 chunks + 1 ack expected, got:\n${lines}")
-    assert(store.load() == before, "compaction must preserve the exact state")
-    // the compacted WAL still accepts appends and keeps idempotence
+    // acked history compacts into a watermark: 1 wm line + the pending
+    // chunk — the acked meta is evicted from the WAL (its idempotence
+    // now lives in the watermark), so post-compaction size is
+    // O(pending + groups), not O(all-time chunks)
+    assert(lines.size == 2, s"1 watermark + 1 pending chunk expected, got:\n${lines}")
+    val (metas, wms) = store.loadState()
+    assert(wms("g") == 0L, "the acked prefix becomes the watermark")
+    assert(metas == before.filterNot(_._2.acked),
+      "compaction must preserve the pending state exactly")
+    // the compacted WAL still accepts appends and keeps idempotence:
+    // a replayed chunk line at/below the watermark loads as ACKED
     store.appendChunk(c1) // replay after compaction
     assert(store.load()(("g", "g-0")).acked, "acked survives re-append post-compaction")
   }

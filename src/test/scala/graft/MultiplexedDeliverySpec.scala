@@ -204,4 +204,87 @@ class MultiplexedDeliverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pending.size == 1 && pending.head.resourceIds == Seq("c"),
       s"only the unacked chunk is pending after restart: $pending")
   }
+
+  test("many-groups churn: create/delete between batches with competing consumers stays correct") {
+    // 71 groups (> FooterCountMaxGroups) so this also exercises the
+    // aggregation count regime end-to-end, not just its unit test.
+    val mux = new MultiplexedDelivery(spark)
+    try {
+      mux.addGroup("hot", ResourceType.Project, "p0", Hierarchy(projectId = "p0"), true)
+      (0 until 70).foreach { i =>
+        mux.addGroup(s"col-c$i", ResourceType.Collection, s"c$i",
+          Hierarchy(projectId = "p0", collectionId = s"c$i"), true)
+      }
+      mux.start()
+      (0 until 10).foreach { i =>
+        mux.emit(ResourceType.Collection, EventType.All, s"c$i", RelationCtx(project = "p0"))
+      }
+      mux.processAllAvailable()
+      (0 until 10).foreach(i => assert(mux.pendingRowCount(s"col-c$i") == 1L,
+        s"col-c$i must hold its event"))
+      (10 until 70).foreach(i => assert(mux.pendingRowCount(s"col-c$i") == 0L))
+      assert(mux.pendingRowCount("hot") == 10L)
+
+      // churn between micro-batches: no query restart
+      (0 until 5).foreach(i => mux.removeGroup(s"col-c$i"))
+      mux.addGroup("late-c0", ResourceType.Collection, "c0",
+        Hierarchy(projectId = "p0", collectionId = "c0"), true)
+      (0 until 5).foreach { i =>
+        mux.emit(ResourceType.Collection, EventType.All, s"c$i", RelationCtx(project = "p0"))
+      }
+      mux.processAllAvailable()
+      (0 until 5).foreach(i => assert(mux.pendingRowCount(s"col-c$i") == 0L,
+        s"deleted col-c$i must receive nothing"))
+      assert(mux.pendingRowCount("late-c0") == 1L,
+        "a group registered mid-stream sees exactly the post-registration events")
+      assert(mux.pendingRowCount("hot") == 15L)
+
+      // competing consumers drain the hot group disjointly; the ledger
+      // evicts the acked history as they go
+      val s1 = mux.openSession("hot")
+      val s2 = mux.openSession("hot")
+      val c1 = mux.pull("hot", s1)
+      val c2 = mux.pull("hot", s2)
+      assert(c1.map(_.chunkId).toSet.intersect(c2.map(_.chunkId).toSet).isEmpty)
+      (c1 ++ c2).foreach(c => assert(mux.ack("hot", c.chunkId)))
+      // fair dispatch splits the first round; later round-trips reclaim
+      var guard = 0
+      while (mux.pendingRowCount("hot") > 0 && guard < 10) {
+        mux.pull("hot", s1).foreach(c => mux.ack("hot", c.chunkId))
+        guard += 1
+      }
+      assert(mux.pendingRowCount("hot") == 0L)
+      val (_, _, ackedResident) = mux.ledgerStats
+      assert(ackedResident == 0L,
+        "fully-acked groups must leave no acked metas resident (watermark eviction)")
+    } finally mux.stop()
+  }
+
+  test("footer and aggregation count regimes deliver identical chunks") {
+    def runWith(threshold: Int): Map[String, Seq[(String, Long)]] = {
+      val mux = new MultiplexedDelivery(spark, footerCountMaxGroups = threshold)
+      try {
+        mux.addGroup("t1", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+        mux.addGroup("t2", ResourceType.Collection, "c1",
+          Hierarchy(projectId = "p1", collectionId = "c1"), true)
+        mux.addGroup("t3", ResourceType.Project, "p2", Hierarchy(projectId = "p2"), false)
+        mux.start()
+        mux.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+        mux.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p1"))
+        mux.processAllAvailable()
+        mux.emit(ResourceType.Project, EventType.All, "p2", RelationCtx())
+        mux.emit(ResourceType.Object, EventType.All, "o1",
+          RelationCtx(project = "p1", collection = "c1", sharedObject = "s1",
+            objectGroups = Seq("g1")))
+        mux.processAllAvailable()
+        Seq("t1", "t2", "t3").map { g =>
+          g -> mux.pendingChunks(g).map(c => (c.resourceIds.sorted.mkString(","),
+            c.resourceIds.size.toLong))
+        }.toMap
+      } finally mux.stop()
+    }
+    val footer = runWith(Int.MaxValue) // always parquet footers
+    val agg = runWith(0)               // always cached-batch aggregation
+    assert(footer == agg, s"count regimes diverged:\n$footer\nvs\n$agg")
+  }
 }

@@ -43,6 +43,11 @@ import pyarrow.parquet as pq
 
 SRC, OUT = sys.argv[1], sys.argv[2]
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# optional 5th arg: comma-separated table subset (e.g. the 1000x tail
+# rehearsal only needs lineitem,documents,embeddings + dims)
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+def wanted(t):
+    return ONLY is None or t in ONLY
 import os
 os.makedirs(OUT, exist_ok=True)
 
@@ -51,8 +56,9 @@ def stride(series):
 
 # dimensions: single copy
 for t in ["region", "nation", "customer", "supplier", "part"]:
-    pd.read_parquet(f"{SRC}/{t}.parquet").to_parquet(f"{OUT}/{t}.parquet", index=False)
-    print(f"{t}: copied as-is")
+    if wanted(t) or ONLY is not None:  # dims are cheap: always copy
+        pd.read_parquet(f"{SRC}/{t}.parquet").to_parquet(f"{OUT}/{t}.parquet", index=False)
+        print(f"{t}: copied as-is")
 
 def replicate(name, df, mutate):
     writer = None
@@ -68,38 +74,43 @@ def replicate(name, df, mutate):
 
 orders = pd.read_parquet(f"{SRC}/orders.parquet")
 ok_stride = stride(orders.o_orderkey)
-replicate("orders", orders, lambda c, k: c.__setitem__("o_orderkey", c.o_orderkey + k * ok_stride))
+if wanted("orders"):
+    replicate("orders", orders, lambda c, k: c.__setitem__("o_orderkey", c.o_orderkey + k * ok_stride))
 
-lineitem = pd.read_parquet(f"{SRC}/lineitem.parquet")
-replicate("lineitem", lineitem, lambda c, k: c.__setitem__("l_orderkey", c.l_orderkey + k * ok_stride))
+if wanted("lineitem"):
+    lineitem = pd.read_parquet(f"{SRC}/lineitem.parquet")
+    replicate("lineitem", lineitem, lambda c, k: c.__setitem__("l_orderkey", c.l_orderkey + k * ok_stride))
 
-events = pd.read_parquet(f"{SRC}/events.parquet")
-ev_stride = stride(events.event_id)
-u_stride = stride(events.user_id)
-def mut_events(c, k):
-    c["event_id"] = c.event_id + k * ev_stride
-    c["user_id"] = c.user_id + k * u_stride
-    c["ts"] = c.ts + pd.Timedelta(hours=k)
-replicate("events", events, mut_events)
+if wanted("events"):
+    events = pd.read_parquet(f"{SRC}/events.parquet")
+    ev_stride = stride(events.event_id)
+    u_stride = stride(events.user_id)
+    def mut_events(c, k):
+        c["event_id"] = c.event_id + k * ev_stride
+        c["user_id"] = c.user_id + k * u_stride
+        c["ts"] = c.ts + pd.Timedelta(hours=k)
+    replicate("events", events, mut_events)
 
-docs = pd.read_parquet(f"{SRC}/documents.parquet")
-d_stride = stride(docs.doc_id)
-def mut_docs(c, k):
-    c["doc_id"] = c.doc_id + k * d_stride
-    if k > 0:
-        suf = f"~{k}"
-        c["text"] = c.text.map(lambda t: " ".join(w + suf for w in t.split(" ")))
-        c["n_chars"] = c.text.str.len()
-replicate("documents", docs, mut_docs)
+if wanted("documents"):
+    docs = pd.read_parquet(f"{SRC}/documents.parquet")
+    d_stride = stride(docs.doc_id)
+    def mut_docs(c, k):
+        c["doc_id"] = c.doc_id + k * d_stride
+        if k > 0:
+            suf = f"~{k}"
+            c["text"] = c.text.map(lambda t: " ".join(w + suf for w in t.split(" ")))
+            c["n_chars"] = c.text.str.len()
+    replicate("documents", docs, mut_docs)
 
-emb = pd.read_parquet(f"{SRC}/embeddings.parquet")
-v_stride = stride(emb.vec_id)
-dim = len(emb.embedding.iloc[0])
-def mut_emb(c, k):
-    c["vec_id"] = c.vec_id + k * v_stride
-    if k > 0:
-        signs = np.where(np.random.RandomState(k).rand(dim) < 0.5, -1.0, 1.0).astype(np.float32)
-        c["embedding"] = c.embedding.map(
-            lambda v: np.roll(np.asarray(v, dtype=np.float32), k % dim) * signs)
-replicate("embeddings", emb, mut_emb)
+if wanted("embeddings"):
+    emb = pd.read_parquet(f"{SRC}/embeddings.parquet")
+    v_stride = stride(emb.vec_id)
+    dim = len(emb.embedding.iloc[0])
+    def mut_emb(c, k):
+        c["vec_id"] = c.vec_id + k * v_stride
+        if k > 0:
+            signs = np.where(np.random.RandomState(k).rand(dim) < 0.5, -1.0, 1.0).astype(np.float32)
+            c["embedding"] = c.embedding.map(
+                lambda v: np.roll(np.asarray(v, dtype=np.float32), k % dim) * signs)
+    replicate("embeddings", emb, mut_emb)
 print("done:", OUT)
