@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   * on a real cluster.
   */
 object Bench {
+  /** Name of the query currently inside its timed region — read by the
+    * SPARK_GRAFT_STAGEPROF listener to tag stage lines. */
+  @volatile private var currentQuery = ""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -96,7 +100,32 @@ object Bench {
     // isolated); interleaving spaces a query's samples minutes apart so
     // a localized window costs at most one sample, which the median
     // discards.
+    // Debug-only knobs (never set by the driver, so the contract run is
+    // unchanged): SPARK_GRAFT_ONLY=q201,q199 restricts the suite to a
+    // subset WITH the exact bench hygiene (interleaving, clearCache, gc
+    // cadence) — the lever that separates "in-suite" from "isolated"
+    // when an entry inflates only inside the full run; and
+    // SPARK_GRAFT_STAGEPROF=1 prints per-stage run/GC/shuffle/spill so
+    // the inflated run names its mechanism instead of its total.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    if (sys.env.get("SPARK_GRAFT_STAGEPROF").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val m = si.taskMetrics
+          System.err.println(f"[stage] q=$currentQuery stage=${si.stageId} " +
+            f"tasks=${si.numTasks} run=${m.executorRunTime / 1e3}%.1fs " +
+            f"gc=${m.jvmGCTime / 1e3}%.1fs cpu=${m.executorCpuTime / 1e9}%.1fs " +
+            f"shR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.0fMB " +
+            f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0fMB " +
+            f"spillM=${m.memoryBytesSpilled / 1e6}%.0fMB " +
+            f"spillD=${m.diskBytesSpilled / 1e6}%.0fMB ${si.name.take(60)}")
+        }
+      })
+    }
     val qdefs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     (1 to runs).foreach { _ =>
       qdefs.foreach { case (name, fn) =>
@@ -105,6 +134,7 @@ object Bench {
         // whole-suite rehearsal's first OOM was only locatable by
         // stage number without this
         System.err.println(s"[bench-q] $name")
+        currentQuery = name
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => failed ::= name; false }

@@ -390,9 +390,15 @@ object DedupOps extends QueryModule {
     * contraction ([[GraphOps.connectedComponents]], q202's operator)
     * takes over — O(log² n) rounds regardless of component DIAMETER,
     * where the min-label Pregel loop it replaced paid O(diameter)
-    * rounds. The default threshold's 5M edges ≈ 80 MB collected — far
-    * under driver headroom — while a 100 TB corpus whose dup graph
-    * exceeds it stays fully distributed. Both branches converge to the
+    * rounds. The default threshold is MEASURED, not estimated
+    * ([[graft.tools.CcHeapProbe]], chains-of-5 at exactly the 5M
+    * symmetrized-edge gate): the primitive union-find
+    * ([[DriverCc.label]]) peaks at +1.08 GB driver heap (158 MB
+    * retained) and labels in 10.4 s where star contraction on the same
+    * graph takes 24.9 s — the boxed Row/Map version it replaced peaked
+    * at +3.66 GB and 49.2 s, i.e. was BEYOND its crossover. A 100 TB
+    * corpus whose dup graph exceeds the gate stays fully distributed.
+    * Both branches converge to the
     * SAME unique fixpoint (every clustered doc labeled with its
     * component minimum) — DedupSpec forces the distributed branch on
     * the fixture and asserts equality. */
@@ -400,6 +406,65 @@ object DedupOps extends QueryModule {
     * [[clusterLabels]]' distributed branch on it). */
   private[graft] def fixturePairs(s: SparkSession, dir: String): DataFrame =
     SharedPairs(s, dir).select("a", "b")
+
+  /** Driver-side connected components over a primitive edge list.
+    * Zero boxing: an open-addressing table (linear probing, load
+    * ≤ 0.67) maps node ids to dense indices; parent pointers are ints;
+    * `minId(root)` carries the component minimum so the final label is
+    * the same unique fixpoint as the distributed branch. Worst-case
+    * footprint at the q68 threshold (2.5M pairs, every edge two fresh
+    * nodes = 5M nodes): edges 40 MB + table 96+32 MB + ids/minId
+    * 80 MB + parents 20 MB ≈ 270 MB — measured end-to-end in
+    * [[graft.tools.CcHeapProbe]]. */
+  private[graft] object DriverCc {
+    def label(ea: Array[Long], eb: Array[Long]): (Array[Long], Array[Long]) = {
+      val m = ea.length
+      val maxNodes = math.max(2, 2 * m)
+      var slots = 16
+      while (slots < maxNodes * 3L / 2L) slots <<= 1
+      val mask = slots - 1
+      val keys = new Array[Long](slots)
+      val vals = new Array[Int](slots); java.util.Arrays.fill(vals, -1)
+      val ids = new Array[Long](maxNodes)
+      val minId = new Array[Long](maxNodes)
+      val parent = new Array[Int](maxNodes)
+      var nNodes = 0
+      def idx(k: Long): Int = {
+        var h = k * -7046029254386353131L; h ^= (h >>> 32)
+        var p = (h & mask).toInt
+        while (vals(p) != -1 && keys(p) != k) p = (p + 1) & mask
+        if (vals(p) == -1) {
+          keys(p) = k; vals(p) = nNodes
+          ids(nNodes) = k; minId(nNodes) = k; parent(nNodes) = nNodes
+          nNodes += 1
+        }
+        vals(p)
+      }
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      var i = 0
+      while (i < m) {
+        val ra = find(idx(ea(i))); val rb = find(idx(eb(i)))
+        if (ra != rb) {
+          // attach the root with the LARGER component-min under the
+          // smaller — roots always carry their component minimum, the
+          // invariant the old boxed version kept via min/max root ids
+          if (minId(ra) <= minId(rb)) parent(rb) = ra
+          else parent(ra) = rb
+        }
+        i += 1
+      }
+      val labels = new Array[Long](nNodes)
+      var j = 0
+      while (j < nNodes) { labels(j) = minId(find(j)); j += 1 }
+      (java.util.Arrays.copyOf(ids, nNodes), labels)
+    }
+  }
 
   private[graft] def clusterLabels(s: SparkSession, pairs0: DataFrame,
                                    smallGraphEdges: Long = 5000000L): DataFrame = {
@@ -414,24 +479,29 @@ object DedupOps extends QueryModule {
     // driver rows at the threshold.
     val pairs = pairs0.cache()
     try {
-      if (2L * pairs.count() <= smallGraphEdges) {
-        val e = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
+      val cnt = pairs.count()
+      if (2L * cnt <= smallGraphEdges) {
+        // Primitive-array union-find (round-10 verdict task 7): the
+        // boxed Row/Map version peaked far above its 80 MB raw-bytes
+        // estimate (measured in tools.CcHeapProbe); this one holds the
+        // edge list in two long arrays (filled from toLocalIterator —
+        // one partition of Rows resident at a time, not all 2.5M), an
+        // open-addressing long→dense-index table, and int parent
+        // pointers. Same unique fixpoint: every node labeled with its
+        // component MINIMUM id.
+        require(cnt < (1L << 30), s"driver union-find gate passed $cnt pairs")
+        val m = cnt.toInt
+        val ea = new Array[Long](m); val eb = new Array[Long](m)
+        val it = pairs.toLocalIterator(); var i = 0
+        while (it.hasNext) {
+          val r = it.next(); ea(i) = r.getLong(0); eb(i) = r.getLong(1); i += 1
         }
-        e.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val nodes = e.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
-        val rows = nodes.map(d => (d, find(d)))
-        s.createDataFrame(rows).toDF("doc_id", "cluster_id").orderBy("doc_id")
+        require(i == m, s"pair count changed under collect: $i != $m")
+        val (ids, labels) = DriverCc.label(ea, eb)
+        val rows = Array.tabulate(ids.length)(j => (ids(j), labels(j)))
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq,
+            math.max(1, rows.length / 500000)))
+          .toDF("doc_id", "cluster_id").orderBy("doc_id")
       } else {
         GraphOps.connectedComponents(pairs)
           .select(col("node").as("doc_id"), col("comp").as("cluster_id"))

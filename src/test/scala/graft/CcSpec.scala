@@ -89,6 +89,26 @@ class CcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ccLabels(Seq.empty)._1.isEmpty)
   }
 
+  test("DriverCc primitive union-find matches the boxed reference on random graphs") {
+    import graft.operators.DedupOps
+    for (seed <- Seq(2, 11, 29, 47)) {
+      val rnd = new scala.util.Random(seed)
+      // ids drawn sparse (×1e9 stride) so the open-addressing table sees
+      // realistic 63-bit keys, not dense smalls; duplicates kept — the
+      // edge list is allowed to repeat pairs
+      val es = Seq.fill(300)((rnd.nextInt(150).toLong * 1000000007L,
+        rnd.nextInt(150).toLong * 1000000007L)).filter { case (a, b) => a != b }
+      val (ids, labels) = DedupOps.DriverCc.label(
+        es.map(_._1).toArray, es.map(_._2).toArray)
+      assert(ids.length == ids.distinct.length, s"seed $seed: duplicate node ids")
+      val got = ids.zip(labels).toMap
+      assert(got == unionFind(es), s"seed $seed diverged from reference union-find")
+    }
+    // empty edge list
+    val (i0, l0) = DedupOps.DriverCc.label(Array.empty[Long], Array.empty[Long])
+    assert(i0.isEmpty && l0.isEmpty)
+  }
+
   test("q68's distributed branch (forced) labels the fixture dup graph exactly like the union-find branch") {
     import graft.operators.DedupOps
     val sfDir = "/root/testdata/sf0.001"
