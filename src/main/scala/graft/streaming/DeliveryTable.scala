@@ -95,8 +95,22 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
   def read(groupId: String, chunkIds: Seq[String]): Map[String, (Seq[String], Seq[String])] = {
     val (filesystem, path) = fs
     if (chunkIds.isEmpty || !filesystem.exists(path)) return Map.empty
-    spark.read.schema(readSchema).parquet(dir)
-      .filter(col("groupId") === groupId && col("chunkId").isin(chunkIds: _*))
+    // Read EXACTLY the requested chunk partitions as direct paths. The
+    // old root-dir read partition-PRUNED correctly but had to LIST the
+    // whole tree first — at thousands of groups that listing is itself
+    // a distributed job per pull (paths beyond the parallel-discovery
+    // threshold), it scales with the TOTAL group count instead of this
+    // consumer's outstanding chunks, and it races group-churn deletes
+    // of OTHER groups' dirs (task-time FileNotFound, surfaced by
+    // GroupScaleProbe at 10k groups with churn). Direct paths keep the
+    // pull O(this group's pending); the existence filter makes a
+    // concurrently-dropped chunk read as absent, never as a failed job.
+    val chunkPaths = chunkIds.distinct
+      .map(c => new org.apache.hadoop.fs.Path(path, s"groupId=$groupId/chunkId=$c"))
+      .filter(filesystem.exists)
+    if (chunkPaths.isEmpty) return Map.empty
+    spark.read.option("basePath", dir).schema(readSchema)
+      .parquet(chunkPaths.map(_.toString): _*)
       .select("chunkId", "subject", "resourceId", "seq")
       .collect()
       .groupBy(_.getString(0))

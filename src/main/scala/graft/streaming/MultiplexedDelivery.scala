@@ -132,6 +132,15 @@ final class MultiplexedDelivery(val spark: SparkSession,
     g
   }
 
+  /** Registration must NOT touch the payload table: the `(groupId,
+    * chunkId)` dirs plus the WAL are the group's durable state, and a
+    * crash-restart re-registers existing groups over both (clearing
+    * dirs here was measured as an at-least-once violation by
+    * SessionFuzzSpec). Known benign race the other way: a batch in
+    * flight at removeGroup time can re-create a dropped dir after the
+    * delete; the orphan is invisible to the ledger and dispatcher, and
+    * can at worst re-list a stale chunk id in a SAME-ID re-add's
+    * delivered history — never re-serve it. */
   def removeGroup(groupId: String): Unit = {
     groups.remove(groupId)
     ledger.dropGroup(groupId)

@@ -53,6 +53,25 @@ class DeliveryTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dynamic overwrite must not clobber sibling chunks")
   }
 
+  test("read touches only the requested group's chunk dirs: a concurrently-dropped sibling group never fails a pull") {
+    val t = new DeliveryTable(spark, DeliveryTable.tempDir())
+    t.write("keep", "keep-0", payload(Seq(("s1", "r1"))))
+    t.write("gone", "gone-0", payload(Seq(("s2", "r2"))))
+    // churn: the sibling group is removed between this consumer's pull
+    // planning and execution — its dir vanishing must be invisible here
+    t.drop("gone")
+    assert(t.read("keep", Seq("keep-0")) ==
+      Map("keep-0" -> ((Seq("s1"), Seq("r1")))))
+    // and a chunk id whose OWN dir was dropped reads as absent, not as
+    // a failed job (the churn-tolerance contract of the direct-path read)
+    assert(t.read("gone", Seq("gone-0")).isEmpty)
+    // mixed list: present chunk hydrates, dropped chunk is skipped
+    t.write("keep", "keep-1", payload(Seq(("s3", "r3"))))
+    t.drop("gone")
+    assert(t.read("keep", Seq("keep-0", "gone-0", "keep-1")).keySet ==
+      Set("keep-0", "keep-1"))
+  }
+
   test("read of an empty table / unknown chunks is empty; drop removes a group only") {
     val t = new DeliveryTable(spark, DeliveryTable.tempDir())
     assert(t.read("g", Seq("g-0")).isEmpty, "missing dir reads empty")
