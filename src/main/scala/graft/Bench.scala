@@ -35,7 +35,7 @@ object Bench {
     // normalized by the calib ratio instead of burning an analysis
     // round proving a uniform 1.3× was the machine (as round 10 did).
     // One untimed run warms the generated class; median of 3 timed.
-    val calib = {
+    val calib = if (sys.env.get("SPARK_GRAFT_CALIB").contains("0")) 0.0 else {
       import org.apache.spark.sql.functions.{col, lit, xxhash64, expr, count}
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -61,10 +61,14 @@ object Bench {
     // Cold-start costs are per-JVM one-offs; the number that predicts
     // cluster throughput at 100 TB is the warm one. Disable with
     // SPARK_GRAFT_WARMUP=0 to measure cold-start instead.
+    // (defined early: the warmup must honor the same debug subset, or an
+    // SPARK_GRAFT_ONLY experiment at 100× pays a full-surface warmup)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP", sfDir)
     if (warmupDir != "0" && new java.io.File(warmupDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (only.forall(_.contains(name)))
+          try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
       spark.catalog.clearCache() // drop warmup-scale cached tables
     }
@@ -107,7 +111,6 @@ object Bench {
     // when an entry inflates only inside the full run; and
     // SPARK_GRAFT_STAGEPROF=1 prints per-stage run/GC/shuffle/spill so
     // the inflated run names its mechanism instead of its total.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     if (sys.env.get("SPARK_GRAFT_STAGEPROF").contains("1")) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -159,55 +162,49 @@ object Bench {
     // Median of N for the replay too — a single sample is as exposed to a
     // host-steal window as any query, and this row IS the headline
     // streaming-throughput number.
-    val replaySamples = (1 to runs).map { _ =>
-      System.gc() // clean slate before the latency-sensitive streaming replay
-      streamReplaySeconds(spark, sfDir)
+    // Under SPARK_GRAFT_ONLY (debug subset runs) the replay/pressure/
+    // fold rows are skipped — the knob exists to time a few queries
+    // with suite hygiene, not to pay three 10M-event replays per
+    // experiment. The contract run (no env) is unchanged.
+    val extras = only.isEmpty
+    def extraSamples(name: String)(f: => Double): Seq[Double] = {
+      if (!extras) return Seq(0.0)
+      val ss = (1 to runs).map { _ => System.gc(); f }
+      System.err.println(
+        s"[bench-runs] $name ${ss.map(x => f"$x%.2f").mkString(" ")}")
+      ss
     }
-    System.err.println(
-      s"[bench-runs] stream_replay ${replaySamples.map(x => f"$x%.2f").mkString(" ")}")
+    val replaySamples = extraSamples("stream_replay")(streamReplaySeconds(spark, sfDir))
     val replay = replaySamples.sorted.apply(replaySamples.size / 2)
-    val wireSamples = (1 to runs).map { _ =>
-      System.gc()
-      wireReplaySeconds(spark, sfDir)
-    }
-    System.err.println(
-      s"[bench-runs] wire_replay ${wireSamples.map(x => f"$x%.2f").mkString(" ")}")
+    val wireSamples = extraSamples("wire_replay")(wireReplaySeconds(spark, sfDir))
     val wire = wireSamples.sorted.apply(wireSamples.size / 2)
-    val h2cSamples = (1 to runs).map { _ =>
-      System.gc()
-      h2cReplaySeconds(spark, sfDir)
-    }
-    System.err.println(
-      s"[bench-runs] h2c_replay ${h2cSamples.map(x => f"$x%.2f").mkString(" ")}")
+    val h2cSamples = extraSamples("h2c_replay")(h2cReplaySeconds(spark, sfDir))
     val h2c = h2cSamples.sorted.apply(h2cSamples.size / 2)
     // Pressure rows (round-10 verdict tasks 1-2), one sample each: the
     // redelivery soak ends on a full at-least-once drain (self-asserting,
     // so a plausible-but-wrong fast time cannot happen), and the
     // many-groups row runs the 2000-group churn probe — per-batch cost
     // vs group count has its full curve in GroupScaleProbe/BASELINE.md.
-    System.gc()
-    val redelivery = redeliveryReplaySeconds(spark, sfDir)
-    System.err.println(f"[bench-runs] redelivery_replay $redelivery%.2f")
-    System.gc()
-    val muxGroups = {
+    def extraOne(name: String)(f: => Double): Double = {
+      if (!extras) return 0.0
+      System.gc()
+      val v = f
+      System.err.println(f"[bench-runs] $name $v%.2f")
+      v
+    }
+    val redelivery = extraOne("redelivery_replay")(redeliveryReplaySeconds(spark, sfDir))
+    val muxGroups = extraOne("mux_groups") {
       val rows = graft.sources.Tables.load(spark, sfDir, "events")
         .select("event_id", "user_id", "event_type").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       graft.tools.GroupScaleProbe.run(spark, rows, 2000).totalSec
     }
-    System.err.println(f"[bench-runs] mux_groups $muxGroups%.2f")
     // Live-maintenance rows: each value is already a median of 3
     // tail-slice folds against a mature persisted state (see the
     // helpers), so one call per row suffices.
-    System.gc()
-    val sketchFold = sketchFoldSeconds(spark, sfDir)
-    System.err.println(f"[bench-runs] sketch_fold $sketchFold%.2f")
-    System.gc()
-    val annFold = annFoldSeconds(spark, sfDir)
-    System.err.println(f"[bench-runs] ann_fold $annFold%.2f")
-    System.gc()
-    val ccFold = ccFoldSeconds(spark, sfDir)
-    System.err.println(f"[bench-runs] cc_fold $ccFold%.2f")
+    val sketchFold = extraOne("sketch_fold")(sketchFoldSeconds(spark, sfDir))
+    val annFold = extraOne("ann_fold")(annFoldSeconds(spark, sfDir))
+    val ccFold = extraOne("cc_fold")(ccFoldSeconds(spark, sfDir))
     val all = results :+ ("stream_replay" -> replay) :+
       ("wire_replay" -> wire) :+ ("h2c_replay" -> h2c) :+
       ("redelivery_replay" -> redelivery) :+ ("mux_groups" -> muxGroups) :+

@@ -41,8 +41,16 @@ object SketchOps extends QueryModule {
     docs
       .select(col("source"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+      // index-explode + scalar concat instead of a transform(...) lambda:
+      // content-identical, but fully whole-stage-codegen'd where the HOF
+      // evaluates interpreted and decays 2.4× under the megamorphic-JIT
+      // pollution any long bench session accumulates (tools.MgProbe).
+      .select(col("source"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 3)).as("i"))
+      .select(col("source"), concat(
+        element_at(col("ws"), col("i") + 1), lit(" "),
+        element_at(col("ws"), col("i") + 2), lit(" "),
+        element_at(col("ws"), col("i") + 3)).as("w"))
 
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleStreamOf(t(s, dir, "documents"))
@@ -662,9 +670,19 @@ object SketchOps extends QueryModule {
   private[graft] def mgStreamOf(docs: DataFrame): DataFrame = {
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val uni = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+    // explode the INDEX range and build each shingle with scalar
+    // element_at/concat — content-identical to the former
+    // `transform(sequence, i -> …)` lambda, but every expression here
+    // whole-stage-codegens, where a higher-order function evaluates on
+    // the interpreted path and pays the megamorphic-JIT tax measured in
+    // tools.MgProbe (2.4× once any other generated plan has run).
     val sh = ws.filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 3)).as("i"))
+      .select(col("doc_id"), concat(
+        element_at(col("ws"), col("i") + 1), lit(" "),
+        element_at(col("ws"), col("i") + 2), lit(" "),
+        element_at(col("ws"), col("i") + 3)).as("w"))
     uni.union(sh)
   }
 
@@ -741,9 +759,33 @@ object SketchOps extends QueryModule {
       // three consumers only needs one cheap map-side re-explode —
       // caching it serialized was measured 4.5× SLOWER warm at 10×
       // (storage-memory pressure + 18 eager checkpoint jobs).
-      val docs = t(s, dir, "documents")
+      // widen: the level-0 histogram sort and the exact-count explode
+      // are ~all of q201's cost and both are map-side over the raw doc
+      // scan — on single-file rehearsal fixtures that scan is 2-4 fat
+      // tasks (see Tables.widen), which serialized 13.6 s of CPU on 2
+      // of 32 cores at 100× AND made the entry the suite's most
+      // interference-sensitive (in-suite 34.5 s vs 16.1 s isolated,
+      // round-10 verdict task 3).
+      val docs = graft.sources.Tables.widen(t(s, dir, "documents"))
       def occ = mgStreamOf(docs)
-      val lvl0 = mgLevel0Of(docs)
+      // Level 0 via the CODEGEN'D histogram reduction, not the map-only
+      // array-expression form ([[mgLevel0Of]], bit-identical — SketchSpec
+      // pins the equality). The HOF form evaluates on the interpreted
+      // Expression path, and tools.MgProbe measured that path 2.4×
+      // slower (8.5 → 20 s at 100×) once ANY other generated plan has
+      // run in the JVM — megamorphic call-site pollution, the actual
+      // mechanism behind round-10's "in-suite 34.5 s vs isolated
+      // 16.1 s" — while this whole-stage-codegen form measured 8.5 s
+      // young and polluted alike (its hot loop lives inside one
+      // generated method the JIT compiles standalone). The price is
+      // two skinny exchanges bounded by the per-doc histogram
+      // (map-side combine + InferWindowGroupLimit prune to k+1 rows
+      // per doc before the window shuffle — see [[mgReduce]]), which
+      // scales linearly and horizontally at 100 TB, unlike interpreted
+      // per-row CPU.
+      val lvl0 = mgReduce(occ
+        .groupBy(col("doc_id").as("gid"), col("w"))
+        .agg(count(lit(1)).cast("long").as("c")))
       val maxGid = docs.agg(max("doc_id")).collect().head.getLong(0)
       // The oracle unrolls exactly 3 merge rounds (covers doc_id <
       // 256³); past that the engine would run a 4th round the oracle's

@@ -48,4 +48,24 @@ object Tables {
   /** Register every table as a temp view for `spark.sql` surfaces. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Re-spread a NARROW scan across the session's cores before an
+    * expensive per-row pipeline. The rehearsal fixtures are single
+    * parquet files, so a 100×-scale documents scan yields only
+    * ⌈bytes / maxPartitionBytes⌉ = 2-4 input splits — heavy map-side
+    * expression work (q201's per-doc histogram sort measured 13.6 s of
+    * CPU in a 2-TASK stage on 32 cores) serializes on a handful of fat
+    * tasks, and fat tasks are also what suite-pressure interference
+    * lands on hardest. The exchange is gated on the measured split
+    * count, so at real multi-file scale (100 TB = thousands of splits)
+    * this is a literal no-op — no plan change, no shuffle — and AQE
+    * still coalesces the other direction. Row content is untouched;
+    * verified outputs are unchanged (all queries impose total orders).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val splits = df.rdd.getNumPartitions // file-split count; no job runs
+    if (2 * splits <= sc.defaultParallelism) df.repartition(sc.defaultParallelism)
+    else df
+  }
 }
