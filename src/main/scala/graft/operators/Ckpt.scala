@@ -36,4 +36,31 @@ import org.apache.spark.storage.StorageLevel
 object Ckpt {
   def ser[T](ds: Dataset[T]): Dataset[T] =
     ds.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** [[ser]] for ITERATIVE builds: checkpoint the new round, then
+    * release the previous round's blocks. A loop that only reassigns
+    * `base = Ckpt.ser(next)` keeps every round's blocks alive until
+    * the GC + ContextCleaner happen to run — O(rounds × corpus)
+    * storage: the 300× suffix-array build (6 rounds × ~20 GB
+    * serialized chars frame) filled a 70 GB disk and died mid-round,
+    * found by the round-11 tail rehearsal. Because [[ser]] is EAGER
+    * and truncates lineage, the new round's blocks are complete and
+    * self-contained when it returns, so the predecessor is dead the
+    * moment the call finishes — this frees it deterministically
+    * instead of hoping for a timely GC.
+    *
+    * Tracking is by persisted-RDD-id delta around the eager
+    * checkpoint (`sc.getPersistentRDDs`, public API): only ids this
+    * call created are ever released, so concurrent persists elsewhere
+    * are untouched. Returns (checkpointed round, its ids) — thread the
+    * ids back in on the next call. */
+  def serRound[T](ds: Dataset[T], prevIds: Set[Int]): (Dataset[T], Set[Int]) = {
+    val sc = ds.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = ser(ds)
+    val created = sc.getPersistentRDDs.keySet.toSet -- before
+    prevIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    (out, created)
+  }
 }

@@ -137,14 +137,21 @@ object GraphOps extends QueryModule {
         .filter(col("a") =!= col("b")).distinct()
     }
 
-    var cur = Ckpt.ser(sym0)
+    val (cur0, ids0) = Ckpt.serRound(sym0, Set.empty)
+    var cur = cur0
+    var curIds = ids0
     var curProbe = probe(cur)
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val next = Ckpt.ser(smallStar(largeStar(
+      // serRound: free the previous round's checkpoint blocks once this
+      // round is materialized — a contraction that leaves every round
+      // persisted holds O(rounds × edges) storage (the SA-build leak the
+      // 300× rehearsal found, same shape here).
+      val (next, nextIds) = Ckpt.serRound(smallStar(largeStar(
         cur.union(cur.select(col("b").as("a"), col("a").as("b")))
-          .distinct())))
+          .distinct())), curIds)
+      curIds = nextIds
       // Convergence probe: compare successive small-star outputs by
       // (count, order-free hash) — two longs, one job, no driver-side
       // edge list.

@@ -994,6 +994,7 @@ object SelectionOps extends QueryModule {
       .select(col("doc_id"), col("pos"),
         ascii(expr("substring(text, pos + 1, 1)")).cast("long").as("r"))
     var base = chars
+    var baseCkptIds = Set.empty[Int]
     var done = false
     for (j <- 0 until 6 if !done) {
       val step = 1 << j
@@ -1006,10 +1007,15 @@ object SelectionOps extends QueryModule {
       val joined = base.withColumn("r2",
         coalesce(lead(col("r"), step).over(w), lit(-1L)))
       // localCheckpoint: truncate the per-round lineage (6 chained
-      // range-shuffles would otherwise re-execute on every action)
-      base = Ckpt.ser(
+      // range-shuffles would otherwise re-execute on every action).
+      // serRound frees the PREVIOUS round's blocks as soon as this one
+      // is materialized — keeping all rounds alive is O(rounds×corpus)
+      // storage and filled a 70 GB disk at the 300× rehearsal.
+      val (nextBase, ids) = Ckpt.serRound(
         GlobalRank.orderRank(joined, Seq(col("r"), col("r2")), "rn", rows = nChars)
-          .select(col("doc_id"), col("pos"), col("rn").as("r")))
+          .select(col("doc_id"), col("pos"), col("rn").as("r")), baseCkptIds)
+      base = nextBase
+      baseCkptIds = ids
       // Manber–Myers early exit: once every rank is distinct (all
       // equality classes singletons), further doubling cannot reorder
       // anything, so the remaining rounds — two corpus-sized shuffles
