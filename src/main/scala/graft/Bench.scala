@@ -205,11 +205,23 @@ object Bench {
     val sketchFold = extraOne("sketch_fold")(sketchFoldSeconds(spark, sfDir))
     val annFold = extraOne("ann_fold")(annFoldSeconds(spark, sfDir))
     val ccFold = extraOne("cc_fold")(ccFoldSeconds(spark, sfDir))
-    val all = results :+ ("stream_replay" -> replay) :+
-      ("wire_replay" -> wire) :+ ("h2c_replay" -> h2c) :+
-      ("redelivery_replay" -> redelivery) :+ ("mux_groups" -> muxGroups) :+
-      ("sketch_fold" -> sketchFold) :+ ("ann_fold" -> annFold) :+
-      ("cc_fold" -> ccFold)
+    // Under SPARK_GRAFT_ONLY the extra rows never ran — OMIT them (a
+    // 0.0 entry would read as "measured instantly" in the detail file)
+    // rather than record zeros.
+    val extraRows: Seq[(String, Double)] =
+      if (!extras) Seq.empty
+      else Seq("stream_replay" -> replay, "wire_replay" -> wire,
+        "h2c_replay" -> h2c, "redelivery_replay" -> redelivery,
+        "mux_groups" -> muxGroups, "sketch_fold" -> sketchFold,
+        "ann_fold" -> annFold, "cc_fold" -> ccFold)
+    val all = results ++ extraRows
+    // PRESSURE rows (round-10 tasks 1-2) stress ack-expiry redelivery
+    // and 2000-group fan-out — deliberately pathological workloads whose
+    // cost tracks the scenario knobs, not engine speed. They live under
+    // their own JSON keys, OUTSIDE the headline total, so round-over-
+    // round totals compare the same work (round-11 verdict task 2: the
+    // two rows were 71% of the r11 total and made it incomparable).
+    val pressureKeys = Set("redelivery_replay", "mux_groups")
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // 1-decimal, trailing zeros stripped ("0.52"→"0.5", "1.0"→"1") for
     // the compact stdout array — the full 2-decimal medians live in
@@ -219,7 +231,8 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
     def short(k: String): String = if (k.startsWith("q")) k.takeWhile(_ != '_') else k
-    val total = all.map(_._2).filter(_ > 0).sum
+    val total = all.filterNot(kv => pressureKeys(kv._1))
+      .map(_._2).filter(_ > 0).sum
     all.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s ${f(v)}%8s s") }
     // The driver parses the stdout JSON line out of a bounded ~2000-char
     // tail of the sbt output. Round 3's line (80 full-length names, 3
@@ -240,7 +253,8 @@ object Bench {
     val qv = all.map { case (_, v) => fj(v) }.mkString("[", ",", "]")
     val headline =
       s""""calib":${f(calib)},"stream_replay":${fj(replay)},""" +
-      s""""wire_replay":${fj(wire)},"h2c_replay":${fj(h2c)}"""
+      s""""wire_replay":${fj(wire)},"h2c_replay":${fj(h2c)},""" +
+      s""""mux_groups":${fj(muxGroups)},"redelivery_replay":${fj(redelivery)}"""
     val failedJson = failed.sorted.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
     val sfName = new java.io.File(sfDir).getName
@@ -252,21 +266,31 @@ object Bench {
         "driver tail window is ~2000; shorten the qv encoding")
     val detail = {
       val qmap = all.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+      val extraSampleRows =
+        if (!extras) Seq.empty[String]
+        else Seq(
+          s""""stream_replay":[${replaySamples.map(f).mkString(",")}]""",
+          s""""wire_replay":[${wireSamples.map(f).mkString(",")}]""",
+          s""""h2c_replay":[${h2cSamples.map(f).mkString(",")}]""",
+          s""""redelivery_replay":[${f(redelivery)}]""",
+          s""""mux_groups":[${f(muxGroups)}]""",
+          s""""sketch_fold":[${f(sketchFold)}]""",
+          s""""ann_fold":[${f(annFold)}]""",
+          s""""cc_fold":[${f(ccFold)}]""")
       val smap = (results.map { case (k, _) =>
           s""""$k":[${samples(k).reverse.map(f).mkString(",")}]"""
-        } :+ s""""stream_replay":[${replaySamples.map(f).mkString(",")}]"""
-          :+ s""""wire_replay":[${wireSamples.map(f).mkString(",")}]"""
-          :+ s""""h2c_replay":[${h2cSamples.map(f).mkString(",")}]"""
-          :+ s""""redelivery_replay":[${f(redelivery)}]"""
-          :+ s""""mux_groups":[${f(muxGroups)}]"""
-          :+ s""""sketch_fold":[${f(sketchFold)}]"""
-          :+ s""""ann_fold":[${f(annFold)}]"""
-          :+ s""""cc_fold":[${f(ccFold)}]""").mkString("{", ",", "}")
+        } ++ extraSampleRows).mkString("{", ",", "}")
+      val pmap = all.filter(kv => pressureKeys(kv._1))
+        .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName",""" +
       s""""runs":$runs,"calib":${f(calib)},"failed":$failedJson,""" +
-      s""""queries":$qmap,"samples":$smap}"""
+      s""""pressure":$pmap,"queries":$qmap,"samples":$smap}"""
     }
-    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    // A SPARK_GRAFT_ONLY subset run writes to a sibling debug path: the
+    // git-tracked detail file holds full-suite medians and must never be
+    // clobbered by a mostly-empty experiment.
+    val detailPath = java.nio.file.Paths.get(
+      if (only.nonEmpty) "BENCH_DETAIL.debug.json" else "BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
     System.err.println(s"[bench] full detail -> ${detailPath.toAbsolutePath}")
     println(line)

@@ -49,16 +49,19 @@ object Ckpt {
     * moment the call finishes — this frees it deterministically
     * instead of hoping for a timely GC.
     *
-    * Tracking is by persisted-RDD-id delta around the eager
-    * checkpoint (`sc.getPersistentRDDs`, public API): only ids this
-    * call created are ever released, so concurrent persists elsewhere
-    * are untouched. Returns (checkpointed round, its ids) — thread the
-    * ids back in on the next call. */
+    * Tracking is by the checkpoint's OWN RDD id, read from the
+    * returned Dataset's LogicalRDD root
+    * (`CheckpointBridge.checkpointRddIds`) — a keySet diff around the
+    * eager checkpoint would attribute ANY RDD first persisted inside
+    * the window (e.g. a lazily-built `.cache()` elsewhere whose first
+    * action happens during `ser(ds)`) and silently unpersist it next
+    * round. Returns (checkpointed round, its ids) — thread the ids
+    * back in on the next call. */
   def serRound[T](ds: Dataset[T], prevIds: Set[Int]): (Dataset[T], Set[Int]) = {
     val sc = ds.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = ser(ds)
-    val created = sc.getPersistentRDDs.keySet.toSet -- before
+    val created =
+      org.apache.spark.sql.graft.CheckpointBridge.checkpointRddIds(out)
     prevIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     (out, created)

@@ -489,7 +489,13 @@ object DedupOps extends QueryModule {
         // open-addressing long→dense-index table, and int parent
         // pointers. Same unique fixpoint: every node labeled with its
         // component MINIMUM id.
-        require(cnt < (1L << 30), s"driver union-find gate passed $cnt pairs")
+        // Bound the gate to what DriverCc's Int-sized open-addressing
+        // table provably supports: maxNodes = 2*cnt, and the slots
+        // doubling loop needs a positive power-of-two ≥ maxNodes*1.5 —
+        // at cnt ≥ 2^29 that exceeds 2^30 (the largest power-of-two
+        // Int) and `slots <<= 1` would wrap negative. 2^28 pairs keeps
+        // slots ≤ 2^30 with headroom; the default gate is 2.5M.
+        require(cnt < (1L << 28), s"driver union-find gate passed $cnt pairs")
         val m = cnt.toInt
         val ea = new Array[Long](m); val eb = new Array[Long](m)
         val it = pairs.toLocalIterator(); var i = 0

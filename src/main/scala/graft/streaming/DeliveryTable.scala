@@ -28,10 +28,32 @@ import org.apache.spark.sql.functions._
   * driver-side `collect()` produced).
   */
 final class DeliveryTable(spark: SparkSession, val dir: String) {
+  import DeliveryTable.esc
 
   private def fs = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Cumulative per-phase wall (ns) of this table's operations — the
+    * decomposition surface for the many-groups per-batch floor
+    * (round-11 verdict task 8). A few nanoTime calls per micro-batch;
+    * read via [[phaseSeconds]]. */
+  private val prof =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def timed[T](phase: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    try f finally {
+      prof.computeIfAbsent(phase,
+        _ => new java.util.concurrent.atomic.AtomicLong)
+        .addAndGet(System.nanoTime() - t0); ()
+    }
+  }
+  def phaseSeconds: Map[String, Double] = {
+    val it = prof.entrySet().iterator()
+    val b = Map.newBuilder[String, Double]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.get / 1e9 }
+    b.result()
   }
 
   /** Payload of one chunk for one group (per-group delivery queries). */
@@ -43,12 +65,13 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
   /** Payload rows spanning many groups in one pass (multiplexed
     * delivery: one distributed write per micro-batch for ALL groups).
     * `rows` must carry groupId, chunkId, subject, resourceId. */
-  def writeMulti(rows: DataFrame): Unit =
+  def writeMulti(rows: DataFrame): Unit = timed("write") {
     prepare(rows).write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("groupId", "chunkId")
       .parquet(dir)
+  }
 
   private def prepare(rows: DataFrame): DataFrame =
     rows.select(col("groupId"), col("chunkId"), col("subject"),
@@ -68,13 +91,17 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     val prepared = prepare(rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      prepared.write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("groupId", "chunkId")
-        .parquet(dir)
-      prepared.groupBy("groupId").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      timed("write") {
+        prepared.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("groupId", "chunkId")
+          .parquet(dir)
+      }
+      timed("count") {
+        prepared.groupBy("groupId").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
     } finally { prepared.unpersist(); () }
   }
 
@@ -92,9 +119,15 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     org.apache.spark.sql.types.StructField("groupId", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("chunkId", org.apache.spark.sql.types.StringType)))
 
-  def read(groupId: String, chunkIds: Seq[String]): Map[String, (Seq[String], Seq[String])] = {
+  def read(groupId: String, chunkIds: Seq[String]): Map[String, (Seq[String], Seq[String])] = timed("read") {
     val (filesystem, path) = fs
-    if (chunkIds.isEmpty || !filesystem.exists(path)) return Map.empty
+    if (chunkIds.isEmpty || !filesystem.exists(path)) Map.empty
+    else readPruned(filesystem, path, groupId, chunkIds)
+  }
+
+  private def readPruned(filesystem: org.apache.hadoop.fs.FileSystem,
+                         path: org.apache.hadoop.fs.Path, groupId: String,
+                         chunkIds: Seq[String]): Map[String, (Seq[String], Seq[String])] = {
     // Read EXACTLY the requested chunk partitions as direct paths. The
     // old root-dir read partition-PRUNED correctly but had to LIST the
     // whole tree first — at thousands of groups that listing is itself
@@ -104,12 +137,20 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     // of OTHER groups' dirs (task-time FileNotFound, surfaced by
     // GroupScaleProbe at 10k groups with churn). Direct paths keep the
     // pull O(this group's pending); the existence filter makes a
-    // concurrently-dropped chunk read as absent, never as a failed job.
+    // concurrently-dropped chunk read as absent, never as a failed job
+    // — and because exists-then-read is a TOCTOU window (a chunk
+    // dropped between the filter and the job's file listing would
+    // still fail the job), the read also sets ignoreMissingFiles,
+    // scoped to this pull path only. Partition values are escaped the
+    // same way the parquet writer escapes them (space, ':', '%', '=',
+    // … land in %XX dirs), so caller-supplied group ids round-trip.
     val chunkPaths = chunkIds.distinct
-      .map(c => new org.apache.hadoop.fs.Path(path, s"groupId=$groupId/chunkId=$c"))
+      .map(c => new org.apache.hadoop.fs.Path(path,
+        s"groupId=${esc(groupId)}/chunkId=${esc(c)}"))
       .filter(filesystem.exists)
-    if (chunkPaths.isEmpty) return Map.empty
-    spark.read.option("basePath", dir).schema(readSchema)
+    if (chunkPaths.isEmpty) Map.empty
+    else spark.read.option("basePath", dir).schema(readSchema)
+      .option("ignoreMissingFiles", true)
       .parquet(chunkPaths.map(_.toString): _*)
       .select("chunkId", "subject", "resourceId", "seq")
       .collect()
@@ -127,19 +168,23 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     * second half of the write-first delivery pattern — the batch is
     * traversed ONCE (by the payload write); counts come from file
     * metadata, never from a second pass over the data. */
-  def chunkCounts(groupIds: Seq[String], chunkIdFor: String => String): Map[String, Long] = {
+  def chunkCounts(groupIds: Seq[String], chunkIdFor: String => String): Map[String, Long] = timed("count") {
     val (filesystem, path) = fs
     val present = groupIds.filter { g =>
       filesystem.exists(new org.apache.hadoop.fs.Path(path,
-        s"groupId=$g/chunkId=${chunkIdFor(g)}"))
+        s"groupId=${esc(g)}/chunkId=${esc(chunkIdFor(g))}"))
     }
-    if (present.isEmpty) return Map.empty
-    val paths = present.map(g => s"$dir/groupId=$g/chunkId=${chunkIdFor(g)}")
-    spark.read.option("basePath", dir).schema(readSchema).parquet(paths: _*)
-      .groupBy("groupId").count()
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
+    if (present.isEmpty) Map.empty
+    else {
+      val paths = present.map(g =>
+        s"$dir/groupId=${esc(g)}/chunkId=${esc(chunkIdFor(g))}")
+      spark.read.option("basePath", dir).schema(readSchema)
+        .option("ignoreMissingFiles", true).parquet(paths: _*)
+        .groupBy("groupId").count()
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+    }
   }
 
   /** Chunk ids with durable payload partitions for a group — the
@@ -150,19 +195,19 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     * layer that actually retains them. One directory listing. */
   def listChunks(groupId: String): Seq[String] = {
     val (filesystem, path) = fs
-    val gdir = new org.apache.hadoop.fs.Path(path, s"groupId=$groupId")
+    val gdir = new org.apache.hadoop.fs.Path(path, s"groupId=${esc(groupId)}")
     if (!filesystem.exists(gdir)) return Seq.empty
     filesystem.listStatus(gdir).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith("chunkId="))
-      .map(_.stripPrefix("chunkId="))
+      .map(n => DeliveryTable.unesc(n.stripPrefix("chunkId=")))
   }
 
   /** Drop a group's payload partitions (group delete / retention). */
   def drop(groupId: String): Unit = {
     val (filesystem, path) = fs
-    val gdir = new org.apache.hadoop.fs.Path(path, s"groupId=$groupId")
+    val gdir = new org.apache.hadoop.fs.Path(path, s"groupId=${esc(groupId)}")
     if (filesystem.exists(gdir)) { filesystem.delete(gdir, true); () }
   }
 }
@@ -172,4 +217,15 @@ object DeliveryTable {
     * production passes a durable shared path instead. */
   def tempDir(): String =
     java.nio.file.Files.createTempDirectory("graft-deliveries-").toString
+
+  /** Hive-style partition-value escaping, the SAME function the
+    * parquet writer applies when materializing `groupId=…/chunkId=…`
+    * directories — hand-built paths (read/chunkCounts/listChunks/drop)
+    * must escape identically or a group id containing ' ', ':', '%',
+    * '=' … resolves to a directory that never exists and the pull
+    * silently returns empty. */
+  private[streaming] def esc(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+  private[streaming] def unesc(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 }

@@ -65,6 +65,9 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   /** Bounded metadata ledger (pending per group; acked history evicted
     * behind a per-group watermark — see [[ChunkLedger]]). */
   private val ledger = new ChunkLedger
+  /** Metrics hook: the engine's chunk ledger, for
+    * [[EngineMetrics.watchLedger]] stuck-watermark monitoring. */
+  def chunkLedger: ChunkLedger = ledger
   /** WAL-backed chunk/ack METADATA — replayed on construction so pending
     * (unacked) chunks survive a process restart (see LedgerStore).
     * Payloads are durable in [[DeliveryTable]] parquet under ckptRoot,

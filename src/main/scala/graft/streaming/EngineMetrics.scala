@@ -71,6 +71,36 @@ final class EngineMetrics extends StreamingQueryListener {
   /** Queries that terminated with an exception → its message. */
   def failures: Map[String, String] =
     stats.collect { case (k, s) if s.error.isDefined => k -> s.error.get }.toMap
+
+  /** A group whose watermark is stuck: `ackedResident` metas held
+    * behind one unacked chunk of `blockerAgeMillis` age. */
+  final case class StuckGroup(ledger: String, group: String,
+                              ackedResident: Long, blockerAgeMillis: Long)
+
+  private val ledgers: concurrent.Map[String, ChunkLedger] =
+    new ConcurrentHashMap[String, ChunkLedger]().asScala
+
+  /** Register a delivery engine's chunk ledger for stuck-watermark
+    * monitoring (round-11 verdict task 6 — LedgerProbe measured the
+    * stuck case at +2.5 GB and called it "the operational alert
+    * signal"; this makes it one). */
+  def watchLedger(name: String, ledger: ChunkLedger): Unit = {
+    ledgers.put(name, ledger); ()
+  }
+
+  /** Groups whose acked-resident window exceeds `minResident` AND whose
+    * watermark-blocking chunk is older than `minAgeMillis` — the alert
+    * condition. Healthy groups (acks keeping up, resident window 0)
+    * never appear regardless of backlog depth: a deep-but-draining
+    * backlog is load, not a stuck watermark. */
+  def stuckGroups(minResident: Long = 1, minAgeMillis: Long = 0,
+                  nowMillis: Long = System.currentTimeMillis()): Seq[StuckGroup] =
+    ledgers.toSeq.flatMap { case (name, l) =>
+      l.stuckGauges(nowMillis).collect {
+        case (grp, (res, age)) if res >= minResident && age >= minAgeMillis =>
+          StuckGroup(name, grp, res, age)
+      }
+    }
 }
 
 object EngineMetrics {

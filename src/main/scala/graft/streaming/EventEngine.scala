@@ -87,6 +87,9 @@ final class EventEngine(val spark: SparkSession,
     * watermark ([[ChunkLedger]]), so driver residency is O(unacked),
     * independent of all-time volume. */
   private val ledger = new ChunkLedger
+  /** Metrics hook: the engine's chunk ledger, for
+    * [[EngineMetrics.watchLedger]] stuck-watermark monitoring. */
+  def chunkLedger: ChunkLedger = ledger
   store.foreach { st =>
     ledger.beginLoad()
     val (metas, wms) = st.loadState()

@@ -40,7 +40,8 @@ object GroupScaleProbe {
                           batchMedianSec: Double, batchMaxSec: Double,
                           deliveredRows: Long, ackedChunks: Long,
                           pendingMetas: Long, ackedResident: Long,
-                          usedHeapMb: Long)
+                          usedHeapMb: Long,
+                          phases: Map[String, Double] = Map.empty)
 
   /** One measured pass: `events` through a fresh mux with `g` groups.
     * Returns the metrics row (shared with the `mux_groups` bench row). */
@@ -115,6 +116,7 @@ object GroupScaleProbe {
     val coldPending = (5 until g).map(k => mux.pendingRowCount(s"col-c$k")).sum +
       (5 until g).map(k => mux.pendingRowCount(s"col-c$k-v2")).sum
     val (grp, pend, ackRes) = mux.ledgerStats
+    val phases = mux.phaseProfile
     mux.stop()
     require(hotDelivered >= rows.length,
       s"hot subtree groups must see every event at least once ($hotDelivered < ${rows.length})")
@@ -122,7 +124,8 @@ object GroupScaleProbe {
     System.gc()
     val heap = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1 << 20)
     Result(g, times.size, total, sorted(sorted.size / 2), sorted.last,
-      hotDelivered + coldPending, ackedChunks.get(), pend, ackRes, heap)
+      hotDelivered + coldPending, ackedChunks.get(), pend, ackRes, heap,
+      phases)
   }
 
   private def addCollectionGroup(mux: MultiplexedDelivery, k: Int,
@@ -155,6 +158,17 @@ object GroupScaleProbe {
       println(f"${r.groups}%7d ${r.batches}%7d ${r.totalSec}%8.1f ${r.batchMedianSec}%9.2f " +
         f"${r.batchMaxSec}%9.2f ${r.ackedChunks}%8d ${r.pendingMetas}%9d " +
         f"${r.ackedResident}%7d ${r.usedHeapMb}%7d")
+      // Floor decomposition (verdict task 8): where foreachBatch wall
+      // goes — payload write vs count job vs ledger vs plan residue —
+      // plus the consumer-side pull hydration ("read", off the batch
+      // path). "other" is trigger/source overhead outside the body.
+      val p = r.phases
+      def g2(k: String) = p.getOrElse(k, 0.0)
+      val accounted = g2("write") + g2("count") + g2("ledger")
+      println(f"        phases: batch=${g2("batch")}%.1fs write=${g2("write")}%.1fs " +
+        f"count=${g2("count")}%.1fs ledger=${g2("ledger")}%.1fs " +
+        f"plan-residue=${g2("batch") - accounted}%.1fs pull-read=${g2("read")}%.1fs " +
+        f"(batches=${g2("batches")}%.0f)")
     }
     spark.stop()
   }

@@ -46,3 +46,17 @@ object FunctionBridge {
                    builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
 }
+
+/** Bridge to the RDD a `localCheckpoint`ed Dataset is rooted at: its
+  * analyzed plan is a LogicalRDD wrapping exactly the RDD the
+  * checkpoint persisted. Used by graft.operators.Ckpt.serRound to
+  * release a superseded round's blocks by THAT id alone, instead of a
+  * persisted-id keySet diff that could sweep in an unrelated lazy
+  * .cache() whose first action happened inside the eager-checkpoint
+  * window. */
+object CheckpointBridge {
+  def checkpointRddIds(ds: org.apache.spark.sql.Dataset[_]): Set[Int] =
+    ds.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+}

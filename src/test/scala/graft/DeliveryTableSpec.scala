@@ -84,6 +84,24 @@ class DeliveryTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       "drop must be group-scoped")
   }
 
+  test("path-unsafe group/chunk ids round-trip: hand-built read paths escape like the writer") {
+    // Spark escapes ' ', ':', '%', '=', … when materializing partition
+    // dirs; the read/count/list/drop paths are hand-built and must
+    // escape IDENTICALLY or the pull silently returns empty (round-11
+    // ADVICE). Exercise every character class the writer escapes.
+    val t = new DeliveryTable(spark, DeliveryTable.tempDir())
+    val g = "team a:b%c=d#e"
+    val c = "chunk 0:1%2=3"
+    t.write(g, c, payload(Seq(("s1", "r1"), ("s2", "r2"))))
+    assert(t.read(g, Seq(c)) == Map(c -> ((Seq("s1", "s2"), Seq("r1", "r2")))),
+      "escaped partition dirs must hydrate under the raw ids")
+    assert(t.listChunks(g) == Seq(c), "listChunks must UNescape dir names")
+    assert(t.chunkCounts(Seq(g), _ => c) == Map(g -> 2L),
+      "chunkCounts must probe the escaped path AND group back by raw id")
+    t.drop(g)
+    assert(t.read(g, Seq(c)).isEmpty, "drop must resolve the escaped dir")
+  }
+
   test("multi-group batch write serves every group in one pass") {
     val t = new DeliveryTable(spark, DeliveryTable.tempDir())
     val batch = payload(Seq(("sA", "rA"), ("sB", "rB"), ("sC", "rC")))

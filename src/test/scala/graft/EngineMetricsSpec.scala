@@ -64,4 +64,42 @@ class EngineMetricsSpec extends AnyFunSuite with BeforeAndAfterAll with Eventual
         s"the doomed query's exception must be retained, got ${metrics.failures}")
     }
   }
+
+  test("a stuck watermark trips the ledger gauge; healthy groups stay silent") {
+    // Pure-ledger wiring (no Spark needed): the gauge is the
+    // operational alert for LedgerProbe's measured worst case — one
+    // never-acked chunk holding an unbounded acked window resident.
+    import graft.core.ChunkMeta
+    import graft.streaming.ChunkLedger
+    val metrics = new EngineMetrics
+    val ledger = new ChunkLedger
+    metrics.watchLedger("mux", ledger)
+    val t0 = new java.sql.Timestamp(1000L)
+    def meta(g: String, b: Long) =
+      ChunkMeta(g, s"$g-$b", b, 1L, t0, acked = false)
+
+    // healthy-drained: everything acked in order → watermark advanced,
+    // nothing pending, nothing resident
+    (0L to 4L).foreach { b => ledger.record(meta("drained", b)); ledger.ack("drained", s"drained-$b") }
+    // healthy-backlog: deep pending queue but zero out-of-order acks —
+    // load, not a stuck watermark
+    (0L to 9L).foreach(b => ledger.record(meta("backlog", b)))
+    // stuck: chunk 0 never acked while 1..10 ack behind it — the
+    // resident window grows with every ack
+    (0L to 10L).foreach(b => ledger.record(meta("stuck", b)))
+    (1L to 10L).foreach(b => ledger.ack("stuck", s"stuck-$b"))
+
+    val now = 61000L // blocker minted at t=1s, "now" 60s later
+    val alerts = metrics.stuckGroups(minResident = 1, minAgeMillis = 30000L, nowMillis = now)
+    assert(alerts.map(a => (a.ledger, a.group, a.ackedResident)) ==
+      Seq(("mux", "stuck", 10L)),
+      s"only the stuck group may alert, got $alerts")
+    assert(alerts.head.blockerAgeMillis == 60000L)
+    // acking the blocker advances the watermark, evicts the window,
+    // and clears the alert
+    assert(ledger.ack("stuck", "stuck-0").isDefined)
+    assert(metrics.stuckGroups(minResident = 1, nowMillis = now).isEmpty)
+    assert(ledger.ackedResident("stuck").isEmpty,
+      "watermark advance must evict the resident window")
+  }
 }

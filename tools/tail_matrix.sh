@@ -15,21 +15,23 @@ run_cell() { # scale dir query
   echo -e "$scale\t$q\t$line" | tee -a "$OUT"
 }
 
-# q194 is run separately (it needs 128 shuffle partitions + 64g heap at
-# 300x -- the partitions-scale-with-data rule; see BASELINE round-11).
+# q194 runs at EVERY scale on default conf + the standard heap: the
+# round-11 draft of this script hand-excluded it past 10x claiming
+# "needs 128 shuffle partitions + 64g at 300x" — an untested rule that
+# contradicts GlobalRank's partitions-from-rows derivation (round-9
+# task 2). The matrix settles it by measurement.
 for spec in "1:/root/testdata/sf0.1" "10:/tmp/graft-sf1" "100:/tmp/graft-sf10b"; do
   scale="${spec%%:*}"; dir="${spec#*:}"
   for q in q194_sa_append q199_quantile_sketch_eval q188_selection_pipeline \
            q201_mg_heavy_hitters q158_dense_threshold q132_jaccard_containment \
            q58_pipeline_clean; do
-    [ "$q" = q194_sa_append ] && [ "$scale" != 1 ] && [ "$scale" != 10 ] && continue
     run_cell "$scale" "$dir" "$q"
   done
 done
 # 300x fixture holds lineitem/documents/embeddings only; q158's exact
 # N^2 tile shuffle at 600k vectors (~170 GB) exceeds local disk -- its
 # 1/10/100 points already pin the quadratic contract.
-for q in q199_quantile_sketch_eval q188_selection_pipeline \
+for q in q194_sa_append q199_quantile_sketch_eval q188_selection_pipeline \
          q201_mg_heavy_hitters q132_jaccard_containment q58_pipeline_clean; do
   run_cell 300 /tmp/graft-sf30 "$q"
 done
