@@ -73,20 +73,39 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
       .parquet(dir)
   }
 
-  private def prepare(rows: DataFrame): DataFrame =
+  /** `seq` is assigned BEFORE the group repartition so delivery order
+    * inside a chunk survives the shuffle (read() sorts on it); the
+    * repartition makes each `(groupId, chunkId)` dir the product of
+    * exactly ONE task → one parquet file per chunk. Without it every
+    * source task opens a writer for every group it touches — at
+    * G=2000 with 8 source partitions that is ~16k files PER BATCH
+    * (measured as 98% of the many-groups per-batch floor,
+    * BASELINE.md round-12); with it, file count = groups matched this
+    * batch, the count aggregation below reuses the same hash
+    * partitioning shuffle-free, and the footer-count regime reads one
+    * footer per chunk. */
+  private def prepare(rows: DataFrame): DataFrame = {
+    // EXPLICIT partition count: a column-only repartition leaves the
+    // count to AQE, which coalesces a small micro-batch to ONE
+    // partition — and one task then writes every group's file
+    // sequentially (measured 5× on the write at G=1000,
+    // BASELINE.md round-12 crossover table).
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     rows.select(col("groupId"), col("chunkId"), col("subject"),
       col("resourceId"), monotonically_increasing_id().as("seq"))
+      .repartition(parts, col("groupId"))
+  }
 
   /** Payload write + per-group row counts from ONE pass over the batch
     * (persisted, then written and aggregated — two jobs over cached
-    * batch-proportional data). This is the MANY-GROUPS regime of the
-    * write-first pattern: [[chunkCounts]] costs one filesystem
+    * batch-proportional data). This is the multiplexed engine's ONLY
+    * regime since round 12: [[chunkCounts]] costs one filesystem
     * existence probe PER REGISTERED GROUP per micro-batch — O(G) stat
-    * calls whether or not a group matched anything — which at thousands
-    * of groups dwarfs a second aggregation over the (small) batch; here
-    * the count cost is O(batch) regardless of group count. The engines
-    * switch regimes on the registered-group count (measured crossover
-    * in BASELINE.md round-11). */
+    * calls whether or not a group matched anything — while this count
+    * is a shuffle-free aggregation over the already-groupId-partitioned
+    * cached batch, measured FLAT in G (no crossover exists; BASELINE.md
+    * round-12 table). The footer path remains for the single-group
+    * engines' shape (one probe, no batch persist). */
   def writeMultiWithCounts(rows: DataFrame): Map[String, Long] = {
     val prepared = prepare(rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

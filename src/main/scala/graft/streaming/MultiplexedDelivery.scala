@@ -324,10 +324,19 @@ final class MultiplexedDelivery(val spark: SparkSession,
 }
 
 object MultiplexedDelivery {
-  /** Above this many registered groups the per-batch chunk counts come
-    * from a second aggregation over the cached batch instead of parquet
-    * footers + per-group existence probes (O(batch) vs O(groups) —
-    * measured crossover, BASELINE.md round-11; GroupScaleProbe
-    * re-measures it). */
-  val FooterCountMaxGroups: Int = 64
+  /** Count-regime threshold: above this many registered groups the
+    * per-batch chunk counts come from a second aggregation over the
+    * cached batch instead of parquet footers + per-group existence
+    * probes. ZERO — the round-12 crossover measurement (GroupScaleProbe
+    * forced both regimes at G ∈ {16, 64, 256, 1000}; BASELINE.md
+    * round-12 table) found NO crossover: once the prepared frame is
+    * hash-partitioned by groupId the count aggregation is shuffle-free
+    * and flat (0.5–1.2 s/8 batches at every G) while the footer path's
+    * per-REGISTERED-group exists() probes grow O(G) (1.2 → 17.2 s from
+    * G=16 → 1000) — and on an object store those probes are sequential
+    * driver RPCs (the round-11 "watch" item, now moot by default). The
+    * footer path survives behind the constructor knob for the
+    * single-group engines' shape (one probe, no batch persist), where
+    * it is the cheaper form. */
+  val FooterCountMaxGroups: Int = 0
 }

@@ -47,12 +47,14 @@ object GroupScaleProbe {
     * Returns the metrics row (shared with the `mux_groups` bench row). */
   def run(spark: SparkSession, rows: Array[(Long, Long, String)], g: Int,
           nBatches: Int = 8, churn: Boolean = true,
-          forceFooterCounts: Boolean = false): Result = {
+          forceFooterCounts: Boolean = false,
+          forceAggCounts: Boolean = false): Result = {
     val mux = new MultiplexedDelivery(spark,
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
       sourcePartitions = 8,
       footerCountMaxGroups =
         if (forceFooterCounts) Int.MaxValue
+        else if (forceAggCounts) 0
         else graft.streaming.MultiplexedDelivery.FooterCountMaxGroups)
     // 5 hot project-subtree groups (the replay-bench shape) + (g-5)
     // selective collection-subtree groups, most idle by construction.
@@ -153,8 +155,13 @@ object GroupScaleProbe {
     println(f"${"G"}%7s ${"batches"}%7s ${"total_s"}%8s ${"batch_med"}%9s " +
       f"${"batch_max"}%9s ${"acked"}%8s ${"pending"}%9s ${"ack_res"}%7s ${"heap_mb"}%7s")
     gs.foreach { g =>
-      val footer = sys.env.get("SPARK_GRAFT_MUX_FOOTER").contains("1")
-      val r = run(spark, rows, g, forceFooterCounts = footer)
+      // SPARK_GRAFT_MUX_FOOTER=1 forces the footer-count regime at any
+      // G; =0 forces the aggregation regime — the two sides of the
+      // FooterCountMaxGroups crossover measurement (verdict task 4).
+      val footer = sys.env.get("SPARK_GRAFT_MUX_FOOTER")
+      val r = run(spark, rows, g,
+        forceFooterCounts = footer.contains("1"),
+        forceAggCounts = footer.contains("0"))
       println(f"${r.groups}%7d ${r.batches}%7d ${r.totalSec}%8.1f ${r.batchMedianSec}%9.2f " +
         f"${r.batchMaxSec}%9.2f ${r.ackedChunks}%8d ${r.pendingMetas}%9d " +
         f"${r.ackedResident}%7d ${r.usedHeapMb}%7d")
