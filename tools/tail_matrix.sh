@@ -31,7 +31,11 @@ done
 # 300x fixture holds lineitem/documents/embeddings only; q158's exact
 # N^2 tile shuffle at 600k vectors (~170 GB) exceeds local disk -- its
 # 1/10/100 points already pin the quadratic contract.
-for q in q194_sa_append q199_quantile_sketch_eval q188_selection_pipeline \
-         q201_mg_heavy_hitters q132_jaccard_containment q58_pipeline_clean; do
+# q194 last: the 300x SA build is the longest cell and the one with
+# disk-pressure history (round-11's pre-serRound build died mid-round);
+# a runaway there must not block the rest of the matrix.
+for q in q199_quantile_sketch_eval q188_selection_pipeline \
+         q201_mg_heavy_hitters q132_jaccard_containment q58_pipeline_clean \
+         q194_sa_append; do
   run_cell 300 /tmp/graft-sf30 "$q"
 done
