@@ -56,17 +56,21 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     b.result()
   }
 
-  /** Payload of one chunk for one group (per-group delivery queries). */
+  /** Payload of one chunk for one group (per-group delivery queries).
+    * One group ⇒ full write parallelism (splits = shuffle partitions). */
   def write(groupId: String, chunkId: String, rows: DataFrame): Unit =
     writeMulti(rows
       .withColumn("groupId", lit(groupId))
-      .withColumn("chunkId", lit(chunkId)))
+      .withColumn("chunkId", lit(chunkId)),
+      splitsPerChunk =
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   /** Payload rows spanning many groups in one pass (multiplexed
     * delivery: one distributed write per micro-batch for ALL groups).
-    * `rows` must carry groupId, chunkId, subject, resourceId. */
-  def writeMulti(rows: DataFrame): Unit = timed("write") {
-    prepare(rows).write
+    * `rows` must carry groupId, chunkId, subject, resourceId.
+    * `splitsPerChunk` — see [[prepare]]. */
+  def writeMulti(rows: DataFrame, splitsPerChunk: Int = 1): Unit = timed("write") {
+    prepare(rows, splitsPerChunk).write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("groupId", "chunkId")
@@ -76,24 +80,32 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
   /** `seq` is assigned BEFORE the group repartition so delivery order
     * inside a chunk survives the shuffle (read() sorts on it); the
     * repartition makes each `(groupId, chunkId)` dir the product of
-    * exactly ONE task → one parquet file per chunk. Without it every
-    * source task opens a writer for every group it touches — at
-    * G=2000 with 8 source partitions that is ~16k files PER BATCH
-    * (measured as 98% of the many-groups per-batch floor,
-    * BASELINE.md round-12); with it, file count = groups matched this
-    * batch, the count aggregation below reuses the same hash
-    * partitioning shuffle-free, and the footer-count regime reads one
-    * footer per chunk. */
-  private def prepare(rows: DataFrame): DataFrame = {
+    * `splitsPerChunk` tasks → that many parquet files per chunk.
+    * Without the repartition every source task opens a writer for
+    * every group it touches — at G=2000 with 8 source partitions that
+    * is ~16k files PER BATCH (measured as 98% of the many-groups
+    * per-batch floor, BASELINE.md round-12).
+    *
+    * `splitsPerChunk` reconciles the two delivery regimes: MANY groups
+    * want 1 (file count = groups matched, the floor is one
+    * file+rename per group); FEW groups with big batches want
+    * parts/groups (repartition by group alone caps a group's write
+    * parallelism at ONE task — measured 2.1× on the 5-group 10M-event
+    * replay). The engine passes max(1, parts / registered-groups).
+    * read() merges a chunk's files by sorting on seq, so the split is
+    * invisible to consumers. */
+  private def prepare(rows: DataFrame, splitsPerChunk: Int): DataFrame = {
     // EXPLICIT partition count: a column-only repartition leaves the
     // count to AQE, which coalesces a small micro-batch to ONE
     // partition — and one task then writes every group's file
     // sequentially (measured 5× on the write at G=1000,
     // BASELINE.md round-12 crossover table).
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    rows.select(col("groupId"), col("chunkId"), col("subject"),
+    val keyed = rows.select(col("groupId"), col("chunkId"), col("subject"),
       col("resourceId"), monotonically_increasing_id().as("seq"))
-      .repartition(parts, col("groupId"))
+    if (splitsPerChunk <= 1) keyed.repartition(parts, col("groupId"))
+    else keyed.repartition(parts, col("groupId"),
+      pmod(xxhash64(col("seq")), lit(splitsPerChunk)))
   }
 
   /** Payload write + per-group row counts from ONE pass over the batch
@@ -106,8 +118,8 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     * cached batch, measured FLAT in G (no crossover exists; BASELINE.md
     * round-12 table). The footer path remains for the single-group
     * engines' shape (one probe, no batch persist). */
-  def writeMultiWithCounts(rows: DataFrame): Map[String, Long] = {
-    val prepared = prepare(rows)
+  def writeMultiWithCounts(rows: DataFrame, splitsPerChunk: Int = 1): Map[String, Long] = {
+    val prepared = prepare(rows, splitsPerChunk)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       timed("write") {

@@ -285,12 +285,16 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
             .select(col("id").as("groupId"), col("subject"), col("resourceId"))
           val withChunk = matched
             .withColumn("chunkId", concat(col("groupId"), lit(s"-$batchId")))
-          // Count regime — see MultiplexedDelivery.FooterCountMaxGroups.
+          // Count regime — see MultiplexedDelivery.FooterCountMaxGroups;
+          // write-parallelism hint — see DeliveryTable.prepare.
+          val splits = math.max(1,
+            spark.conf.get("spark.sql.shuffle.partitions", "32").toInt /
+              math.max(1, snapshot.size))
           val counts =
             if (snapshot.size > MultiplexedDelivery.FooterCountMaxGroups)
-              table.writeMultiWithCounts(withChunk)
+              table.writeMultiWithCounts(withChunk, splits)
             else {
-              table.writeMulti(withChunk)
+              table.writeMulti(withChunk, splits)
               table.chunkCounts(snapshot.map(_.id), g => s"$g-$batchId")
             }
           counts.foreach { case (gid, n) =>

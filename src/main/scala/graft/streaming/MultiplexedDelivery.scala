@@ -212,11 +212,17 @@ final class MultiplexedDelivery(val spark: SparkSession,
           // group per batch — O(G) stat calls; past the crossover a
           // second aggregation over the cached batch is cheaper and
           // O(batch) regardless of group count.
+          // Write-parallelism hint: with few groups each chunk splits
+          // across ~parts/groups tasks; with many groups it stays one
+          // file per chunk (DeliveryTable.prepare scaladoc).
+          val splits = math.max(1,
+            spark.conf.get("spark.sql.shuffle.partitions", "32").toInt /
+              math.max(1, snapshot.size))
           val counts =
             if (snapshot.size > footerCountMaxGroups)
-              table.writeMultiWithCounts(withChunk)
+              table.writeMultiWithCounts(withChunk, splits)
             else {
-              table.writeMulti(withChunk)
+              table.writeMulti(withChunk, splits)
               table.chunkCounts(snapshot.map(_.id), g => s"$g-$seq")
             }
           val ledgerT0 = System.nanoTime()
