@@ -114,8 +114,10 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     * regime since round 12: [[chunkCounts]] costs one filesystem
     * existence probe PER REGISTERED GROUP per micro-batch — O(G) stat
     * calls whether or not a group matched anything — while this count
-    * is a shuffle-free aggregation over the already-groupId-partitioned
-    * cached batch, measured FLAT in G (no crossover exists; BASELINE.md
+    * is an aggregation over the already-groupId-partitioned cached
+    * batch (shuffle-free at splitsPerChunk = 1, the many-groups case;
+    * with splits > 1 the partial agg leaves ≤ groups × parts rows to
+    * exchange), measured FLAT in G (no crossover exists; BASELINE.md
     * round-12 table). The footer path remains for the single-group
     * engines' shape (one probe, no batch persist). */
   def writeMultiWithCounts(rows: DataFrame, splitsPerChunk: Int = 1): Map[String, Long] = {
