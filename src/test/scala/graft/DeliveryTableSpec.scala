@@ -102,6 +102,27 @@ class DeliveryTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.read(g, Seq(c)).isEmpty, "drop must resolve the escaped dir")
   }
 
+  test("a chunk split across several files reads back in delivery order") {
+    // Few-groups regime: splitsPerChunk > 1 spreads one chunk over
+    // several write tasks (round-12 write-parallelism hint). The split
+    // must be invisible to consumers — read() merges the files by seq.
+    val dir = DeliveryTable.tempDir()
+    val t = new DeliveryTable(spark, dir)
+    val rows = (0 until 200).map(i => (f"s$i%03d", f"r$i%03d"))
+    t.writeMulti(payload(rows)
+      .withColumn("groupId", lit("g"))
+      .withColumn("chunkId", lit("g-0")),
+      splitsPerChunk = 4)
+    val files = new java.io.File(s"$dir/groupId=g/chunkId=g-0")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files > 1, s"test wiring: expected a multi-file chunk, got $files")
+    assert(t.read("g", Seq("g-0")) ==
+      Map("g-0" -> ((rows.map(_._1), rows.map(_._2)))),
+      "delivery order must survive the multi-file split")
+    assert(t.chunkCounts(Seq("g"), _ => "g-0") == Map("g" -> 200L),
+      "footer counts must sum across a chunk's files")
+  }
+
   test("multi-group batch write serves every group in one pass") {
     val t = new DeliveryTable(spark, DeliveryTable.tempDir())
     val batch = payload(Seq(("sA", "rA"), ("sB", "rB"), ("sC", "rC")))
