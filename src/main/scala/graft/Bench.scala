@@ -251,10 +251,16 @@ object Bench {
     // BENCH_DETAIL.json in the working directory (the repo, under git)
     // so no bounded capture window can lose it again.
     val qv = all.map { case (_, v) => fj(v) }.mkString("[", ",", "]")
+    // Under SPARK_GRAFT_ONLY the replay/pressure rows never ran — omit
+    // their headline keys entirely (a 0.0 would read as "measured
+    // instantly" in the line the driver parses, the same misread the
+    // extraRows omission guards against in the detail file).
     val headline =
-      s""""calib":${f(calib)},"stream_replay":${fj(replay)},""" +
-      s""""wire_replay":${fj(wire)},"h2c_replay":${fj(h2c)},""" +
-      s""""mux_groups":${fj(muxGroups)},"redelivery_replay":${fj(redelivery)}"""
+      if (!extras) s""""calib":${f(calib)}"""
+      else
+        s""""calib":${f(calib)},"stream_replay":${fj(replay)},""" +
+        s""""wire_replay":${fj(wire)},"h2c_replay":${fj(h2c)},""" +
+        s""""mux_groups":${fj(muxGroups)},"redelivery_replay":${fj(redelivery)}"""
     val failedJson = failed.sorted.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
     val sfName = new java.io.File(sfDir).getName
@@ -264,6 +270,47 @@ object Bench {
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line is ${line.length} chars — " +
         "driver tail window is ~2000; shorten the qv encoding")
+    // Drift guard (round-12 verdict task 8): compare this run's medians
+    // against the PREVIOUS round's git-tracked detail file, so a uniform
+    // host/day drift (round 12 measured a flat 1.13× that was only
+    // diagnosable by hand) separates from a real per-query regression
+    // mechanically. Emitted: the raw per-query ratio map, its median,
+    // the calib ratio (CPU-speed normalizer), and the calib-normalized
+    // median — a calib-normalized median ≈ 1 with a raw median ≫ 1 IS
+    // the uniform-drift signature; a single query whose normalized
+    // ratio stands off the median is a real regression.
+    val drift: String = {
+      val prevPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      if (only.nonEmpty || !java.nio.file.Files.exists(prevPath)) ""
+      else {
+        val prevTxt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+        def num(pat: String): Option[Double] =
+          pat.r.findFirstMatchIn(prevTxt).map(_.group(1).toDouble)
+        val prevCalib = num(""""calib":([0-9.]+)""")
+        // the flat "queries" object we wrote last round: "name":value pairs
+        val prevQ = """"(q[0-9]+[a-z0-9_]*|[a-z_]+)":([0-9.]+)""".r
+          .findAllMatchIn(
+            prevTxt.drop(math.max(0, prevTxt.indexOf(""""queries":{""")))
+              .takeWhile(_ != '}'))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ratios = all.flatMap { case (k, v) =>
+          prevQ.get(k).filter(p => p > 0.05 && v > 0)
+            .map(p => k -> v / p)
+        }
+        if (ratios.isEmpty) ""
+        else {
+          val sortedR = ratios.map(_._2).sorted
+          val med = sortedR(sortedR.size / 2)
+          val calibRatio = prevCalib.filter(_ > 0).map(calib / _).getOrElse(1.0)
+          val rmap = ratios.map { case (k, r) => s""""$k":${f(r)}""" }
+            .mkString("{", ",", "}")
+          s""","drift":{"prevCalib":${prevCalib.map(f).getOrElse("null")},""" +
+            s""""calibRatio":${f(calibRatio)},"ratioMedian":${f(med)},""" +
+            s""""normalizedRatioMedian":${f(med / calibRatio)},"n":${ratios.size},""" +
+            s""""ratios":$rmap}"""
+        }
+      }
+    }
     val detail = {
       val qmap = all.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
       val extraSampleRows =
@@ -284,7 +331,7 @@ object Bench {
         .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName",""" +
       s""""runs":$runs,"calib":${f(calib)},"failed":$failedJson,""" +
-      s""""pressure":$pmap,"queries":$qmap,"samples":$smap}"""
+      s""""pressure":$pmap,"queries":$qmap,"samples":$smap$drift}"""
     }
     // A SPARK_GRAFT_ONLY subset run writes to a sibling debug path: the
     // git-tracked detail file holds full-suite medians and must never be

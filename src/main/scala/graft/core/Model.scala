@@ -72,14 +72,28 @@ final case class RelationCtx(
 /** Subscription record — the reference's stream-group metadata
   * (storage_endpoint_mock.rs:32-38) plus the compiled filter subject
   * (natsio.rs:176-182 registers it as the JetStream consumer's
-  * `filter_subject`; we store it and filter with [[Subjects.matchesLit]]). */
+  * `filter_subject`; we store it and filter with [[Subjects.matchesLit]]).
+  *
+  * `extraFilterSubjects` completes the reference's MULTI-HIERARCHY
+  * request arm: its create path takes `hierarchies[0]` only and errors
+  * when empty (public_event_server.rs:145-152), although a resource can
+  * sit in several hierarchies (N ancestor chains → N filter subjects).
+  * Here ONE group carries the UNION of its hierarchies' compiled
+  * matchers; delivery matches a message against ANY of them and
+  * delivers it ONCE (the JetStream multi-filter-subject consumer
+  * semantic). Single-hierarchy groups keep the primary field alone —
+  * wire format, WAL, and existing call sites are unchanged. */
 final case class StreamGroup(
     id: String,
     resourceType: String,
     resourceId: String,
     eventType: String,
     notifyOnSubResource: Boolean,
-    filterSubject: String)
+    filterSubject: String,
+    extraFilterSubjects: Seq[String] = Seq.empty) {
+  /** All compiled matchers, primary first. */
+  def filterSubjects: Seq[String] = filterSubject +: extraFilterSubjects
+}
 
 /** Resolved ancestor chain (storage_endpoint_mock.rs:129-149). The mock
   * returns project/collection/object ids; object queries additionally

@@ -628,11 +628,38 @@ object DedupOps extends QueryModule {
       // jac ≈ na/nb falls far below 0.8 (a fully contained small doc in
       // a 10× page scores jac ≈ 0.1), so the q43 set is NOT a superset
       // of containment candidates.
-      val sh = shinglesHashedN(s, dir) // doc_id, sh (xxhash64), n
+      // Pair-aggregation SIZING (round-12 verdict task 3): containment
+      // has no tight size prefilter (unlike q43's 5·min ≥ 4·max), so
+      // the candidate-pair working set is the FULL Σ_sh C(cnt,2) — at
+      // 300× it crossed the conf-default 32 partitions' execution-
+      // memory share (54.8 GB + 39.7 GB measured agg spill; zero at
+      // 100×). The partition count is therefore DERIVED FROM THE
+      // CORPUS, not a conf: one cheap aggregation over the memoized
+      // shingle table estimates the pair volume exactly, and
+      // GlobalRank.derivedParts (the q186 partitions-from-rows device)
+      // turns it into a count that bounds each task's hash-table
+      // working set at ~2²¹ rows. The join inputs repartition by sh to
+      // the same count (no extra exchange: both sides project one
+      // repartitioned frame), and the explicit (x,y,nx,ny) repartition
+      // below replaces the aggregation's own conf-sized exchange — the
+      // partial agg was measured nearly pass-through here, so shipping
+      // unreduced join output costs what the partial shipped anyway.
+      // At gate scale derivedParts floors at the conf count: plans and
+      // hashes unchanged. Results are partition-count-invariant; the
+      // oracle is untouched. 300× re-measure: BASELINE.md round-13.
+      val shBase = shinglesHashedN(s, dir) // doc_id, sh (xxhash64), n
+      val estRow = shBase.groupBy("sh").agg(count(lit(1)).as("cnt"))
+        .agg(sum((col("cnt") * (col("cnt") - 1) / 2).cast("long")).as("p"))
+        .first()
+      val estPairs = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+      val pairParts = GlobalRank.derivedParts(
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt, estPairs)
+      val sh = shBase.repartition(pairParts, col("sh"))
       val x = sh.select(col("doc_id").as("x"), col("n").as("nx"), col("sh"))
       val y = sh.select(col("doc_id").as("y"), col("n").as("ny"), col("sh"))
       x.join(y, Seq("sh"))
         .filter(col("x") < col("y"))
+        .repartition(pairParts, col("x"), col("y"), col("nx"), col("ny"))
         .groupBy("x", "y", "nx", "ny").agg(count(lit(1)).as("c"))
         .select(explode(array(
           struct(col("x").as("a"), col("y").as("b"), col("c"), col("nx").as("na")),

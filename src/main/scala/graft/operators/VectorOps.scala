@@ -352,9 +352,64 @@ object VectorOps extends QueryModule {
   def similarityJoin(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val n = corpusN(s, dir)
     val regime = similarityRegime(n, threshold)
-    System.err.println(s"[similarityJoin] regime=$regime n=$n threshold=$threshold")
-    if (regime == "dense") densePairs(s, dir, threshold)
-    else lshPairs(s, dir, threshold)
+    if (regime == "dense") {
+      // Envelope check (round-12 verdict task 4): the dense sweep's ONLY
+      // super-linear materialization is the tile-grid join's shuffle —
+      // (N/1024)·(N/1024+1)/2 tile rows, each carrying two packed
+      // 1024-vector blocks (~0.5 MB) through local scratch. At 300×
+      // (~9M vectors) that is ~20 TB: no conf moves it, and streaming
+      // the tiles changes nothing because the SHUFFLE is the
+      // materialization. So the engine prices it against the scratch
+      // dirs' free space and DECLINES with the named estimate instead
+      // of dying of ENOSPC hours in — the caller's scale paths are the
+      // LSH funnel (sub-quadratic) or a filtered slice (shard/cell),
+      // per the q158 scaladoc.
+      val est = denseScratchBytes(n)
+      val avail = scratchBytesAvailable(s)
+      System.err.println(s"[similarityJoin] regime=dense n=$n threshold=$threshold " +
+        f"scratchEst=${est / 1e9}%.1f GB scratchAvail=${avail / 1e9}%.1f GB")
+      require(!denseDeclines(est, avail),
+        f"dense exact sweep over n=$n vectors needs ~${est / 1e9}%.1f GB of shuffle " +
+          f"scratch for its ${(n + DenseBlock - 1) / DenseBlock} -block tile grid, but " +
+          f"local dirs have ${avail / 1e9}%.1f GB free. Run the LSH funnel " +
+          "(similarityRegime would pick it at a higher threshold), filter the corpus " +
+          "to a shard first, or add scratch.")
+      densePairs(s, dir, threshold)
+    } else {
+      System.err.println(s"[similarityJoin] regime=lsh n=$n threshold=$threshold")
+      lshPairs(s, dir, threshold)
+    }
+  }
+
+  /** densePairs' block size (vectors per tile side). */
+  private[graft] val DenseBlock = 1024L
+
+  /** Scratch the dense tile grid shuffles: tiles × (two packed blocks).
+    * Block bytes = 1024 vectors × (64 float dims + id + row overhead)
+    * ≈ 0.28 MB per side; the estimate deliberately prices the PEAK
+    * (all tile rows resident in shuffle files at once — exactly what
+    * the 300× tail-matrix exclusion measured filling the disk). Pinned
+    * by PlanSpec against the measured 100× footprint. */
+  private[graft] def denseScratchBytes(n: Long): Long = {
+    val blocks = (n + DenseBlock - 1) / DenseBlock
+    val tiles = blocks * (blocks + 1) / 2
+    val blockBytes = DenseBlock * (64L * 4 + 16)
+    tiles * 2 * blockBytes
+  }
+
+  /** Declines when the estimate crosses 80% of free scratch — headroom
+    * for the pair output and everything else the session spills. */
+  private[graft] def denseDeclines(estBytes: Long, availBytes: Long): Boolean =
+    estBytes > availBytes / 10 * 8
+
+  /** Free bytes across the configured Spark local dirs (shuffle
+    * scratch); falls back to java.io.tmpdir, matching Spark's own
+    * default resolution order for local mode. */
+  private[graft] def scratchBytesAvailable(s: SparkSession): Long = {
+    val dirs = sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(Option(s.sparkContext.getConf.get("spark.local.dir", null)))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    dirs.split(',').map(d => new java.io.File(d.trim).getUsableSpace).sum
   }
 
   val q47_vector_threshold = QueryDef(

@@ -4,8 +4,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The distributed half of the delivery ledger: chunk PAYLOADS
-  * (subject, resourceId rows) as a parquet dataset partitioned by
-  * `(groupId, chunkId)`.
+  * (subject, resourceId rows) as a parquet dataset, in one of two
+  * layouts chosen by the write path:
+  *
+  *  - **per-group** (`groupId=…/chunkId=…/`): one partition dir per
+  *    chunk. Right when few groups match a batch — consumer pulls read
+  *    exactly their own dirs, counts come from footers, drop is an
+  *    `rm -r`. Wrong at thousands of matching groups: each micro-batch
+  *    pays one file + one commit rename PER GROUP (~3 ms each — the
+  *    round-12 floor: 4.8 s/batch at G=2000 against the 250 ms
+  *    trigger), and on an object store those renames are sequential
+  *    driver RPCs.
+  *  - **bucketed** (`batches/batch=<seq>/bucket=<b>/`): per micro-batch,
+  *    ONE file per bucket, `b = pmod(xxhash64(groupId), B)` with B ≈
+  *    cluster write parallelism — file count and commit renames per
+  *    batch are O(B) regardless of how many groups matched (the
+  *    round-12 verdict task 1 design). groupId/chunkId become sorted
+  *    DATA columns: rows are clustered by group inside each file, so a
+  *    consumer pull reads its group's single bucket file per pending
+  *    batch and parquet row-group stats (min/max on the sorted
+  *    groupId) skip other groups' row groups once files are large
+  *    enough to hold several. Read amplification is bounded by the
+  *    bucket's share of the batch (≈ matched/B groups per file),
+  *    measured by GroupScaleProbe.
   *
   * The reference keeps every delivered message in an in-server
   * `HashMap<chunk_id, Vec<Message>>` until acked
@@ -13,27 +34,29 @@ import org.apache.spark.sql.functions._
   * event volume through one process's heap. Here executors write each
   * micro-batch's payload straight to this table inside foreachBatch;
   * the driver ledger keeps only [[graft.core.ChunkMeta]] (ids + row
-  * counts), and a consumer pulling its pending chunks reads exactly its
-  * own `(groupId, chunkId)` partition directories back — partition
-  * pruning makes the re-read proportional to what THAT consumer has
-  * outstanding, not to the log.
+  * counts), and a consumer pulling its pending chunks reads back
+  * proportionally to what THAT consumer has outstanding, not to the
+  * log.
   *
   * Writes use dynamic partition overwrite so a foreachBatch replay
   * (micro-batch retry / restart) rewrites the same partitions with
   * identical content instead of appending duplicates — the write is
-  * idempotent per (groupId, chunkId), matching the WAL's replay rule.
+  * idempotent per (groupId, chunkId) / per (batch, bucket), matching
+  * the WAL's replay rule.
   *
   * `seq` preserves delivery order within a chunk (monotonic per
   * partition, partition-major across them — the same order the old
   * driver-side `collect()` produced).
   */
 final class DeliveryTable(spark: SparkSession, val dir: String) {
-  import DeliveryTable.esc
+  import DeliveryTable.{esc, bucketOf}
 
   private def fs = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
+
+  private val batchesDir = s"$dir/batches"
 
   /** Cumulative per-phase wall (ns) of this table's operations — the
     * decomposition surface for the many-groups per-batch floor
@@ -65,6 +88,32 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
       splitsPerChunk =
         spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
+  /** One chunk's payload write that RETURNS its row count, sizing the
+    * file split to the batch: persist → count (driver gets n for the
+    * ledger with no footer job) → write with splits = ⌈n / target⌉
+    * capped at cluster parallelism. A steady-state small micro-batch
+    * writes ONE file instead of shuffle-partitions many (the round-12
+    * ADVICE: full-parallelism splits inflated small-batch file count
+    * and the per-batch footer stat reads), while a 10M-row replay
+    * batch still fans across the full width. Returns 0 — and writes
+    * nothing — for an empty batch. */
+  def writeCounted(groupId: String, chunkId: String, rows: DataFrame): Long = {
+    val keyed = rows
+      .withColumn("groupId", lit(groupId))
+      .withColumn("chunkId", lit(chunkId))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = timed("count") { keyed.count() }
+      if (n > 0L) {
+        val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toLong
+        val splits = math.min(parts,
+          (n + DeliveryTable.TargetRowsPerFile - 1) / DeliveryTable.TargetRowsPerFile).toInt
+        writeMulti(keyed, splits)
+      }
+      n
+    } finally { keyed.unpersist(); () }
+  }
+
   /** Payload rows spanning many groups in one pass (multiplexed
     * delivery: one distributed write per micro-batch for ALL groups).
     * `rows` must carry groupId, chunkId, subject, resourceId.
@@ -77,23 +126,31 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
       .parquet(dir)
   }
 
-  /** `seq` is assigned BEFORE the group repartition so delivery order
-    * inside a chunk survives the shuffle (read() sorts on it); the
-    * repartition makes each `(groupId, chunkId)` dir the product of
+  /** `seq` is assigned BEFORE the repartition so delivery order inside
+    * a chunk survives the shuffle (read() sorts on it); the repartition
+    * makes each `(groupId, chunkId)` dir the product of
     * `splitsPerChunk` tasks → that many parquet files per chunk.
     * Without the repartition every source task opens a writer for
     * every group it touches — at G=2000 with 8 source partitions that
     * is ~16k files PER BATCH (measured as 98% of the many-groups
     * per-batch floor, BASELINE.md round-12).
     *
-    * `splitsPerChunk` reconciles the two delivery regimes: MANY groups
-    * want 1 (file count = groups matched, the floor is one
-    * file+rename per group); FEW groups with big batches want
-    * parts/groups (repartition by group alone caps a group's write
-    * parallelism at ONE task — measured 2.1× on the 5-group 10M-event
-    * replay). The engine passes max(1, parts / registered-groups).
-    * read() merges a chunk's files by sorting on seq, so the split is
-    * invisible to consumers. */
+    * The key carries chunkId alongside groupId so a single-group write
+    * spanning MANY chunks (the archive-backfill path) fans one task
+    * per chunk instead of collapsing onto one task (round-12 ADVICE);
+    * for the per-micro-batch engines chunkId is a function of groupId,
+    * so the distribution is unchanged.
+    *
+    * `splitsPerChunk` reconciles the two per-group-layout regimes:
+    * MANY groups want 1 (file count = groups matched); FEW groups with
+    * big batches want parts/groups (a chunk-only key caps a chunk's
+    * write parallelism at ONE task — measured 2.1× on the 5-group
+    * 10M-event replay). The split bucket hashes ROW CONTENT
+    * (subject, resourceId), never a nondeterministic id: a retried
+    * upstream task re-routes every row to the same split, so a chunk
+    * can never lose or duplicate rows across a speculative re-run
+    * (SPARK-23207 class; round-12 ADVICE). read() merges a chunk's
+    * files by sorting on seq, so the split is invisible to consumers. */
   private def prepare(rows: DataFrame, splitsPerChunk: Int): DataFrame = {
     // EXPLICIT partition count: a column-only repartition leaves the
     // count to AQE, which coalesces a small micro-batch to ONE
@@ -103,23 +160,21 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val keyed = rows.select(col("groupId"), col("chunkId"), col("subject"),
       col("resourceId"), monotonically_increasing_id().as("seq"))
-    if (splitsPerChunk <= 1) keyed.repartition(parts, col("groupId"))
-    else keyed.repartition(parts, col("groupId"),
-      pmod(xxhash64(col("seq")), lit(splitsPerChunk)))
+    if (splitsPerChunk <= 1) keyed.repartition(parts, col("groupId"), col("chunkId"))
+    else keyed.repartition(parts, col("groupId"), col("chunkId"),
+      pmod(xxhash64(col("subject"), col("resourceId")), lit(splitsPerChunk.toLong)))
   }
 
   /** Payload write + per-group row counts from ONE pass over the batch
     * (persisted, then written and aggregated — two jobs over cached
-    * batch-proportional data). This is the multiplexed engine's ONLY
-    * regime since round 12: [[chunkCounts]] costs one filesystem
+    * batch-proportional data). [[chunkCounts]] costs one filesystem
     * existence probe PER REGISTERED GROUP per micro-batch — O(G) stat
     * calls whether or not a group matched anything — while this count
-    * is an aggregation over the already-groupId-partitioned cached
-    * batch (shuffle-free at splitsPerChunk = 1, the many-groups case;
-    * with splits > 1 the partial agg leaves ≤ groups × parts rows to
-    * exchange), measured FLAT in G (no crossover exists; BASELINE.md
-    * round-12 table). The footer path remains for the single-group
-    * engines' shape (one probe, no batch persist). */
+    * is an aggregation over the cached batch (the partial agg leaves
+    * ≤ groups × parts rows to exchange), measured FLAT in G (no
+    * crossover exists; BASELINE.md round-12 table). The footer path
+    * remains for the single-group engines' shape (one probe, no batch
+    * persist). */
   def writeMultiWithCounts(rows: DataFrame, splitsPerChunk: Int = 1): Map[String, Long] = {
     val prepared = prepare(rows, splitsPerChunk)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -138,13 +193,105 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     } finally { prepared.unpersist(); () }
   }
 
-  /** Hydrate the payloads of `chunkIds` for `groupId` in ONE pruned
-    * scan: (chunkId → (subjects, resourceIds)), each in delivery order.
-    * This is the consumer-pull path — materialization happens at the
-    * consumer, per chunk, never at delivery time. */
-  /** Fixed read schema (incl. partition columns): hydration never pays
-    * footer-sampling schema inference, and an existing-but-empty dir
-    * reads as empty instead of failing inference. */
+  // ---- bucketed layout (many-groups regime) --------------------------
+
+  /** The table's bucket count, fixed at the FIRST bucketed write and
+    * persisted as `batches/_buckets`: the read path re-derives a
+    * group's bucket dir from `pmod(xxhash64(groupId), B)`, so B must
+    * never drift with session conf across restarts — a different B
+    * would resolve reads to the wrong dir and silently lose rows. */
+  @volatile private var bucketsCache: Int = -1
+
+  private def bucketsMarker = new org.apache.hadoop.fs.Path(batchesDir, "_buckets")
+
+  private def tableBuckets(filesystem: org.apache.hadoop.fs.FileSystem,
+                           requested: Int): Int = {
+    if (bucketsCache > 0) return bucketsCache
+    synchronized {
+      if (bucketsCache > 0) return bucketsCache
+      val b =
+        if (filesystem.exists(bucketsMarker)) readBucketsMarker(filesystem)
+        else {
+          filesystem.mkdirs(new org.apache.hadoop.fs.Path(batchesDir))
+          val out = filesystem.create(bucketsMarker, true)
+          try out.write(requested.toString.getBytes("UTF-8")) finally out.close()
+          requested
+        }
+      bucketsCache = b
+      b
+    }
+  }
+
+  /** Bucket count if any bucketed write ever happened here, else -1. */
+  private def bucketsIfAny(filesystem: org.apache.hadoop.fs.FileSystem): Int = {
+    if (bucketsCache > 0) return bucketsCache
+    if (!filesystem.exists(bucketsMarker)) return -1
+    synchronized {
+      if (bucketsCache <= 0) bucketsCache = readBucketsMarker(filesystem)
+      bucketsCache
+    }
+  }
+
+  private def readBucketsMarker(filesystem: org.apache.hadoop.fs.FileSystem): Int = {
+    val in = filesystem.open(bucketsMarker)
+    try {
+      val buf = new Array[Byte](32)
+      val n = in.read(buf)
+      new String(buf, 0, math.max(0, n), "UTF-8").trim.toInt
+    } finally in.close()
+  }
+
+  /** Multi-group micro-batch write in the BUCKETED layout + per-group
+    * counts: one file per non-empty bucket per batch — O(B) files and
+    * commit renames no matter how many groups matched (vs one PER
+    * GROUP in the per-group layout: the round-12 many-groups floor).
+    * `rows` must carry groupId, chunkId, subject, resourceId; every
+    * row's chunkId must belong to micro-batch `batchSeq` (the partition
+    * key consumers re-derive from ChunkMeta.batchId).
+    *
+    * The write targets the batch's OWN dir (`batches/batch=<seq>`)
+    * with a plain overwrite instead of dynamic partition overwrite at
+    * the table root: same idempotency (a foreachBatch replay rewrites
+    * exactly its own dir; siblings are separate dirs) at 1.7× the
+    * speed — the dynamic path stages under the table root and
+    * per-partition renames across it, measured 0.97 vs 0.57 s on the
+    * G=2000 batch shape (tools.BucketWriteProbe; BASELINE.md
+    * round-13).
+    *
+    * Rows are clustered (sorted) by groupId inside each bucket file —
+    * the sort leads with the partition column so the writer reuses it
+    * instead of re-sorting (the sort itself measured ~0.03 s; kept for
+    * the row-group pruning it buys consumer pulls) — and delivery
+    * order is preserved by `seq` exactly as in the per-group layout.
+    * `buckets` only matters on the table's first bucketed write; after
+    * that the persisted marker wins (see [[tableBuckets]]). */
+  def writeBucketed(rows: DataFrame, batchSeq: Long, buckets: Int): Map[String, Long] = {
+    val (filesystem, _) = fs
+    val b = tableBuckets(filesystem, math.max(1, buckets))
+    val prepared = rows.select(col("groupId"), col("chunkId"), col("subject"),
+        col("resourceId"), monotonically_increasing_id().as("seq"),
+        pmod(xxhash64(col("groupId")), lit(b.toLong)).as("bucket"))
+      .repartition(b, col("bucket"))
+      .sortWithinPartitions("bucket", "groupId", "seq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      timed("write") {
+        prepared.write
+          .mode("overwrite")
+          .partitionBy("bucket")
+          .parquet(s"$batchesDir/batch=$batchSeq")
+      }
+      timed("count") {
+        prepared.groupBy("groupId").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    } finally { prepared.unpersist(); () }
+  }
+
+  /** Fixed read schema (incl. the per-group layout's partition
+    * columns): hydration never pays footer-sampling schema inference,
+    * and an existing-but-empty dir reads as empty instead of failing
+    * inference. */
   private val readSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("subject", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("resourceId", org.apache.spark.sql.types.StringType),
@@ -152,10 +299,72 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     org.apache.spark.sql.types.StructField("groupId", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("chunkId", org.apache.spark.sql.types.StringType)))
 
+  /** Bucketed-layout data schema: groupId/chunkId are DATA columns
+    * there (batch/bucket are the partition dirs, never read back). */
+  private val bucketSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("groupId", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("chunkId", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("subject", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("resourceId", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+
+  /** Hydrate the payloads of `chunkIds` for `groupId` in ONE pruned
+    * scan: (chunkId → (subjects, resourceIds)), each in delivery order.
+    * PER-GROUP layout only — engines hydrate through [[readChunks]],
+    * which also resolves bucketed chunks via their batch seq. */
   def read(groupId: String, chunkIds: Seq[String]): Map[String, (Seq[String], Seq[String])] = timed("read") {
     val (filesystem, path) = fs
     if (chunkIds.isEmpty || !filesystem.exists(path)) Map.empty
     else readPruned(filesystem, path, groupId, chunkIds)
+  }
+
+  /** Consumer-pull hydration across BOTH layouts: each chunk arrives as
+    * (chunkId, batchSeq) — the two fields of its [[graft.core.ChunkMeta]].
+    * Per-group partition dirs are probed first (they exist exactly for
+    * chunks written in that layout); the rest resolve to
+    * `batches/batch=<seq>/bucket=<bucketOf(groupId)>` — ONE file read
+    * per pending batch, filtered to this group's rows. A table can hold
+    * both layouts at once (the engines switch regimes on registered
+    * group count), and this is the seam that makes the switch invisible
+    * to consumers. */
+  def readChunks(groupId: String,
+                 chunks: Seq[(String, Long)]): Map[String, (Seq[String], Seq[String])] = timed("read") {
+    val (filesystem, path) = fs
+    if (chunks.isEmpty || !filesystem.exists(path)) Map.empty
+    else {
+      val perGroup = readPruned(filesystem, path, groupId, chunks.map(_._1))
+      val missing = chunks.filterNot { case (c, _) => perGroup.contains(c) }
+      if (missing.isEmpty) perGroup
+      else perGroup ++ readBucketed(filesystem, groupId, missing)
+    }
+  }
+
+  private def readBucketed(filesystem: org.apache.hadoop.fs.FileSystem, groupId: String,
+                           chunks: Seq[(String, Long)]): Map[String, (Seq[String], Seq[String])] = {
+    val b = bucketsIfAny(filesystem)
+    if (b <= 0) return Map.empty
+    val bucket = bucketOf(groupId, b)
+    val paths = chunks.map(_._2).distinct
+      .map(s => new org.apache.hadoop.fs.Path(batchesDir, s"batch=$s/bucket=$bucket"))
+      .filter(filesystem.exists)
+    if (paths.isEmpty) return Map.empty
+    val wanted = chunks.map(_._1).distinct
+    // Same churn-tolerance stance as the per-group path: exists-then-
+    // read is a TOCTOU window against batch retention, so the read also
+    // sets ignoreMissingFiles. groupId equality + chunkId IN push down
+    // to the parquet scan; the in-file groupId clustering gives
+    // row-group skipping once bucket files span several row groups.
+    spark.read.schema(bucketSchema)
+      .option("ignoreMissingFiles", true)
+      .parquet(paths.map(_.toString): _*)
+      .filter(col("groupId") === groupId && col("chunkId").isin(wanted: _*))
+      .select("chunkId", "subject", "resourceId", "seq")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (cid, rs) =>
+        val ordered = rs.sortBy(_.getLong(3))
+        (cid, (ordered.map(_.getString(1)).toSeq, ordered.map(_.getString(2)).toSeq))
+      }
   }
 
   private def readPruned(filesystem: org.apache.hadoop.fs.FileSystem,
@@ -200,7 +409,8 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     * footer-count job over exactly those chunk directories. This is the
     * second half of the write-first delivery pattern — the batch is
     * traversed ONCE (by the payload write); counts come from file
-    * metadata, never from a second pass over the data. */
+    * metadata, never from a second pass over the data. PER-GROUP
+    * layout only (the bucketed writer returns counts directly). */
   def chunkCounts(groupIds: Seq[String], chunkIdFor: String => String): Map[String, Long] = timed("count") {
     val (filesystem, path) = fs
     val present = groupIds.filter { g =>
@@ -220,28 +430,83 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     }
   }
 
-  /** Chunk ids with durable payload partitions for a group — the
-    * FULL delivery history (acked included), read from the partitioned
-    * table itself. This is the post-eviction history surface: the
-    * driver ledger keeps only pending + out-of-order-acked metas
-    * ([[ChunkLedger]]), so "all chunks ever" is answered by the durable
-    * layer that actually retains them. One directory listing. */
+  /** Chunk ids with durable payload rows for a group — the FULL
+    * delivery history (acked included) across both layouts. This is
+    * the post-eviction history surface: the driver ledger keeps only
+    * pending + out-of-order-acked metas ([[ChunkLedger]]), so "all
+    * chunks ever" is answered by the durable layer that actually
+    * retains them. Per-group layout: one directory listing. Bucketed
+    * layout: one listing of the batch dirs + a distinct-chunkId scan
+    * of this group's bucket across them — a monitoring surface whose
+    * cost [[dropBatchesBefore]] retention bounds. */
   def listChunks(groupId: String): Seq[String] = {
     val (filesystem, path) = fs
     val gdir = new org.apache.hadoop.fs.Path(path, s"groupId=${esc(groupId)}")
-    if (!filesystem.exists(gdir)) return Seq.empty
-    filesystem.listStatus(gdir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("chunkId="))
-      .map(n => DeliveryTable.unesc(n.stripPrefix("chunkId=")))
+    val perGroup =
+      if (!filesystem.exists(gdir)) Seq.empty[String]
+      else filesystem.listStatus(gdir).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("chunkId="))
+        .map(n => DeliveryTable.unesc(n.stripPrefix("chunkId=")))
+    perGroup ++ listBucketedChunks(filesystem, groupId)
   }
 
-  /** Drop a group's payload partitions (group delete / retention). */
+  private def listBucketedChunks(filesystem: org.apache.hadoop.fs.FileSystem,
+                                 groupId: String): Seq[String] = {
+    val b = bucketsIfAny(filesystem)
+    if (b <= 0) return Seq.empty
+    val bdir = new org.apache.hadoop.fs.Path(batchesDir)
+    if (!filesystem.exists(bdir)) return Seq.empty
+    val bucket = bucketOf(groupId, b)
+    val paths = filesystem.listStatus(bdir).toSeq
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("batch="))
+      .map(p => new org.apache.hadoop.fs.Path(p.getPath, s"bucket=$bucket"))
+      .filter(filesystem.exists)
+    if (paths.isEmpty) return Seq.empty
+    spark.read.schema(bucketSchema)
+      .option("ignoreMissingFiles", true)
+      .parquet(paths.map(_.toString): _*)
+      .filter(col("groupId") === groupId)
+      .select("chunkId").distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Drop a group's payload partitions (group delete / retention).
+    * Per-group layout only: bucketed files are SHARED across groups,
+    * so a deleted group's rows there stay physically present but
+    * unreachable (its ledger metas are gone and reads filter by
+    * groupId) until [[dropBatchesBefore]] retention reclaims the whole
+    * batch dir — the same trade a shared-segment log (Kafka/JetStream)
+    * makes: per-consumer deletes are metadata, storage reclaim is
+    * retention. */
   def drop(groupId: String): Unit = {
     val (filesystem, path) = fs
     val gdir = new org.apache.hadoop.fs.Path(path, s"groupId=${esc(groupId)}")
     if (filesystem.exists(gdir)) { filesystem.delete(gdir, true); () }
+  }
+
+  /** Bucketed-layout retention: delete whole `batch=<seq>` dirs with
+    * seq < `minSeq` — the storage-reclaim half of the bucketed trade
+    * (see [[drop]]). Safe bound for callers: the minimum over live
+    * groups of (ledger watermark + 1); everything below is acked by
+    * everyone. Returns the number of batch dirs removed. */
+  def dropBatchesBefore(minSeq: Long): Int = {
+    val (filesystem, _) = fs
+    val bdir = new org.apache.hadoop.fs.Path(batchesDir)
+    if (!filesystem.exists(bdir)) return 0
+    val victims = filesystem.listStatus(bdir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("batch=") &&
+          (try n.stripPrefix("batch=").toLong < minSeq
+           catch { case _: NumberFormatException => false })
+      }
+    victims.foreach(filesystem.delete(_, true))
+    victims.size
   }
 }
 
@@ -250,6 +515,26 @@ object DeliveryTable {
     * production passes a durable shared path instead. */
   def tempDir(): String =
     java.nio.file.Files.createTempDirectory("graft-deliveries-").toString
+
+  /** Per-file row target for [[DeliveryTable.writeCounted]]'s
+    * batch-sized split: a 10M-row replay batch still fans out to the
+    * full cluster width while steady-state micro-batches write one
+    * file. */
+  val TargetRowsPerFile: Long = 1L << 18
+
+  /** The bucket of `groupId` under `buckets` — the DRIVER-side twin of
+    * the plan-side `pmod(xxhash64(groupId), buckets)` the bucketed
+    * writer partitions by. Must agree bit-for-bit or consumer pulls
+    * resolve to the wrong dir (pinned by DeliveryTableSpec). */
+  def bucketOf(groupId: String, buckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(groupId),
+        org.apache.spark.sql.types.StringType)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    (((h % buckets) + buckets) % buckets).toInt
+  }
 
   /** Hive-style partition-value escaping, the SAME function the
     * parquet writer applies when materializing `groupId=…/chunkId=…`

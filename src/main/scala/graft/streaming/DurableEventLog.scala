@@ -142,24 +142,41 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     * by memory. */
   def deliveryStream(filterSubject: String,
                      maxFilesPerTrigger: Option[Int] = None,
-                     eventType: String = EventType.All): DataFrame = {
+                     eventType: String = EventType.All): DataFrame =
+    deliveryStreamMulti(Seq(filterSubject), maxFilesPerTrigger, eventType)
+
+  /** Union form for multi-hierarchy groups: "matches ANY filter
+    * subject" as an OR of per-subject predicates — a filter, so a
+    * message matching several subjects still flows once. The partition
+    * prune generalizes to `project IN (…)` when every filter's project
+    * token is a literal. */
+  def deliveryStreamMulti(filterSubjects: Seq[String],
+                          maxFilesPerTrigger: Option[Int] = None,
+                          eventType: String = EventType.All): DataFrame = {
     val reader = spark.readStream.schema(logSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    prunedSubjectScan(reader.parquet(logDir), filterSubject)
+    prunedSubjectScan(reader.parquet(logDir), filterSubjects)
       .filter(Subjects.eventTypeMatches(col("eventType"), lit(eventType)))
   }
 
-  /** Shared prune: subject predicate + (when the project token is a
-    * literal) the partition filter. Works for both the streaming log
-    * scan and batch archive scans. */
-  private def prunedSubjectScan(df: DataFrame, filterSubject: String): DataFrame = {
-    val tokens = filterSubject.split('.')
-    require(tokens.length >= 4,
-      s"filter subject needs >=4 tokens (UPDATES.STORAGE._.<project>...): $filterSubject")
-    val project = tokens(3)
-    val base = df.filter(Subjects.matchesLit(col("subject"), filterSubject))
-    if (project == "*" || project == ">") base
-    else base.filter(col("project") === project)
+  /** Shared prune: subject predicate (ANY of `filterSubjects`) + the
+    * partition filter `project IN (…)` when every filter's project
+    * token is a literal (a `*`/`>` token anywhere falls back to the
+    * full-log scan with the subject predicate alone — correct, just
+    * unpruned). Works for both the streaming log scan and batch
+    * archive scans. */
+  private def prunedSubjectScan(df: DataFrame, filterSubjects: Seq[String]): DataFrame = {
+    require(filterSubjects.nonEmpty, "at least one filter subject required")
+    val projects = filterSubjects.map { fs =>
+      val tokens = fs.split('.')
+      require(tokens.length >= 4,
+        s"filter subject needs >=4 tokens (UPDATES.STORAGE._.<project>...): $fs")
+      tokens(3)
+    }
+    val base = df.filter(
+      filterSubjects.map(Subjects.matchesLit(col("subject"), _)).reduce(_ || _))
+    if (projects.exists(p => p == "*" || p == ">")) base
+    else base.filter(col("project").isin(projects.distinct: _*))
   }
 
   /** Start (or restart — same checkpoint) a group's delivery query.
@@ -168,9 +185,17 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   def startDelivery(groupId: String, filterSubject: String,
                     maxFilesPerTrigger: Option[Int] = None,
                     deliveryTrigger: Trigger = trigger,
-                    eventType: String = EventType.All): Unit = {
+                    eventType: String = EventType.All): Unit =
+    startDeliveryMulti(groupId, Seq(filterSubject), maxFilesPerTrigger,
+      deliveryTrigger, eventType)
+
+  /** Union form for multi-hierarchy groups — see [[deliveryStreamMulti]]. */
+  def startDeliveryMulti(groupId: String, filterSubjects: Seq[String],
+                         maxFilesPerTrigger: Option[Int] = None,
+                         deliveryTrigger: Trigger = trigger,
+                         eventType: String = EventType.All): Unit = {
     require(!deliveries.contains(groupId), s"delivery for $groupId already running")
-    val q = deliveryStream(filterSubject, maxFilesPerTrigger, eventType).writeStream
+    val q = deliveryStreamMulti(filterSubjects, maxFilesPerTrigger, eventType).writeStream
       .queryName(s"durable-delivery-$groupId")
       .outputMode("append")
       .option("checkpointLocation", s"$ckptRoot/delivery-$groupId")
@@ -186,8 +211,13 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
         // partitions), then the count from the written parquet footers.
         val chunkId = s"$groupId-$batchId"
         if (!ledger.isKnown(groupId, chunkId, batchId)) {
-          table.write(groupId, chunkId, batch.select("subject", "resourceId"))
-          table.chunkCounts(Seq(groupId), _ => chunkId).get(groupId).foreach { n =>
+          // writeCounted sizes the file split to the batch (one file for
+          // a steady-state micro-batch, full width for a replay burst)
+          // and returns the row count from the same cached pass — no
+          // footer job, no fixed parts-many files per chunk (round-12
+          // ADVICE).
+          val n = table.writeCounted(groupId, chunkId, batch.select("subject", "resourceId"))
+          if (n > 0L) {
             val meta = ChunkMeta(groupId, chunkId, batchId, n,
               new Timestamp(System.currentTimeMillis()), acked = false)
             if (ledger.record(meta)) store.appendChunk(meta) // WAL after payload
@@ -211,11 +241,24 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   def addGroup(groupId: String, resourceType: ResourceType, resourceId: String,
                hierarchy: Hierarchy, includeSubresources: Boolean,
                eventType: String = EventType.All,
-               token: Option[String] = None): StreamGroup = {
+               token: Option[String] = None): StreamGroup =
+    addGroupMulti(groupId, resourceType, resourceId, Seq(hierarchy),
+      includeSubresources, eventType, token)
+
+  /** Multi-hierarchy registration — union-of-matchers semantics, see
+    * [[MultiplexedDelivery.addGroupMulti]]. */
+  def addGroupMulti(groupId: String, resourceType: ResourceType, resourceId: String,
+                    hierarchies: Seq[Hierarchy], includeSubresources: Boolean,
+                    eventType: String = EventType.All,
+                    token: Option[String] = None): StreamGroup = {
+    require(hierarchies.nonEmpty,
+      s"stream group $groupId needs at least one hierarchy (public_event_server.rs:145-152)")
     security.requireRead(token, resourceType, resourceId)
+    val filters = hierarchies
+      .map(Subjects.queryFor(resourceType, resourceId, _, includeSubresources))
+      .distinct
     val g = StreamGroup(groupId, resourceType.name, resourceId, eventType,
-      includeSubresources,
-      Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources))
+      includeSubresources, filters.head, filters.tail)
     require(groups.putIfAbsent(groupId, g).isEmpty,
       s"stream group $groupId already exists")
     g
@@ -233,7 +276,7 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
       throw new NoSuchElementException(s"unknown stream group $groupId"))
     security.requireRead(token, ResourceType.fromName(g.resourceType), g.resourceId)
     if (!deliveries.contains(groupId) && !deliveries.contains("__mux__"))
-      startDelivery(groupId, g.filterSubject, eventType = g.eventType)
+      startDeliveryMulti(groupId, g.filterSubjects, eventType = g.eventType)
   }
 
   /** The durable engine keeps per-group checkpoints; stopping the query
@@ -268,33 +311,53 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
         // common (non-empty) path; the per-group counts below cost the
         // same on an empty batch and gate the write anyway.
         if (snapshot.nonEmpty) {
-          val subs = snapshot.toDF().select(col("id"), col("filterSubject"),
-            col("eventType").as("subEventType"),
-            split(col("filterSubject"), "\\.").getItem(3).as("sub_project"))
+          // One row per (group, filter subject); multi-hierarchy groups
+          // get union-of-matchers with once-per-message dedup — same
+          // rule as MultiplexedDelivery's batch join.
+          val anyMulti = snapshot.exists(_.extraFilterSubjects.nonEmpty)
+          val subs = snapshot
+            .flatMap(g => g.filterSubjects.map(fs => (g.id, fs, g.eventType)))
+            .toDF("id", "filterSubject", "subEventType")
+            .withColumn("sub_project",
+              split(col("filterSubject"), "\\.").getItem(3))
           // Write-first: ONE distributed pass (join → partitioned payload
           // write) serves every group; per-group counts then come from
           // parquet FOOTERS of the just-written chunk dirs, never from a
           // second pass over the batch. A replayed batch rewrites its own
           // partitions (dynamic overwrite) — idempotent — and the ledger
           // guard below keeps an existing (possibly acked) meta intact.
-          val matched = batch
+          val keyed =
+            if (anyMulti) batch.withColumn("__msg", monotonically_increasing_id())
+            else batch
+          val joined = keyed
             .join(broadcast(subs),
               col("project") === col("sub_project")
                 && Subjects.matchesCol(col("subject"), col("filterSubject"))
                 && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
-            .select(col("id").as("groupId"), col("subject"), col("resourceId"))
+          val matched =
+            (if (anyMulti)
+               joined.select(col("id").as("groupId"), col("subject"),
+                 col("resourceId"), col("__msg"))
+                 .dropDuplicates("groupId", "__msg")
+             else joined.select(col("id").as("groupId"), col("subject"),
+               col("resourceId")))
+              .select(col("groupId"), col("subject"), col("resourceId"))
           val withChunk = matched
             .withColumn("chunkId", concat(col("groupId"), lit(s"-$batchId")))
-          // Count regime — see MultiplexedDelivery.FooterCountMaxGroups;
+          // Layout + count regimes — see MultiplexedDelivery (bucketed
+          // past BucketedMinGroups registered groups: O(parts) files per
+          // batch instead of one per matching group);
           // write-parallelism hint — see DeliveryTable.prepare.
-          val splits = math.max(1,
-            spark.conf.get("spark.sql.shuffle.partitions", "32").toInt /
-              math.max(1, snapshot.size))
+          val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
           val counts =
-            if (snapshot.size > MultiplexedDelivery.FooterCountMaxGroups)
-              table.writeMultiWithCounts(withChunk, splits)
+            if (snapshot.size >= MultiplexedDelivery.BucketedMinGroups)
+              table.writeBucketed(withChunk, batchId, parts)
+            else if (snapshot.size > MultiplexedDelivery.FooterCountMaxGroups)
+              table.writeMultiWithCounts(withChunk,
+                math.max(1, parts / math.max(1, snapshot.size)))
             else {
-              table.writeMulti(withChunk, splits)
+              table.writeMulti(withChunk,
+                math.max(1, parts / math.max(1, snapshot.size)))
               table.chunkCounts(snapshot.map(_.id), g => s"$g-$batchId")
             }
           counts.foreach { case (gid, n) =>
@@ -342,7 +405,7 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     * as [[deliveryStream]], so a subtree backfill touches exactly one
     * partition directory of the archive. */
   def archiveScan(archiveDir: String, filterSubject: String): DataFrame =
-    prunedSubjectScan(spark.read.schema(logSchema).parquet(archiveDir), filterSubject)
+    prunedSubjectScan(spark.read.schema(logSchema).parquet(archiveDir), Seq(filterSubject))
 
   /** Serve a group's HISTORY from a compacted archive as ack-able
     * delivery chunks (the backfill half of the compaction story; the
@@ -359,7 +422,10 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     // indices without a driver materialization (the RDD detour is the
     // one API that gives contiguous ids; this is a bulk admin path, not
     // a codegen-hot loop), then one partitioned write ships every
-    // chunk's payload straight from the executors.
+    // chunk's payload straight from the executors — one write TASK per
+    // backfill chunk (DeliveryTable.prepare keys the shuffle on
+    // (groupId, chunkId), so a million-row subtree backfill fans across
+    // its chunks instead of collapsing onto one task; round-12 ADVICE).
     val base = archiveScan(archiveDir, filterSubject).select("subject", "resourceId")
     val n = base.count()
     if (n == 0) return 0
@@ -393,10 +459,11 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   def compactLedger(): Unit = store.compact()
 
   /** Hydrate metas into client-facing chunks: ONE pruned read of the
-    * deliveries table covering all requested chunks (consumer pull). */
+    * deliveries table covering all requested chunks (consumer pull);
+    * readChunks resolves each meta in whichever layout wrote it. */
   private def hydrate(groupId: String, metas: Seq[ChunkMeta]): Seq[DeliveryChunk] = {
     if (metas.isEmpty) return Seq.empty
-    val payload = table.read(groupId, metas.map(_.chunkId))
+    val payload = table.readChunks(groupId, metas.map(m => (m.chunkId, m.batchId)))
     metas.map { m =>
       val (subjects, ids) = payload.getOrElse(m.chunkId, (Seq.empty, Seq.empty))
       DeliveryChunk(m.groupId, m.chunkId, m.batchId, subjects, ids, m.deliveredAt, m.acked)

@@ -37,7 +37,9 @@ final class MultiplexedDelivery(val spark: SparkSession,
                                 ackWaitMillis: Long = 30000L,
                                 clock: () => Long = () => System.currentTimeMillis(),
                                 footerCountMaxGroups: Int =
-                                  MultiplexedDelivery.FooterCountMaxGroups)
+                                  MultiplexedDelivery.FooterCountMaxGroups,
+                                bucketedMinGroups: Int =
+                                  MultiplexedDelivery.BucketedMinGroups)
     extends ConsumerHost {
   import spark.implicits._
 
@@ -141,11 +143,28 @@ final class MultiplexedDelivery(val spark: SparkSession,
   def addGroup(groupId: String, resourceType: ResourceType, resourceId: String,
                hierarchy: Hierarchy, includeSubresources: Boolean,
                eventType: String = EventType.All,
-               token: Option[String] = None): StreamGroup = {
+               token: Option[String] = None): StreamGroup =
+    addGroupMulti(groupId, resourceType, resourceId, Seq(hierarchy),
+      includeSubresources, eventType, token)
+
+  /** Multi-hierarchy registration (round-12 verdict task 5): the
+    * reference subscribes `hierarchies[0]` only and errors on empty
+    * (public_event_server.rs:145-152); here ONE group compiles ALL of
+    * the resource's ancestor chains into a union of filter subjects —
+    * a message matching any of them is delivered ONCE (see the batch
+    * join's dedup). Mirrors the reference's empty-hierarchies error. */
+  def addGroupMulti(groupId: String, resourceType: ResourceType, resourceId: String,
+                    hierarchies: Seq[Hierarchy], includeSubresources: Boolean,
+                    eventType: String = EventType.All,
+                    token: Option[String] = None): StreamGroup = {
+    require(hierarchies.nonEmpty,
+      s"stream group $groupId needs at least one hierarchy (public_event_server.rs:145-152)")
     security.requireRead(token, resourceType, resourceId)
+    val filters = hierarchies
+      .map(Subjects.queryFor(resourceType, resourceId, _, includeSubresources))
+      .distinct
     val g = StreamGroup(groupId, resourceType.name, resourceId, eventType,
-      includeSubresources,
-      Subjects.queryFor(resourceType, resourceId, hierarchy, includeSubresources))
+      includeSubresources, filters.head, filters.tail)
     require(groups.putIfAbsent(groupId, g).isEmpty,
       s"stream group $groupId already exists")
     g
@@ -187,42 +206,76 @@ final class MultiplexedDelivery(val spark: SparkSession,
         // common (non-empty) path; the per-group counts below cost the
         // same on an empty batch and gate the write anyway.
         if (snapshot.nonEmpty) {
-          // keep only the join-relevant columns: StreamGroup.resourceId
-          // would otherwise collide with the event batch's resourceId
-          // (and its eventType with the event's — aliased to subEventType)
-          val subs = snapshot.toDF().select(col("id"), col("filterSubject"),
-            col("eventType").as("subEventType"))
+          // ONE ROW PER (group, filter subject): single-hierarchy groups
+          // contribute one row; multi-hierarchy groups one per matcher
+          // (their union semantics). Keep only the join-relevant
+          // columns: StreamGroup.resourceId would otherwise collide
+          // with the event batch's resourceId (and its eventType with
+          // the event's — aliased to subEventType).
+          val anyMulti = snapshot.exists(_.extraFilterSubjects.nonEmpty)
+          val subs = snapshot
+            .flatMap(g => g.filterSubjects.map(fs => (g.id, fs, g.eventType)))
+            .toDF("id", "filterSubject", "subEventType")
           // Write-first: ONE distributed pass (join → partitioned payload
           // write) serves every group; per-group counts then come from
           // parquet FOOTERS of the just-written chunk dirs, never from a
           // second pass over the batch. A replayed batch rewrites its own
           // partitions (dynamic overwrite) — idempotent — and the ledger
           // guard below keeps an existing (possibly acked) meta intact.
-          val matched = batch
+          // With any multi-subject group registered, a message matching
+          // TWO of one group's matchers joins twice — the per-message id
+          // + dropDuplicates delivers it ONCE (the JetStream
+          // multi-filter-subject consumer rule). The dedup aggregation
+          // is skipped entirely in the common all-single case.
+          val keyed =
+            if (anyMulti) batch.withColumn("__msg", monotonically_increasing_id())
+            else batch
+          val joined = keyed
             .join(broadcast(subs),
               projectToken(col("subject")) === projectToken(col("filterSubject"))
                 && Subjects.matchesCol(col("subject"), col("filterSubject"))
                 && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
-            .select(col("id").as("groupId"), col("subject"), col("resourceId"))
+          val matched =
+            (if (anyMulti)
+               joined.select(col("id").as("groupId"), col("subject"),
+                 col("resourceId"), col("__msg"))
+                 .dropDuplicates("groupId", "__msg")
+             else joined.select(col("id").as("groupId"), col("subject"),
+               col("resourceId")))
+              .select(col("groupId"), col("subject"), col("resourceId"))
           val seq = chunkSeqBase + batchId
           val withChunk = matched
             .withColumn("chunkId", concat(col("groupId"), lit(s"-$seq")))
-          // Count regime (see DeliveryTable.writeMultiWithCounts): the
-          // parquet-footer path pays one filesystem probe per REGISTERED
-          // group per batch — O(G) stat calls; past the crossover a
-          // second aggregation over the cached batch is cheaper and
-          // O(batch) regardless of group count.
+          // Layout regime: past `bucketedMinGroups` registered groups
+          // the per-group layout's floor applies (one file + one commit
+          // rename PER MATCHING GROUP per batch — 4.8 s/batch at G=2000
+          // against the 250 ms trigger, BASELINE.md round-12), so the
+          // write switches to the BUCKETED layout: O(shuffle-partitions)
+          // files per batch regardless of how many groups matched, with
+          // counts from the same cached pass. Below the threshold the
+          // per-group layout keeps its cheaper pulls and footer counts.
+          // Count regime within the per-group layout (see
+          // DeliveryTable.writeMultiWithCounts): the parquet-footer path
+          // pays one filesystem probe per REGISTERED group per batch —
+          // O(G) stat calls; the aggregation is O(batch) regardless.
           // Write-parallelism hint: with few groups each chunk splits
           // across ~parts/groups tasks; with many groups it stays one
           // file per chunk (DeliveryTable.prepare scaladoc).
-          val splits = math.max(1,
-            spark.conf.get("spark.sql.shuffle.partitions", "32").toInt /
-              math.max(1, snapshot.size))
+          val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+          // SPARK_GRAFT_DELIVERY_BUCKETS: experiment-only override of the
+          // bucket count (bench/probe runs; never set by the driver) —
+          // the bucket-count sweep behind the BucketedMinGroups choice.
+          val buckets = sys.env.get("SPARK_GRAFT_DELIVERY_BUCKETS")
+            .map(_.toInt).getOrElse(parts)
           val counts =
-            if (snapshot.size > footerCountMaxGroups)
-              table.writeMultiWithCounts(withChunk, splits)
+            if (snapshot.size >= bucketedMinGroups)
+              table.writeBucketed(withChunk, seq, buckets)
+            else if (snapshot.size > footerCountMaxGroups)
+              table.writeMultiWithCounts(withChunk,
+                math.max(1, parts / math.max(1, snapshot.size)))
             else {
-              table.writeMulti(withChunk, splits)
+              table.writeMulti(withChunk,
+                math.max(1, parts / math.max(1, snapshot.size)))
               table.chunkCounts(snapshot.map(_.id), g => s"$g-$seq")
             }
           val ledgerT0 = System.nanoTime()
@@ -249,10 +302,12 @@ final class MultiplexedDelivery(val spark: SparkSession,
   def compactLedger(): Unit = store.foreach(_.compact())
 
   /** Hydrate metas into client-facing chunks: ONE pruned read of the
-    * deliveries table covering all requested chunks (consumer pull). */
+    * deliveries table covering all requested chunks (consumer pull).
+    * readChunks resolves each meta in whichever layout wrote it —
+    * per-group dirs or the bucketed batch dirs. */
   private def hydrate(groupId: String, metas: Seq[ChunkMeta]): Seq[DeliveryChunk] = {
     if (metas.isEmpty) return Seq.empty
-    val payload = table.read(groupId, metas.map(_.chunkId))
+    val payload = table.readChunks(groupId, metas.map(m => (m.chunkId, m.batchId)))
     metas.map { m =>
       val (subjects, ids) = payload.getOrElse(m.chunkId, (Seq.empty, Seq.empty))
       DeliveryChunk(m.groupId, m.chunkId, m.batchId, subjects, ids, m.deliveredAt, m.acked)
@@ -345,4 +400,17 @@ object MultiplexedDelivery {
     * single-group engines' shape (one probe, no batch persist), where
     * it is the cheaper form. */
   val FooterCountMaxGroups: Int = 0
+
+  /** Layout-regime threshold: at this many registered groups and above,
+    * micro-batch payloads are written in the BUCKETED layout (see
+    * [[DeliveryTable.writeBucketed]]) — per-batch file count O(shuffle
+    * partitions) instead of O(matching groups). Below it the per-group
+    * layout's pulls (exactly-own-dirs, no shared-file read
+    * amplification) and cheap per-group drops win. Set from the
+    * round-13 GroupScaleProbe regime comparison: the per-group floor
+    * (~3 ms × matching groups per batch) crosses the bucketed batch
+    * cost (~flat in G) near G ≈ 2× write parallelism; both regimes were
+    * measured at G ∈ {16, 64, 256, 1000, 2000} — see BASELINE.md
+    * round-13. */
+  val BucketedMinGroups: Int = 64
 }

@@ -48,14 +48,17 @@ object GroupScaleProbe {
   def run(spark: SparkSession, rows: Array[(Long, Long, String)], g: Int,
           nBatches: Int = 8, churn: Boolean = true,
           forceFooterCounts: Boolean = false,
-          forceAggCounts: Boolean = false): Result = {
+          forceAggCounts: Boolean = false,
+          bucketedMinGroups: Int =
+            graft.streaming.MultiplexedDelivery.BucketedMinGroups): Result = {
     val mux = new MultiplexedDelivery(spark,
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
       sourcePartitions = 8,
       footerCountMaxGroups =
         if (forceFooterCounts) Int.MaxValue
         else if (forceAggCounts) 0
-        else graft.streaming.MultiplexedDelivery.FooterCountMaxGroups)
+        else graft.streaming.MultiplexedDelivery.FooterCountMaxGroups,
+      bucketedMinGroups = bucketedMinGroups)
     // 5 hot project-subtree groups (the replay-bench shape) + (g-5)
     // selective collection-subtree groups, most idle by construction.
     (0 until 5).foreach(p => mux.addGroup(s"hot-p$p", ResourceType.Project, s"p$p",
@@ -158,10 +161,18 @@ object GroupScaleProbe {
       // SPARK_GRAFT_MUX_FOOTER=1 forces the footer-count regime at any
       // G; =0 forces the aggregation regime — the two sides of the
       // FooterCountMaxGroups crossover measurement (verdict task 4).
+      // SPARK_GRAFT_MUX_BUCKETED=1 forces the BUCKETED layout at any G;
+      // =0 forces the per-group layout — the two sides of the
+      // BucketedMinGroups layout crossover (round-13 task 1).
       val footer = sys.env.get("SPARK_GRAFT_MUX_FOOTER")
+      val bucketed = sys.env.get("SPARK_GRAFT_MUX_BUCKETED")
       val r = run(spark, rows, g,
         forceFooterCounts = footer.contains("1"),
-        forceAggCounts = footer.contains("0"))
+        forceAggCounts = footer.contains("0"),
+        bucketedMinGroups =
+          if (bucketed.contains("1")) 0
+          else if (bucketed.contains("0")) Int.MaxValue
+          else graft.streaming.MultiplexedDelivery.BucketedMinGroups)
       println(f"${r.groups}%7d ${r.batches}%7d ${r.totalSec}%8.1f ${r.batchMedianSec}%9.2f " +
         f"${r.batchMaxSec}%9.2f ${r.ackedChunks}%8d ${r.pendingMetas}%9d " +
         f"${r.ackedResident}%7d ${r.usedHeapMb}%7d")

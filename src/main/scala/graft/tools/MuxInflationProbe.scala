@@ -87,11 +87,22 @@ object MuxInflationProbe {
       println(s"[mux-inflate] polluted with calib (4 hash aggs)")
     } else {
       (1 to passes).foreach { i =>
+        // NonFatal only: an OOM or other fatal JVM error must abort the
+        // probe, not let a degraded session proceed to the "polluted"
+        // pass and misattribute its timings to JIT pollution. Failed
+        // pollution queries are counted so a partial pass is visible
+        // next to the JIT stats.
+        var failedQueries = 0
         graft.SparkEntry.queries.foreach { case (name, fn) =>
-          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+          try { fn(spark, sfDir).count(); () }
+          catch { case scala.util.control.NonFatal(e) =>
+            failedQueries += 1
+            System.err.println(s"[mux-inflate] pollution query $name failed: ${e.getClass.getSimpleName}")
+          }
         }
         spark.catalog.clearCache()
-        println(s"[mux-inflate] polluted with suite pass $i/$passes")
+        println(s"[mux-inflate] polluted with suite pass $i/$passes" +
+          (if (failedQueries > 0) s" ($failedQueries queries failed)" else ""))
       }
     }
     probe("polluted")

@@ -237,6 +237,53 @@ class EventEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally engine.stop()
   }
 
+  test("multi-hierarchy group: union of matchers, a doubly-matched message delivers once (R7 completion)") {
+    // The reference truncates to hierarchies[0] and errors on empty
+    // (public_event_server.rs:145-152); the completed arm compiles one
+    // filter subject PER hierarchy. A collection that sits under a
+    // project ALSO watched by the same group (overlapping matchers)
+    // must still deliver each message exactly once.
+    val engine = newEngine()
+    try {
+      intercept[IllegalArgumentException](
+        engine.createStreamGroupMulti("empty", ResourceType.Collection, "cX",
+          Seq.empty, includeSubresources = true))
+      val g = engine.createStreamGroupMulti("multi", ResourceType.Collection, "c1",
+        Seq(Hierarchy(projectId = "p1", collectionId = "c1"),
+            Hierarchy(projectId = "p2", collectionId = "c1")),
+        includeSubresources = true)
+      assert(g.filterSubjects == Seq(
+        "UPDATES.STORAGE._.p1._.c1.>", "UPDATES.STORAGE._.p2._.c1.>"))
+
+      // one event under each hierarchy + one unrelated
+      engine.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p1"))
+      engine.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p2"))
+      engine.emit(ResourceType.Collection, EventType.All, "c9", RelationCtx(project = "p3"))
+      engine.processAllAvailable()
+      val got = engine.pendingChunks("multi").flatMap(_.subjects)
+      assert(got.toSet == Set(
+        "UPDATES.STORAGE._.p1._.c1._", "UPDATES.STORAGE._.p2._.c1._"),
+        s"the union must see both hierarchies and nothing else: $got")
+      assert(got.size == 2, "no duplicate delivery across matchers")
+
+      // overlapping matchers: project subtree ⊇ collection subtree —
+      // a message matching BOTH still delivers once (the OR filter)
+      val o = engine.createStreamGroupMulti("overlap", ResourceType.Project, "p1",
+        Seq(Hierarchy(projectId = "p1")), includeSubresources = true)
+      engine.attach("overlap")
+      val g2 = engine.createStreamGroupMulti("overlap2", ResourceType.Collection, "c2",
+        Seq(Hierarchy(projectId = "p1", collectionId = "c2"),
+            Hierarchy(projectId = "p1", collectionId = "c2")), // duplicate chain
+        includeSubresources = true)
+      assert(g2.filterSubjects.size == 1, "duplicate hierarchies collapse")
+      assert(o.filterSubjects.size == 1)
+      engine.emit(ResourceType.Collection, EventType.All, "c2", RelationCtx(project = "p1"))
+      engine.processAllAvailable()
+      val ov = engine.pendingChunks("overlap2").flatMap(_.resourceIds)
+      assert(ov == Seq("c2"), s"once, not per-matcher: $ov")
+    } finally engine.stop()
+  }
+
   test("emit validation: empty ids and unpublishable resource types are rejected") {
     val engine = newEngine()
     try {

@@ -287,4 +287,122 @@ class MultiplexedDeliverySpec extends AnyFunSuite with BeforeAndAfterAll {
     val agg = runWith(0)               // always cached-batch aggregation
     assert(footer == agg, s"count regimes diverged:\n$footer\nvs\n$agg")
   }
+
+  test("multi-hierarchy group through the mux join: union of matchers, once-per-message dedup path") {
+    val mux = new MultiplexedDelivery(spark)
+    try {
+      intercept[IllegalArgumentException](
+        mux.addGroupMulti("empty", ResourceType.Collection, "cX", Seq.empty, true))
+      val g = mux.addGroupMulti("multi", ResourceType.Collection, "c1",
+        Seq(Hierarchy(projectId = "p1", collectionId = "c1"),
+            Hierarchy(projectId = "p2", collectionId = "c1")),
+        includeSubresources = true)
+      assert(g.filterSubjects == Seq(
+        "UPDATES.STORAGE._.p1._.c1.>", "UPDATES.STORAGE._.p2._.c1.>"))
+      // a single-subject group delivered through the SAME batches: the
+      // dedup branch (active whenever any multi group is registered)
+      // must not disturb it
+      mux.addGroup("plain", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      mux.start()
+      mux.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p1"))
+      mux.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p2"))
+      mux.emit(ResourceType.Collection, EventType.All, "c9", RelationCtx(project = "p1"))
+      mux.processAllAvailable()
+      val got = mux.pendingChunks("multi").flatMap(_.subjects)
+      assert(got.toSet == Set(
+        "UPDATES.STORAGE._.p1._.c1._", "UPDATES.STORAGE._.p2._.c1._") && got.size == 2,
+        s"union must see both hierarchies, each message once: $got")
+      assert(mux.pendingChunks("plain").flatMap(_.resourceIds).toSet == Set("c1", "c9"))
+    } finally mux.stop()
+  }
+
+  test("bucketed layout end-to-end: delivery, acks, churn, and WAL restart (round-13 task 1)") {
+    // Force the bucketed layout at ANY group count (bucketedMinGroups=1)
+    // and run the full engine surface over it: filtered delivery, pull/
+    // ack, mid-stream churn, and a WAL restart whose restored metas
+    // hydrate from the bucketed batch dirs.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mux-bucketed").toString
+    val mux1 = new MultiplexedDelivery(spark, ledgerDir = Some(dir),
+      bucketedMinGroups = 1)
+    try {
+      mux1.addGroup("p1-tree", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      mux1.addGroup("c1-watch", ResourceType.Collection, "c1",
+        Hierarchy(projectId = "p1", collectionId = "c1"), false)
+      mux1.start()
+      mux1.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+      mux1.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p1"))
+      mux1.processAllAvailable()
+      assert(mux1.pendingChunks("p1-tree").flatMap(_.resourceIds).toSet == Set("p1", "c1"))
+      assert(mux1.pendingChunks("c1-watch").flatMap(_.resourceIds).toSet == Set("c1"))
+
+      // layout on disk: the chunk landed under batches/, not groupId=
+      assert(new java.io.File(s"$dir/deliveries/batches").isDirectory,
+        "bucketed layout must write under batches/")
+      assert(!new java.io.File(s"$dir/deliveries").listFiles()
+        .exists(_.getName.startsWith("groupId=")),
+        "no per-group dirs in the bucketed regime")
+
+      // ack one chunk; churn a group mid-stream
+      val first = mux1.pendingChunks("p1-tree").head
+      assert(mux1.ack("p1-tree", first.chunkId))
+      mux1.removeGroup("c1-watch")
+      mux1.addGroup("late", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      mux1.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p1"))
+      mux1.processAllAvailable()
+      assert(mux1.pendingChunks("c1-watch").isEmpty, "removed group receives nothing")
+      assert(mux1.pendingChunks("late").flatMap(_.resourceIds) == Seq("c1"))
+    } finally mux1.stop()
+
+    // restart: restored WAL metas must hydrate from the bucketed dirs
+    val mux2 = new MultiplexedDelivery(spark, ledgerDir = Some(dir),
+      bucketedMinGroups = 1)
+    val pending = mux2.pendingChunks("p1-tree")
+    assert(pending.size == 1 && pending.head.resourceIds == Seq("c1"),
+      s"unacked bucketed chunk must survive restart: $pending")
+    assert(mux2.pendingChunks("late").flatMap(_.resourceIds) == Seq("c1"))
+  }
+
+  test("layout regimes deliver identical chunks, and a regime switch mid-stream stays readable") {
+    def runWith(threshold: Int): Map[String, Seq[(String, Long)]] = {
+      val mux = new MultiplexedDelivery(spark, bucketedMinGroups = threshold)
+      try {
+        mux.addGroup("t1", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+        mux.addGroup("t2", ResourceType.Collection, "c1",
+          Hierarchy(projectId = "p1", collectionId = "c1"), true)
+        mux.start()
+        mux.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+        mux.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p1"))
+        mux.processAllAvailable()
+        mux.emit(ResourceType.Object, EventType.All, "o1",
+          RelationCtx(project = "p1", collection = "c1", sharedObject = "s1",
+            objectGroups = Seq("g1")))
+        mux.processAllAvailable()
+        Seq("t1", "t2").map { g =>
+          g -> mux.pendingChunks(g).map(c => (c.resourceIds.sorted.mkString(","),
+            c.resourceIds.size.toLong))
+        }.toMap
+      } finally mux.stop()
+    }
+    assert(runWith(Int.MaxValue) == runWith(1),
+      "per-group and bucketed layouts must deliver identical chunks")
+
+    // regime switch mid-stream: start under the threshold (per-group
+    // layout), register groups past it (bucketed layout) — chunks from
+    // BOTH must keep hydrating for the same group.
+    val mux = new MultiplexedDelivery(spark, bucketedMinGroups = 3)
+    try {
+      mux.addGroup("g0", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      mux.start()
+      mux.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+      mux.processAllAvailable() // per-group layout (1 group < 3)
+      mux.addGroup("g1", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      mux.addGroup("g2", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      mux.emit(ResourceType.Collection, EventType.All, "c7", RelationCtx(project = "p1"))
+      mux.processAllAvailable() // bucketed layout (3 groups >= 3)
+      val got = mux.pendingChunks("g0")
+      assert(got.size == 2 &&
+        got.flatMap(_.resourceIds).toSet == Set("p1", "c7"),
+        s"chunks across the layout switch must all hydrate: $got")
+    } finally mux.stop()
+  }
 }

@@ -183,6 +183,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "picked regime must reproduce the exact sweep's rows at the fixture")
   }
 
+  test("dense regime prices its tile-grid scratch and declines at the envelope") {
+    // The estimate's anchor: at the 100× rehearsal (N≈200k) the sweep
+    // RAN on this node (48.0 s, BASELINE.md), so ~200 blocks → ~7.5 GB
+    // must be runnable; at the 300× exclusion (N≈9M after the ×300
+    // embeddings replication... the measured fixture held ~600k —
+    // either way well past this node's ~60 GB scratch) the engine must
+    // DECLINE with the estimate instead of dying of ENOSPC mid-job.
+    val est100x = VectorOps.denseScratchBytes(200000L)
+    assert(est100x > (1L << 30) && est100x < 60L * (1L << 30),
+      s"100x estimate ($est100x B) must sit inside the measured-runnable band")
+    val est300x = VectorOps.denseScratchBytes(600000L)
+    assert(est300x > 60L * (1L << 30),
+      s"300x estimate ($est300x B) must exceed this node's scratch — the measured exclusion")
+    // the decline rule is pure and leaves 20% headroom
+    assert(VectorOps.denseDeclines(81L, 100L))
+    assert(!VectorOps.denseDeclines(80L, 100L))
+    // this node's scratch reads as a positive number, and the fixture's
+    // own estimate clears it (the end-to-end join above RAN)
+    val avail = VectorOps.scratchBytesAvailable(spark)
+    assert(avail > 0L)
+    assert(!VectorOps.denseDeclines(
+      VectorOps.denseScratchBytes(spark.read.parquet(s"$dir/embeddings.parquet").count()),
+      avail))
+  }
+
   test("LSH ANN search joins on bucket equality, never all-pairs (q48)") {
     val p = plan(VectorOps.q48_vector_ann_lsh)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
