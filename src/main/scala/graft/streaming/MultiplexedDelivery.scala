@@ -404,13 +404,16 @@ object MultiplexedDelivery {
   /** Layout-regime threshold: at this many registered groups and above,
     * micro-batch payloads are written in the BUCKETED layout (see
     * [[DeliveryTable.writeBucketed]]) — per-batch file count O(shuffle
-    * partitions) instead of O(matching groups). Below it the per-group
-    * layout's pulls (exactly-own-dirs, no shared-file read
-    * amplification) and cheap per-group drops win. Set from the
-    * round-13 GroupScaleProbe regime comparison: the per-group floor
-    * (~3 ms × matching groups per batch) crosses the bucketed batch
-    * cost (~flat in G) near G ≈ 2× write parallelism; both regimes were
-    * measured at G ∈ {16, 64, 256, 1000, 2000} — see BASELINE.md
-    * round-13. */
+    * partitions) instead of O(matching groups). Measured (round-13
+    * GroupScaleProbe, both layouts forced at each G, sf0.1 batch
+    * medians): G=16 1.05 vs 1.00 s, G=64 0.92 vs 0.92 s — a tie below
+    * the write-parallelism width — then bucketed wins 1.53 vs 0.81 s
+    * at G=256 and 3.4–3.9× at G=1k–10k (BASELINE.md round-13). The
+    * threshold sits at the top of the measured tie band: below it the
+    * per-group layout's surgical pulls (exactly-own-dirs, zero read
+    * amplification) and PHYSICAL group deletes (rm -r on removeGroup,
+    * no batch-retention process needed) are kept where they cost
+    * nothing; above it the per-group commit floor starts growing with
+    * matching groups. */
   val BucketedMinGroups: Int = 64
 }
