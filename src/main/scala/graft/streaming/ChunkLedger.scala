@@ -186,6 +186,19 @@ final class ChunkLedger {
     if (st == null) 0L else st.synchronized(st.pendingRows)
   }
 
+  /** Lowest pending batchId across EVERY ledger group — the payload-
+    * retention floor. Computed over the LEDGER, not the registration
+    * map: a WAL restart restores pending metas before (or without) the
+    * caller re-registering their groups, and retention must never
+    * reclaim a restored-but-unregistered group's payload batches.
+    * Long.MaxValue when nothing is pending anywhere. */
+  def minPendingBatchId: Long =
+    groups.values.asScala.foldLeft(Long.MaxValue) { (m, st) =>
+      st.synchronized {
+        if (st.pending.isEmpty) m else math.min(m, st.pending.firstKey)
+      }
+    }
+
   /** Acked metas still resident (above the group's watermark) — the
     * out-of-order window, NOT the full history (evicted metas live on
     * only as payload parquet + the WAL watermark). */

@@ -458,6 +458,21 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     * event log itself. */
   def compactLedger(): Unit = store.compact()
 
+  /** Bucketed-payload retention for the multiplexed mode — see
+    * [[MultiplexedDelivery.compactPayloads]] (same floor: every
+    * group's lowest pending chunk, bounded by the highest minted seq
+    * so an in-flight batch's payload is never reclaimed pre-record). */
+  def compactPayloads(): Int = {
+    // floor over the LEDGER, not the registration map: a WAL restart
+    // restores pending metas before their groups are re-registered, and
+    // those chunks' batches must survive retention (ChunkLedger scaladoc)
+    val floor = ledger.minPendingBatchId
+    val maxMinted = ledger.maxBatchId
+    val bound =
+      if (maxMinted == Long.MinValue) Long.MinValue else maxMinted + 1
+    table.dropBatchesBefore(math.min(floor, bound))
+  }
+
   /** Hydrate metas into client-facing chunks: ONE pruned read of the
     * deliveries table covering all requested chunks (consumer pull);
     * readChunks resolves each meta in whichever layout wrote it. */

@@ -409,8 +409,9 @@ final class GrpcServer(host: ConsumerHost, admin: WireAdmin, port: Int = 0,
         }
       case GrpcServer.CreatePath =>
         decodeRequest(wrapArm(4, body)) match {
-          case CreateGroup(id, rt, rid, h, sub, et, tk) =>
-            admin.createGroup(id, graft.core.ResourceType.fromName(rt), rid, h, sub,
+          case cg @ CreateGroup(id, rt, rid, _, sub, et, tk, _) =>
+            admin.createGroup(id, graft.core.ResourceType.fromName(rt), rid,
+              cg.hierarchies, sub,
               if (et.isEmpty) graft.core.EventType.All else et, token(st).orElse(tk))
             respondGrpc(st, Seq(Array.emptyByteArray), 0)
           case _ => respondGrpc(st, Seq.empty, 2, Some("malformed CreateEventStreamingGroup"))

@@ -301,6 +301,28 @@ final class MultiplexedDelivery(val spark: SparkSession,
   /** WAL hygiene (no-op without a ledgerDir). */
   def compactLedger(): Unit = store.foreach(_.compact())
 
+  /** Bucketed-payload retention (the storage-reclaim half of the
+    * bucketed layout's shared-file trade — see [[DeliveryTable.drop]]):
+    * deletes batch dirs below every group's lowest PENDING chunk — any
+    * older chunk of any group is acked, so no pull can need them.
+    * Bounded additionally by the ledger's highest minted seq so a
+    * micro-batch whose payload is written but whose meta is not yet
+    * recorded (the write→record window inside foreachBatch) can never
+    * be reclaimed out from under its own record. Reclaimed batches
+    * disappear from [[graft.streaming.DeliveryTable.listChunks]]
+    * history — the retention trade, same as any segment log. Returns
+    * batch dirs removed. */
+  def compactPayloads(): Int = {
+    // floor over the LEDGER, not the registration map: a WAL restart
+    // restores pending metas before their groups are re-registered, and
+    // those chunks' batches must survive retention (ChunkLedger scaladoc)
+    val floor = ledger.minPendingBatchId
+    val maxMinted = ledger.maxBatchId
+    val bound =
+      if (maxMinted == Long.MinValue) Long.MinValue else maxMinted + 1
+    table.dropBatchesBefore(math.min(floor, bound))
+  }
+
   /** Hydrate metas into client-facing chunks: ONE pruned read of the
     * deliveries table covering all requested chunks (consumer pull).
     * readChunks resolves each meta in whichever layout wrote it —

@@ -41,9 +41,19 @@ object WireProtocol {
   final case class Ack(chunkIds: Seq[String]) extends WireRequest
   case object Close extends WireRequest
   case object Poll extends WireRequest
+  /** `hierarchy` + `moreHierarchies` model the reference request's
+    * REPEATED `hierarchies` field (the arm it truncates to
+    * `hierarchies[0]`, public_event_server.rs:145-152): every element
+    * encodes as one more occurrence of field 4, so a single-hierarchy
+    * message is byte-identical to the pre-round-13 form (golden bytes
+    * unchanged) and a multi-hierarchy create routes to the engines'
+    * union-of-matchers registration. */
   final case class CreateGroup(groupId: String, resourceType: String, resourceId: String,
                                hierarchy: Hierarchy, includeSub: Boolean,
-                               eventType: String, token: Option[String] = None) extends WireRequest
+                               eventType: String, token: Option[String] = None,
+                               moreHierarchies: Seq[Hierarchy] = Seq.empty) extends WireRequest {
+    def hierarchies: Seq[Hierarchy] = hierarchy +: moreHierarchies
+  }
   final case class DeleteGroup(groupId: String) extends WireRequest
   final case class Emit(resourceType: String, eventType: String, resourceId: String,
                         relation: RelationCtx, token: Option[String] = None) extends WireRequest
@@ -140,9 +150,10 @@ object WireProtocol {
       case Ack(ids) =>
         val b = new W; b.strs(1, ids); w.msg(2, b)
       case Close => w.msg(3, new W)
-      case CreateGroup(id, rt, rid, h, sub, et, token) =>
+      case cg @ CreateGroup(id, rt, rid, _, sub, et, token, _) =>
         val b = new W
-        b.str(1, id); b.str(2, rt); b.str(3, rid); b.msg(4, hierarchyW(h))
+        b.str(1, id); b.str(2, rt); b.str(3, rid)
+        cg.hierarchies.foreach(h => b.msg(4, hierarchyW(h))) // repeated
         b.bool(5, sub); b.str(6, et); token.foreach(b.str(7, _))
         w.msg(4, b)
       case DeleteGroup(id) =>
@@ -209,19 +220,23 @@ object WireProtocol {
       case (3, 2) => r.lenBytes(); req = Some(Close)
       case (4, 2) =>
         val b = new R(r.lenBytes())
-        var id = ""; var rt = ""; var rid = ""; var h = Hierarchy()
+        var id = ""; var rt = ""; var rid = ""
+        val hs = Seq.newBuilder[Hierarchy] // repeated field 4
         var sub = false; var et = ""; var token: Option[String] = None
         while (b.hasMore) b.key() match {
           case (1, 2) => id = b.str()
           case (2, 2) => rt = b.str()
           case (3, 2) => rid = b.str()
-          case (4, 2) => h = decodeHierarchy(b.lenBytes())
+          case (4, 2) => hs += decodeHierarchy(b.lenBytes())
           case (5, 0) => sub = b.varint() != 0L
           case (6, 2) => et = b.str()
           case (7, 2) => token = Some(b.str())
           case (_, w) => b.skip(w)
         }
-        req = Some(CreateGroup(id, rt, rid, h, sub, et, token))
+        val all = hs.result()
+        req = Some(CreateGroup(id, rt, rid,
+          all.headOption.getOrElse(Hierarchy()), sub, et, token,
+          if (all.isEmpty) Seq.empty else all.tail))
       case (5, 2) =>
         val b = new R(r.lenBytes())
         var id = ""

@@ -14,8 +14,10 @@ import WireProtocol._
   * splits these across its public and internal tonic services;
   * public_event_server.rs:52,177, internal_event_server.rs:18). */
 trait WireAdmin {
+  /** `hierarchies` carries the request's full repeated field (≥1;
+    * multi-hierarchy creates register the union of matchers). */
   def createGroup(groupId: String, rt: ResourceType, resourceId: String,
-                  hierarchy: Hierarchy, includeSub: Boolean,
+                  hierarchies: Seq[Hierarchy], includeSub: Boolean,
                   eventType: String, token: Option[String]): Unit
   def deleteGroup(groupId: String): Unit
   def emit(rt: ResourceType, eventType: String, resourceId: String,
@@ -24,25 +26,25 @@ trait WireAdmin {
 
 object WireAdmin {
   def apply(e: EventEngine): WireAdmin = new WireAdmin {
-    def createGroup(id: String, rt: ResourceType, rid: String, h: Hierarchy,
+    def createGroup(id: String, rt: ResourceType, rid: String, hs: Seq[Hierarchy],
                     sub: Boolean, et: String, token: Option[String]): Unit =
-      e.createStreamGroup(id, rt, rid, h, sub, et, token)
+      e.createStreamGroupMulti(id, rt, rid, hs, sub, et, token)
     def deleteGroup(id: String): Unit = e.deleteStreamGroup(id)
     def emit(rt: ResourceType, et: String, rid: String, rel: RelationCtx,
              token: Option[String]): Unit = e.emit(rt, et, rid, rel, token)
   }
   def apply(m: MultiplexedDelivery): WireAdmin = new WireAdmin {
-    def createGroup(id: String, rt: ResourceType, rid: String, h: Hierarchy,
+    def createGroup(id: String, rt: ResourceType, rid: String, hs: Seq[Hierarchy],
                     sub: Boolean, et: String, token: Option[String]): Unit =
-      m.addGroup(id, rt, rid, h, sub, et, token)
+      m.addGroupMulti(id, rt, rid, hs, sub, et, token)
     def deleteGroup(id: String): Unit = m.removeGroup(id)
     def emit(rt: ResourceType, et: String, rid: String, rel: RelationCtx,
              token: Option[String]): Unit = m.emit(rt, et, rid, rel, token = token)
   }
   def apply(d: DurableEventLog): WireAdmin = new WireAdmin {
-    def createGroup(id: String, rt: ResourceType, rid: String, h: Hierarchy,
+    def createGroup(id: String, rt: ResourceType, rid: String, hs: Seq[Hierarchy],
                     sub: Boolean, et: String, token: Option[String]): Unit =
-      d.addGroup(id, rt, rid, h, sub, et, token)
+      d.addGroupMulti(id, rt, rid, hs, sub, et, token)
     def deleteGroup(id: String): Unit = d.removeGroup(id)
     def emit(rt: ResourceType, et: String, rid: String, rel: RelationCtx,
              token: Option[String]): Unit = d.emit(rt, et, rid, rel, token)
@@ -138,8 +140,9 @@ final class WireServer(host: ConsumerHost, admin: WireAdmin,
                   outbound(session.handle(EventSession.Ack(Seq.empty)))
                 case Close =>
                   outbound(session.handle(EventSession.Close))
-                case CreateGroup(id, rt, rid, h, sub, et, token) =>
-                  admin.createGroup(id, ResourceType.fromName(rt), rid, h, sub,
+                case cg @ CreateGroup(id, rt, rid, _, sub, et, token, _) =>
+                  admin.createGroup(id, ResourceType.fromName(rt), rid,
+                    cg.hierarchies, sub,
                     if (et.isEmpty) graft.core.EventType.All else et, token)
                   Seq.empty
                 case DeleteGroup(id) =>

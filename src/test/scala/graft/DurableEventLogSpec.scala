@@ -88,6 +88,44 @@ class DurableEventLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally log.stop()
   }
 
+  test("durable mux at many groups runs the bucketed layout: delivery, multi-hierarchy union, retention") {
+    // >= BucketedMinGroups registered groups flips the durable mux to
+    // the bucketed payload layout (the same switch MultiplexedDelivery
+    // makes) — exercised end-to-end here including a multi-hierarchy
+    // group and compactPayloads retention.
+    val (logDir, ckpt) = (tmp(), tmp())
+    val log = new DurableEventLog(spark, logDir, ckpt)
+    try {
+      log.startIngest()
+      log.addGroup("watch-p1", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      log.addGroupMulti("multi", ResourceType.Collection, "c1",
+        Seq(Hierarchy(projectId = "p1", collectionId = "c1"),
+            Hierarchy(projectId = "p2", collectionId = "c1")), true)
+      (0 until 70).foreach { i =>
+        log.addGroup(s"col-$i", ResourceType.Collection, s"cx$i",
+          Hierarchy(projectId = "p9", collectionId = s"cx$i"), true)
+      }
+      log.startMultiplexed()
+      log.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p1"))
+      log.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p2"))
+      log.processAllAvailable()
+      assert(new java.io.File(s"$ckpt/deliveries/batches").isDirectory,
+        "72 groups must write the bucketed layout")
+      assert(log.pendingChunks("multi").flatMap(_.subjects).toSet == Set(
+        "UPDATES.STORAGE._.p1._.c1._", "UPDATES.STORAGE._.p2._.c1._"),
+        "multi-hierarchy union through the durable mux")
+      assert(log.pendingChunks("watch-p1").flatMap(_.resourceIds) == Seq("c1"))
+      // retention: ack everything, reclaim, deliver again
+      Seq("multi", "watch-p1").foreach { g =>
+        log.pendingChunks(g).foreach(c => assert(log.ack(g, c.chunkId)))
+      }
+      assert(log.compactPayloads() >= 1)
+      log.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p1"))
+      log.processAllAvailable()
+      assert(log.pendingChunks("multi").flatMap(_.resourceIds) == Seq("c1"))
+    } finally log.stop()
+  }
+
   test("WAL ledger: pending chunks and acks survive an engine restart") {
     val (logDir, ckpt) = (tmp(), tmp())
     val log1 = new DurableEventLog(spark, logDir, ckpt)

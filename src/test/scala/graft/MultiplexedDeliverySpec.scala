@@ -362,6 +362,46 @@ class MultiplexedDeliverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mux2.pendingChunks("late").flatMap(_.resourceIds) == Seq("c1"))
   }
 
+  test("compactPayloads reclaims only fully-acked batch dirs; pending chunks survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mux-retain").toString
+    val mux = new MultiplexedDelivery(spark, ledgerDir = Some(dir),
+      bucketedMinGroups = 1)
+    try {
+      mux.addGroup("a", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      mux.addGroup("b", ResourceType.Project, "p2", Hierarchy(projectId = "p2"), true)
+      mux.start()
+      // batch 0: both groups; batch 1: only a's project
+      mux.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+      mux.emit(ResourceType.Project, EventType.All, "p2", RelationCtx())
+      mux.processAllAvailable()
+      mux.emit(ResourceType.Project, EventType.All, "p1", RelationCtx())
+      mux.processAllAvailable()
+      def batchDirs: Set[String] = {
+        val f = new java.io.File(s"$dir/deliveries/batches")
+        if (!f.isDirectory) Set.empty
+        else f.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      }
+      assert(batchDirs == Set("batch=0", "batch=1"))
+      // nothing acked: nothing reclaimable
+      assert(mux.compactPayloads() == 0)
+      // ack batch 0 everywhere; batch 1 (a's second chunk) stays pending
+      mux.ack("a", mux.pendingChunks("a").head.chunkId)
+      mux.ack("b", mux.pendingChunks("b").head.chunkId)
+      assert(mux.compactPayloads() == 1, "exactly batch=0 is below every pending floor")
+      assert(batchDirs == Set("batch=1"))
+      val left = mux.pendingChunks("a")
+      assert(left.size == 1 && left.head.resourceIds == Seq("p1"),
+        "the pending chunk must still hydrate after retention")
+      // ack the rest: the whole history is reclaimable, new batches still deliver
+      mux.ack("a", left.head.chunkId)
+      assert(mux.compactPayloads() == 1)
+      assert(batchDirs.isEmpty)
+      mux.emit(ResourceType.Project, EventType.All, "p2", RelationCtx())
+      mux.processAllAvailable()
+      assert(mux.pendingChunks("b").flatMap(_.resourceIds) == Seq("p2"))
+    } finally mux.stop()
+  }
+
   test("layout regimes deliver identical chunks, and a regime switch mid-stream stays readable") {
     def runWith(threshold: Int): Map[String, Seq[(String, Long)]] = {
       val mux = new MultiplexedDelivery(spark, bucketedMinGroups = threshold)

@@ -53,6 +53,11 @@ class WireBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
         Hierarchy(projectId = "p1", collectionId = "c1", objectId = "o1"),
         includeSub = true, "ALL", Some("tok")),
       CreateGroup("g2", "OBJECT", "o9", Hierarchy(), includeSub = false, ""),
+      // repeated hierarchies (the reference request's plural field):
+      // every extra element is one more field-4 occurrence
+      CreateGroup("g3", "COLLECTION", "c1",
+        Hierarchy(projectId = "p1", collectionId = "c1"), includeSub = true, "ALL",
+        None, Seq(Hierarchy(projectId = "p2", collectionId = "c1"))),
       DeleteGroup("g"),
       Emit("PROJECT", "CREATED", "p1",
         RelationCtx(project = "p1", objectGroups = Seq("og1", "og2")), Some("t")))
@@ -118,6 +123,30 @@ class WireBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(c.errors(c.call(Ack(chunks.map(_.chunkId)))).isEmpty)
         engine.processAllAvailable()
         assert(c.notifications(c.call(Poll)).isEmpty)
+        assert(c.call(WireProtocol.Close).isEmpty)
+      } finally c.disconnect()
+    }
+  }
+
+  test("e2e: a multi-hierarchy create over the wire delivers the union once per message") {
+    withServer { (engine, server) =>
+      val c = connect(server)
+      try {
+        // two ancestor chains -> two filter subjects through ONE group
+        // (the arm the reference truncates to hierarchies[0])
+        assert(c.call(CreateGroup("mh", "COLLECTION", "c1",
+          Hierarchy(projectId = "p1", collectionId = "c1"), includeSub = true, "ALL",
+          None, Seq(Hierarchy(projectId = "p2", collectionId = "c1")))).isEmpty)
+        assert(c.call(Emit("COLLECTION", "ALL", "c1", RelationCtx(project = "p1"))).isEmpty)
+        assert(c.call(Emit("COLLECTION", "ALL", "c1", RelationCtx(project = "p2"))).isEmpty)
+        assert(c.call(Emit("COLLECTION", "ALL", "c9", RelationCtx(project = "p3"))).isEmpty)
+        val onInit = c.notifications(c.call(Init("mh")))
+        val chunks = if (onInit.nonEmpty) onInit else pollUntil(c, engine)
+        val subjects = chunks.flatMap(_.subjects)
+        assert(subjects.toSet == Set(
+          "UPDATES.STORAGE._.p1._.c1._", "UPDATES.STORAGE._.p2._.c1._")
+          && subjects.size == 2,
+          s"both hierarchies, each message once, nothing else: $subjects")
         assert(c.call(WireProtocol.Close).isEmpty)
       } finally c.disconnect()
     }
