@@ -58,6 +58,34 @@ final class MultiplexedDelivery(val spark: SparkSession,
 
   private val groups: concurrent.Map[String, StreamGroup] =
     new ConcurrentHashMap[String, StreamGroup]().asScala
+  /** Bumped AFTER every mutation of [[groups]] (order matters: bumping
+    * first could let a concurrent snapshot cache pre-mutation state
+    * under the post-mutation version — missed forever; this way a
+    * stale cache is invalidated by the very next read). */
+  private val groupsVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** (version, size, anyMulti, subs frame) — rebuilt only when the
+    * registration map changed: at G=10k the per-batch O(G) driver work
+    * (map copy + flatMap + local-relation conversion) otherwise runs
+    * every 250 ms trigger for a snapshot that is almost always
+    * identical to the last one. */
+  @volatile private var subsSnapshot: (Long, Int, Boolean, DataFrame) = null
+
+  private def currentSubs(): (Int, Boolean, DataFrame) = {
+    val v = groupsVersion.get
+    val c = subsSnapshot
+    if (c != null && c._1 == v) (c._2, c._3, c._4)
+    else {
+      val snapshot = groups.values.toSeq
+      val anyMulti = snapshot.exists(_.extraFilterSubjects.nonEmpty)
+      val df =
+        if (snapshot.isEmpty) null
+        else snapshot
+          .flatMap(g => g.filterSubjects.map(fs => (g.id, fs, g.eventType)))
+          .toDF("id", "filterSubject", "subEventType")
+      subsSnapshot = (v, snapshot.size, anyMulti, df)
+      (snapshot.size, anyMulti, df)
+    }
+  }
   /** Bounded metadata ledger — pending chunks indexed per group, acked
     * history evicted behind a per-group watermark ([[ChunkLedger]]):
     * pulls cost O(that group's pending) even at 10k groups, and driver
@@ -167,6 +195,7 @@ final class MultiplexedDelivery(val spark: SparkSession,
       includeSubresources, filters.head, filters.tail)
     require(groups.putIfAbsent(groupId, g).isEmpty,
       s"stream group $groupId already exists")
+    groupsVersion.incrementAndGet()
     g
   }
 
@@ -181,6 +210,7 @@ final class MultiplexedDelivery(val spark: SparkSession,
     * delivered history — never re-serve it. */
   def removeGroup(groupId: String): Unit = {
     groups.remove(groupId)
+    groupsVersion.incrementAndGet()
     ledger.dropGroup(groupId)
     dispatcher.dropGroup(groupId)
     table.drop(groupId)
@@ -201,21 +231,19 @@ final class MultiplexedDelivery(val spark: SparkSession,
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val bodyT0 = System.nanoTime()
-        val snapshot = groups.values.toSeq
+        // ONE ROW PER (group, filter subject): single-hierarchy groups
+        // contribute one row; multi-hierarchy groups one per matcher
+        // (their union semantics). Keep only the join-relevant columns:
+        // StreamGroup.resourceId would otherwise collide with the event
+        // batch's resourceId (and its eventType with the event's —
+        // aliased to subEventType). The frame is VERSION-CACHED across
+        // batches (see currentSubs) — rebuilt only when registrations
+        // changed, not every 250 ms trigger.
         // No batch.isEmpty pre-check: that is a full extra pass on the
         // common (non-empty) path; the per-group counts below cost the
         // same on an empty batch and gate the write anyway.
-        if (snapshot.nonEmpty) {
-          // ONE ROW PER (group, filter subject): single-hierarchy groups
-          // contribute one row; multi-hierarchy groups one per matcher
-          // (their union semantics). Keep only the join-relevant
-          // columns: StreamGroup.resourceId would otherwise collide
-          // with the event batch's resourceId (and its eventType with
-          // the event's — aliased to subEventType).
-          val anyMulti = snapshot.exists(_.extraFilterSubjects.nonEmpty)
-          val subs = snapshot
-            .flatMap(g => g.filterSubjects.map(fs => (g.id, fs, g.eventType)))
-            .toDF("id", "filterSubject", "subEventType")
+        val (nGroups, anyMulti, subs) = currentSubs()
+        if (nGroups > 0) {
           // Write-first: ONE distributed pass (join → partitioned payload
           // write) serves every group; per-group counts then come from
           // parquet FOOTERS of the just-written chunk dirs, never from a
@@ -268,15 +296,15 @@ final class MultiplexedDelivery(val spark: SparkSession,
           val buckets = sys.env.get("SPARK_GRAFT_DELIVERY_BUCKETS")
             .map(_.toInt).getOrElse(parts)
           val counts =
-            if (snapshot.size >= bucketedMinGroups)
+            if (nGroups >= bucketedMinGroups)
               table.writeBucketed(withChunk, seq, buckets)
-            else if (snapshot.size > footerCountMaxGroups)
+            else if (nGroups > footerCountMaxGroups)
               table.writeMultiWithCounts(withChunk,
-                math.max(1, parts / math.max(1, snapshot.size)))
+                math.max(1, parts / math.max(1, nGroups)))
             else {
               table.writeMulti(withChunk,
-                math.max(1, parts / math.max(1, snapshot.size)))
-              table.chunkCounts(snapshot.map(_.id), g => s"$g-$seq")
+                math.max(1, parts / math.max(1, nGroups)))
+              table.chunkCounts(groups.keys.toSeq, g => s"$g-$seq")
             }
           val ledgerT0 = System.nanoTime()
           counts.foreach { case (gid, n) =>
