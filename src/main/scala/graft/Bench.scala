@@ -287,12 +287,18 @@ object Bench {
         def num(pat: String): Option[Double] =
           pat.r.findFirstMatchIn(prevTxt).map(_.group(1).toDouble)
         val prevCalib = num(""""calib":([0-9.]+)""")
-        // the flat "queries" object we wrote last round: "name":value pairs
-        val prevQ = """"(q[0-9]+[a-z0-9_]*|[a-z_]+)":([0-9.]+)""".r
-          .findAllMatchIn(
-            prevTxt.drop(math.max(0, prevTxt.indexOf(""""queries":{""")))
-              .takeWhile(_ != '}'))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // the flat "queries" object we wrote last round: "name":value
+        // pairs. A detail file WITHOUT that marker must yield no drift
+        // at all — clamping indexOf's -1 to 0 would scan from the file
+        // head and capture whatever object comes first (the pressure
+        // block), attributing its values to query names (round-13
+        // ADVICE).
+        val qIdx = prevTxt.indexOf(""""queries":{""")
+        val prevQ =
+          if (qIdx < 0) Map.empty[String, Double]
+          else """"(q[0-9]+[a-z0-9_]*|[a-z_]+)":([0-9.]+)""".r
+            .findAllMatchIn(prevTxt.drop(qIdx).takeWhile(_ != '}'))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val ratios = all.flatMap { case (k, v) =>
           prevQ.get(k).filter(p => p > 0.05 && v > 0)
             .map(p => k -> v / p)

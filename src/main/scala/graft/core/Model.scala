@@ -44,7 +44,17 @@ object EventType {
 /** The event row (natsio.rs:67-71) plus the fan-out context it was
   * emitted with and an ingest timestamp (the reference declares
   * sequence/timestamp but never populates them —
-  * public_event_server.rs:426-430; we do populate them). */
+  * public_event_server.rs:426-430; we do populate them).
+  *
+  * `eventId` is a DRIVER-ASSIGNED per-engine emission sequence (0 for
+  * rows built outside an engine, e.g. spec fixtures). It exists so
+  * delivery-order (`seq`) and the multi-matcher dedup key are derived
+  * from ROW CONTENT instead of `monotonically_increasing_id` — a
+  * nondeterministic expression whose values a retried/speculative
+  * upstream task can renumber, reordering a chunk internally or
+  * re-keying a message between join branches (SPARK-23207 class;
+  * round-13 ADVICE + VERDICT task 6). Because the id is assigned
+  * BEFORE the row enters Spark, every recompute sees the same value. */
 final case class Event(
     resource: String,   // ResourceType name
     eventType: String,  // EventType name
@@ -53,7 +63,8 @@ final case class Event(
     collection: String,
     sharedObject: String,
     objectGroups: Seq[String],  // shared_object_group_ids (natsio.rs:92,107)
-    ts: Timestamp)
+    ts: Timestamp,
+    eventId: Long = 0L)
 
 object Event {
   def apply(resource: ResourceType, eventType: String, resourceId: String,

@@ -179,6 +179,42 @@ object Subjects {
       .otherwise(subject === queryCol)
   }
 
+  /** The equi-join form of subject matching — the many-groups scale
+    * path. [[matchesCol]] as a JOIN RESIDUAL is O(candidate set) per
+    * event row: an equi-join on the project token leaves every
+    * same-project subscription as a candidate, so the per-batch match
+    * cost grows with registered groups (measured: the G=10k mux write
+    * phase, BASELINE.md round-14). The engine grammar only ever emits
+    * two matcher shapes (exact `…._`, subtree `base.>` — ids cannot
+    * contain `.` `*` `>`, [[requireValidId]]), and BOTH are equality
+    * on a derivable key:
+    *
+    *  - exact matcher ⇔ key = the full subject;
+    *  - subtree matcher with a d-token base ⇔ key = first d tokens
+    *    + ".>", defined only when the subject has > d tokens.
+    *
+    * So the event side explodes each subject into (|distinct subtree
+    * base depths| + 1) candidate keys — depths come from the DRIVER's
+    * subscription snapshot, typically 2–4 distinct values — and the
+    * join becomes `candidateKey === filterSubject`: a pure broadcast
+    * hash equi-join whose per-row cost is O(depths), independent of G,
+    * with output exactly the true matches. Subtree keys end in `.>`,
+    * which no real subject can contain, so the two key families can
+    * never cross-match. */
+  def matchKeysCol(subject: Column, subtreeDepths: Seq[Int]): Column = {
+    val toks = split(subject, "\\.")
+    val cands: Seq[Column] = subject +: subtreeDepths.map { d =>
+      when(size(toks) > d, concat(array_join(slice(toks, 1, d), "."), lit(".>")))
+    }
+    array_compact(array(cands: _*))
+  }
+
+  /** Driver-side half of [[matchKeysCol]]: the base depth of a subtree
+    * matcher (`"a.b.>"` → 2), None for exact matchers. */
+  def subtreeDepth(filterSubject: String): Option[Int] =
+    if (filterSubject.endsWith(".>")) Some(filterSubject.split('.').length - 1)
+    else None
+
   /** Predicate for a constant query string (the common per-subscription
     * case) — resolves to a plain `startsWith`/`===` Catalyst filter for
     * the grammar the reference emits, and to an anchored `rlike` for

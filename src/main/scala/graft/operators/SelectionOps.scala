@@ -979,6 +979,18 @@ object SelectionOps extends QueryModule {
   /** The prefix-doubling build itself, parameterized over the doc set
     * (q186/q187 build it on the whole corpus; q194 on the base split;
     * SaAppendSpec on synthetic corpora). */
+  /** Peak scratch of one live prefix-doubling round: serialized
+    * (doc_id, pos, rank) checkpoint blocks + the round's two
+    * range-partition shuffles, ≈12 B per corpus char (calibrated on
+    * the measured 300× ENOSPC and the measured 100× run — scaladoc in
+    * [[suffixArrayOf]]; pinned by SelectionDeclineSpec). */
+  private[graft] def saBuildScratchBytes(nChars: Long): Long = nChars * 12L
+
+  /** Declines when the estimate crosses 80% of free scratch — same
+    * headroom rule as [[VectorOps.denseDeclines]]. */
+  private[graft] def saBuildDeclines(estBytes: Long, availBytes: Long): Boolean =
+    estBytes > availBytes / 10 * 8
+
   private[graft] def suffixArrayOf(docs: DataFrame): DataFrame = {
     val nonEmpty = docs.filter(length(col("text")) >= 1)
     // suffix cardinality = total chars — one bounded agg over the DOC
@@ -987,6 +999,28 @@ object SelectionOps extends QueryModule {
     // without a count job each
     val nChars = Option(nonEmpty.agg(sum(length(col("text")))).head().get(0))
       .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+    // Envelope gate (round-13 verdict task 3 — same shape as
+    // VectorOps.similarityJoin's dense decline): the build's peak
+    // footprint is ONE live doubling round — the corpus-suffix
+    // chars/rank frame's checkpoint blocks plus its two GlobalRank
+    // shuffles (Ckpt.serRound frees superseded rounds; the 300×
+    // sawtooth 61→15→54→0 GB confirmed it, BASELINE.md round-12).
+    // Measured calibration: a ~5.4e9-char corpus (300×) exhausts a
+    // 61 GB scratch mid-round (≳12 B/char live); 1.8e9 chars (100×)
+    // peaks ~22 GB and runs on default conf. Below the bar the build
+    // DECLINES with the named numbers instead of dying of ENOSPC an
+    // hour in — the single-node limit no conf moves; on a real cluster
+    // per-node scratch is corpus/executors and the gate clears itself.
+    val est = saBuildScratchBytes(nChars)
+    val avail = VectorOps.scratchBytesAvailable(docs.sparkSession)
+    System.err.println(f"[suffixArrayOf] nChars=$nChars " +
+      f"scratchEst=${est / 1e9}%.1f GB scratchAvail=${avail / 1e9}%.1f GB")
+    require(!saBuildDeclines(est, avail),
+      f"suffix-array build over $nChars chars needs ~${est / 1e9}%.1f GB of local " +
+        f"scratch for one live prefix-doubling round (checkpoint blocks + rank " +
+        f"shuffles), but local dirs have ${avail / 1e9}%.1f GB free. Shard the " +
+        "corpus (build per-bucket SAs and merge via saMerge), add scratch, or run " +
+        "on a cluster where per-node scratch is corpus/executors.")
     val chars = nonEmpty
       .select(col("doc_id"),
         explode(sequence(lit(0L), length(col("text")).cast("long") - 1)).as("pos"),

@@ -44,9 +44,10 @@ import org.apache.spark.sql.functions._
   * idempotent per (groupId, chunkId) / per (batch, bucket), matching
   * the WAL's replay rule.
   *
-  * `seq` preserves delivery order within a chunk (monotonic per
-  * partition, partition-major across them — the same order the old
-  * driver-side `collect()` produced).
+  * `seq` preserves delivery order within a chunk: the engine paths
+  * supply it content-derived ([[FanOut.seqCol]] — driver-assigned
+  * emission order + fan-out position, stable under task retries);
+  * see [[DeliveryTable.withSeq]] for the ad-hoc fallback.
   */
 final class DeliveryTable(spark: SparkSession, val dir: String) {
   import DeliveryTable.{esc, bucketOf}
@@ -158,40 +159,53 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     // sequentially (measured 5× on the write at G=1000,
     // BASELINE.md round-12 crossover table).
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val keyed = rows.select(col("groupId"), col("chunkId"), col("subject"),
-      col("resourceId"), monotonically_increasing_id().as("seq"))
+    val keyed = withSeq(rows).select(col("groupId"), col("chunkId"), col("subject"),
+      col("resourceId"), col("seq"))
     if (splitsPerChunk <= 1) keyed.repartition(parts, col("groupId"), col("chunkId"))
     else keyed.repartition(parts, col("groupId"), col("chunkId"),
       pmod(xxhash64(col("subject"), col("resourceId")), lit(splitsPerChunk.toLong)))
   }
 
-  /** Payload write + per-group row counts from ONE pass over the batch
-    * (persisted, then written and aggregated — two jobs over cached
-    * batch-proportional data). [[chunkCounts]] costs one filesystem
-    * existence probe PER REGISTERED GROUP per micro-batch — O(G) stat
-    * calls whether or not a group matched anything — while this count
-    * is an aggregation over the cached batch (the partial agg leaves
-    * ≤ groups × parts rows to exchange), measured FLAT in G (no
-    * crossover exists; BASELINE.md round-12 table). The footer path
-    * remains for the single-group engines' shape (one probe, no batch
-    * persist). */
+  /** Delivery-order column: callers on the engine paths supply a
+    * CONTENT-DERIVED `seq` ([[FanOut.seqCol]] — emission order,
+    * deterministic under task retries); frames without one (ad-hoc /
+    * admin writes) fall back to `monotonically_increasing_id`, whose
+    * values a retried upstream task can renumber — membership stays
+    * correct (shuffle keys are content-hashed), only within-chunk order
+    * is then best-effort. */
+  private def withSeq(rows: DataFrame): DataFrame =
+    if (rows.columns.contains("seq")) rows
+    else rows.withColumn("seq", monotonically_increasing_id())
+
+  /** Payload write + per-group row counts from ONE JOB over the batch:
+    * the counts ride the write itself via `Dataset.observe` with the
+    * map-typed [[graft.functions.CountByKey]] aggregate — no persist,
+    * no second count job (the round-13 fixed two-job cost, VERDICT
+    * task 1; the observed node sits post-shuffle in the write's result
+    * stage, where accumulator updates are exactly-once — see
+    * CountByKey scaladoc). [[chunkCounts]] (the footer alternative)
+    * costs one filesystem existence probe PER REGISTERED GROUP per
+    * micro-batch — O(G) stat calls whether or not a group matched —
+    * and remains for the single-group engines' shape. */
   def writeMultiWithCounts(rows: DataFrame, splitsPerChunk: Int = 1): Map[String, Long] = {
-    val prepared = prepare(rows, splitsPerChunk)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      timed("write") {
-        prepared.write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("groupId", "chunkId")
-          .parquet(dir)
-      }
-      timed("count") {
-        prepared.groupBy("groupId").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
-    } finally { prepared.unpersist(); () }
+    val obs = org.apache.spark.sql.Observation()
+    val observed = prepare(rows, splitsPerChunk)
+      .observe(obs, graft.functions.CountByKey.countByKey(col("groupId")).as("grp"))
+    timed("write") {
+      observed.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("groupId", "chunkId")
+        .parquet(dir)
+    }
+    timed("count") { observedCounts(obs) }
   }
+
+  /** Per-group counts out of a completed observed write (blocks until
+    * the action's listener fires — the write already returned, so this
+    * is a driver-local handoff, not a job). */
+  private def observedCounts(obs: org.apache.spark.sql.Observation): Map[String, Long] =
+    obs.get("grp").asInstanceOf[scala.collection.Map[String, Long]].toMap
 
   // ---- bucketed layout (many-groups regime) --------------------------
 
@@ -235,9 +249,16 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
   private def readBucketsMarker(filesystem: org.apache.hadoop.fs.FileSystem): Int = {
     val in = filesystem.open(bucketsMarker)
     try {
+      // Loop to EOF: a single read() may legally return short (likelier
+      // on object-store streams), truncating the digits into a WRONG
+      // bucket count — the exact wrong-dir/lost-rows hazard the marker
+      // exists to prevent (round-13 ADVICE).
       val buf = new Array[Byte](32)
-      val n = in.read(buf)
-      new String(buf, 0, math.max(0, n), "UTF-8").trim.toInt
+      var off = 0
+      var n = in.read(buf, off, buf.length - off)
+      while (n > 0 && off + n < buf.length) { off += n; n = in.read(buf, off, buf.length - off) }
+      if (n > 0) off += n
+      new String(buf, 0, off, "UTF-8").trim.toInt
     } finally in.close()
   }
 
@@ -268,24 +289,35 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
   def writeBucketed(rows: DataFrame, batchSeq: Long, buckets: Int): Map[String, Long] = {
     val (filesystem, _) = fs
     val b = tableBuckets(filesystem, math.max(1, buckets))
-    val prepared = rows.select(col("groupId"), col("chunkId"), col("subject"),
-        col("resourceId"), monotonically_increasing_id().as("seq"),
+    // ONE JOB: the per-group counts ride the write via observe +
+    // CountByKey (round-13's persist + second count job was a fixed
+    // ~1.0–1.2 s per 250 ms trigger — VERDICT task 1). The observed
+    // node is placed BETWEEN the repartition and the final sort: it
+    // lives in the write's result stage (exactly-once accumulator
+    // semantics) and the Sort stays the plan's top node, so the file
+    // writer recognizes the ordering it needs instead of re-sorting.
+    val obs = org.apache.spark.sql.Observation()
+    val prepared = withSeq(rows).select(col("groupId"), col("chunkId"), col("subject"),
+        col("resourceId"), col("seq"),
         pmod(xxhash64(col("groupId")), lit(b.toLong)).as("bucket"))
       .repartition(b, col("bucket"))
+      .observe(obs, graft.functions.CountByKey.countByKey(col("groupId")).as("grp"))
       .sortWithinPartitions("bucket", "groupId", "seq")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      timed("write") {
-        prepared.write
-          .mode("overwrite")
-          .partitionBy("bucket")
-          .parquet(s"$batchesDir/batch=$batchSeq")
-      }
-      timed("count") {
-        prepared.groupBy("groupId").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
-    } finally { prepared.unpersist(); () }
+    timed("write") {
+      prepared.write
+        .mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(s"$batchesDir/batch=$batchSeq")
+    }
+    val counts = timed("count") { observedCounts(obs) }
+    // A no-match batch just wrote an empty dir (_SUCCESS only); reap it
+    // now — accumulated empties otherwise inflate every listChunks /
+    // retention listStatus scan until retention runs (round-13 ADVICE).
+    if (counts.isEmpty) {
+      filesystem.delete(new org.apache.hadoop.fs.Path(batchesDir, s"batch=$batchSeq"), true)
+      ()
+    }
+    counts
   }
 
   /** Fixed read schema (incl. the per-group layout's partition

@@ -87,11 +87,18 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   }
   private val table = new DeliveryTable(spark, s"$ckptRoot/deliveries")
 
-  /** Log row schema; `project` is the physical partition column. */
+  /** Log row schema; `project` is the physical partition column.
+    * `eventId`/`spos` are the content-derived message identity
+    * ([[FanOut.explodeSubjects]]) — eventId restarts with each engine
+    * incarnation (like `ts`), so cross-incarnation rows in ONE backfill
+    * micro-batch can reuse ids; the mux dedup therefore also keys on
+    * resourceId/eventType/ts, and within-chunk ORDER across
+    * incarnations is per-incarnation emission order. */
   val logSchema: StructType = StructType(Seq(
     StructField("subject", StringType), StructField("payload", BinaryType),
     StructField("resource", StringType), StructField("eventType", StringType),
     StructField("resourceId", StringType), StructField("ts", TimestampType),
+    StructField("eventId", LongType), StructField("spos", IntegerType),
     StructField("project", StringType)))
 
   def emit(resource: ResourceType, eventType: String, resourceId: String,
@@ -102,8 +109,9 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     // memory source's serializer reuses one UnsafeRow buffer and
     // concurrent wire-connection emitters would tear rows otherwise.
     source.synchronized {
+      val n = sequence.incrementAndGet()
       source.addData(Event(resource, eventType, resourceId, relation,
-        new Timestamp(sequence.incrementAndGet() * 1000L)))
+        new Timestamp(n * 1000L)).copy(eventId = n))
     }
   }
 
@@ -216,7 +224,8 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
           // and returns the row count from the same cached pass — no
           // footer job, no fixed parts-many files per chunk (round-12
           // ADVICE).
-          val n = table.writeCounted(groupId, chunkId, batch.select("subject", "resourceId"))
+          val n = table.writeCounted(groupId, chunkId,
+            batch.select(col("subject"), col("resourceId"), FanOut.seqCol.as("seq")))
           if (n > 0L) {
             val meta = ChunkMeta(groupId, chunkId, batchId, n,
               new Timestamp(System.currentTimeMillis()), acked = false)
@@ -285,8 +294,8 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   override def onLastSessionClosed(groupId: String): Unit = stopDelivery(groupId)
 
   /** One delivery query for ALL registered groups, reading the log from
-    * a single shared checkpoint. Join = project-token equi (hash join)
-    * with the subject algebra as residual, as in MultiplexedDelivery.
+    * a single shared checkpoint. Join = pure equi-join on candidate
+    * match keys ([[Subjects.matchKeysCol]]), as in MultiplexedDelivery.
     *
     * Semantics difference vs per-group mode, by design:
     *  - per-group [[startDelivery]] owns a fresh checkpoint → a new
@@ -295,8 +304,10 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     *    later sees only batches committed AFTER it registered
     *    (from-now-on semantics). Pick per need; both are exposed.
     */
-  def startMultiplexed(): Unit = synchronized {
+  def startMultiplexed(retentionEvery: Int =
+                         MultiplexedDelivery.PayloadRetentionEvery): Unit = synchronized {
     require(!deliveries.contains("__mux__"), "multiplexed delivery already running")
+    val muxBatches = new AtomicLong(0L)
     val q = spark.readStream
       .schema(logSchema)
       .parquet(logDir)
@@ -317,31 +328,37 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
           val anyMulti = snapshot.exists(_.extraFilterSubjects.nonEmpty)
           val subs = snapshot
             .flatMap(g => g.filterSubjects.map(fs => (g.id, fs, g.eventType)))
-            .toDF("id", "filterSubject", "subEventType")
-            .withColumn("sub_project",
-              split(col("filterSubject"), "\\.").getItem(3))
+            .toDF("id", "joinKey", "subEventType")
+          val subtreeDepths = snapshot.flatMap(_.filterSubjects)
+            .flatMap(Subjects.subtreeDepth).distinct.sorted
           // Write-first: ONE distributed pass (join → partitioned payload
           // write) serves every group; per-group counts then come from
           // parquet FOOTERS of the just-written chunk dirs, never from a
           // second pass over the batch. A replayed batch rewrites its own
           // partitions (dynamic overwrite) — idempotent — and the ledger
           // guard below keeps an existing (possibly acked) meta intact.
-          val keyed =
-            if (anyMulti) batch.withColumn("__msg", monotonically_increasing_id())
-            else batch
-          val joined = keyed
-            .join(broadcast(subs),
-              col("project") === col("sub_project")
-                && Subjects.matchesCol(col("subject"), col("filterSubject"))
-                && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
+          // Multi-matcher dedup on CONTENT-derived message identity
+          // (never monotonically_increasing_id — round-13 ADVICE; see
+          // MultiplexedDelivery). eventId restarts per incarnation and
+          // a backfill batch can span incarnations, so the key also
+          // carries resourceId/eventType/ts (logSchema scaladoc).
+          // Pure equi-join on candidate match keys — same O(G)-free
+          // form as MultiplexedDelivery (Subjects.matchKeysCol scaladoc);
+          // the project-token equi + matchesCol residual it replaces
+          // left every same-project subscription a per-row candidate.
+          val joined = batch
+            .select(col("subject"), col("resourceId"), col("eventType"),
+              col("eventId"), col("spos"), col("ts"))
+            .withColumn("joinKey",
+              explode(Subjects.matchKeysCol(col("subject"), subtreeDepths)))
+            .join(broadcast(subs), "joinKey")
+            .filter(Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
           val matched =
             (if (anyMulti)
-               joined.select(col("id").as("groupId"), col("subject"),
-                 col("resourceId"), col("__msg"))
-                 .dropDuplicates("groupId", "__msg")
-             else joined.select(col("id").as("groupId"), col("subject"),
-               col("resourceId")))
-              .select(col("groupId"), col("subject"), col("resourceId"))
+               joined.dropDuplicates("id", "eventId", "spos", "resourceId", "eventType", "ts")
+             else joined)
+              .select(col("id").as("groupId"), col("subject"),
+                col("resourceId"), FanOut.seqCol.as("seq"))
           val withChunk = matched
             .withColumn("chunkId", concat(col("groupId"), lit(s"-$batchId")))
           // Layout + count regimes — see MultiplexedDelivery (bucketed
@@ -366,7 +383,15 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
               new Timestamp(System.currentTimeMillis()), acked = false)
             if (ledger.record(meta)) store.appendChunk(meta)
           }
+          // automated bucketed retention — same cadence + restart-safety
+          // story as MultiplexedDelivery (round-13 verdict task 4)
+          if (retentionEvery > 0
+              && snapshot.size >= MultiplexedDelivery.BucketedMinGroups
+              && muxBatches.get % retentionEvery == (retentionEvery - 1L)) {
+            compactPayloads(); ()
+          }
         }
+        muxBatches.incrementAndGet()
         ()
       }
       .start()
@@ -430,10 +455,12 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
     val n = base.count()
     if (n == 0) return 0
     val sliced = base.rdd.zipWithIndex.map { case (r, i) =>
-      (s"$groupId-backfill-${i / chunkRows}", r.getString(0), r.getString(1))
+      (s"$groupId-backfill-${i / chunkRows}", r.getString(0), r.getString(1), i)
     }
+    // the zipWithIndex scan index doubles as the within-chunk delivery
+    // order (`seq`) — content-derived, no monotonically_increasing_id
     table.writeMulti(spark.createDataFrame(sliced)
-      .toDF("chunkId", "subject", "resourceId")
+      .toDF("chunkId", "subject", "resourceId", "seq")
       .withColumn("groupId", lit(groupId)))
     val nChunks = ((n + chunkRows - 1) / chunkRows).toInt
     var created = 0
@@ -465,9 +492,12 @@ final class DurableEventLog(val spark: SparkSession, logDir: String, ckptRoot: S
   def compactPayloads(): Int = {
     // floor over the LEDGER, not the registration map: a WAL restart
     // restores pending metas before their groups are re-registered, and
-    // those chunks' batches must survive retention (ChunkLedger scaladoc)
-    val floor = ledger.minPendingBatchId
+    // those chunks' batches must survive retention (ChunkLedger scaladoc).
+    // maxBatchId FIRST, pending floor second — the reverse order is a
+    // TOCTOU against a micro-batch recording its meta between the two
+    // reads (see MultiplexedDelivery.compactPayloads).
     val maxMinted = ledger.maxBatchId
+    val floor = ledger.minPendingBatchId
     val bound =
       if (maxMinted == Long.MinValue) Long.MinValue else maxMinted + 1
     table.dropBatchesBefore(math.min(floor, bound))

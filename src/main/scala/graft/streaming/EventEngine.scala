@@ -150,8 +150,9 @@ final class EventEngine(val spark: SparkSession,
     // concurrent emitters (one thread per wire connection) would tear
     // rows otherwise (see MultiplexedDelivery.emit).
     source.synchronized {
+      val n = sequence.incrementAndGet()
       source.addData(Event(resource, eventType, resourceId, relation,
-        new Timestamp(sequence.incrementAndGet() * 1000L)))
+        new Timestamp(n * 1000L)).copy(eventId = n))
     }
   }
 
@@ -242,7 +243,8 @@ final class EventEngine(val spark: SparkSession,
         // restarts (see chunkSeqBase).
         val seq = chunkSeqBase + batchId
         val chunkId = s"${group.id}-$seq"
-        val n = table.writeCounted(group.id, chunkId, batch.select("subject", "resourceId"))
+        val n = table.writeCounted(group.id, chunkId,
+          batch.select(col("subject"), col("resourceId"), FanOut.seqCol.as("seq")))
         if (n > 0L) {
           val meta = ChunkMeta(group.id, chunkId, seq, n,
             new Timestamp(System.currentTimeMillis()), acked = false)

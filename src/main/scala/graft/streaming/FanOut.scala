@@ -40,13 +40,30 @@ object FanOut {
     * subject), the engine's event-log row format. Wire payload is the
     * protobuf-encoded `EventNotificationMessage` (natsio.rs:67-74), as
     * BINARY, via [[ProtoWire.payloadCol]] — byte-for-byte the
-    * reference's wire bytes, still a pure codegen'd Column (no UDF). */
+    * reference's wire bytes, still a pure codegen'd Column (no UDF).
+    *
+    * `eventId` (driver-assigned emission sequence, see
+    * [[graft.core.Event]]) and `spos` (this subject's position in the
+    * event's fan-out array, via posexplode) together identify one
+    * published message deterministically from row content — the basis
+    * for [[seqCol]] and the multi-matcher dedup key, replacing
+    * `monotonically_increasing_id` (VERDICT round-13 task 6). */
   def explodeSubjects(events: DataFrame): DataFrame =
     events
       .withColumn("subjects", subjectsCol(col("resource"), col("resourceId"),
         col("project"), col("collection"), col("sharedObject"), col("objectGroups")))
-      .withColumn("subject", explode(col("subjects")))
+      .select(col("*"), posexplode(col("subjects")).as(Seq("spos", "subject")))
       .withColumn("payload",
         ProtoWire.payloadCol(col("resource"), col("eventType"), col("resourceId")))
-      .select("subject", "payload", "resource", "eventType", "resourceId", "ts")
+      .select("subject", "payload", "resource", "eventType", "resourceId", "ts",
+        "eventId", "spos")
+
+  /** Content-derived delivery-order key of one published message:
+    * emission order (eventId), fan-out position within the event
+    * (spos) as tiebreak. The 20-bit split supports 2^43 events per
+    * engine incarnation and 2^20 subjects per event (an object's
+    * fan-out is one subject per object group — a million-group object
+    * would wrap the tiebreak, never the event order). Deterministic
+    * under task retries because both inputs are row content. */
+  def seqCol: Column = shiftleft(col("eventId"), 20) + col("spos")
 }

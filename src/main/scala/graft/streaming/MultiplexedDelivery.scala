@@ -39,7 +39,9 @@ final class MultiplexedDelivery(val spark: SparkSession,
                                 footerCountMaxGroups: Int =
                                   MultiplexedDelivery.FooterCountMaxGroups,
                                 bucketedMinGroups: Int =
-                                  MultiplexedDelivery.BucketedMinGroups)
+                                  MultiplexedDelivery.BucketedMinGroups,
+                                payloadRetentionEvery: Int =
+                                  MultiplexedDelivery.PayloadRetentionEvery)
     extends ConsumerHost {
   import spark.implicits._
 
@@ -63,17 +65,18 @@ final class MultiplexedDelivery(val spark: SparkSession,
     * under the post-mutation version — missed forever; this way a
     * stale cache is invalidated by the very next read). */
   private val groupsVersion = new java.util.concurrent.atomic.AtomicLong(0L)
-  /** (version, size, anyMulti, subs frame) — rebuilt only when the
-    * registration map changed: at G=10k the per-batch O(G) driver work
-    * (map copy + flatMap + local-relation conversion) otherwise runs
-    * every 250 ms trigger for a snapshot that is almost always
-    * identical to the last one. */
-  @volatile private var subsSnapshot: (Long, Int, Boolean, DataFrame) = null
+  /** (version, size, anyMulti, subs frame, subtree depths) — rebuilt
+    * only when the registration map changed: at G=10k the per-batch
+    * O(G) driver work (map copy + flatMap + local-relation conversion)
+    * otherwise runs every 250 ms trigger for a snapshot that is almost
+    * always identical to the last one. The depths are the driver-side
+    * half of the equi-join match ([[Subjects.matchKeysCol]]). */
+  @volatile private var subsSnapshot: (Long, Int, Boolean, DataFrame, Seq[Int]) = null
 
-  private def currentSubs(): (Int, Boolean, DataFrame) = {
+  private def currentSubs(): (Int, Boolean, DataFrame, Seq[Int]) = {
     val v = groupsVersion.get
     val c = subsSnapshot
-    if (c != null && c._1 == v) (c._2, c._3, c._4)
+    if (c != null && c._1 == v) (c._2, c._3, c._4, c._5)
     else {
       val snapshot = groups.values.toSeq
       val anyMulti = snapshot.exists(_.extraFilterSubjects.nonEmpty)
@@ -82,8 +85,10 @@ final class MultiplexedDelivery(val spark: SparkSession,
         else snapshot
           .flatMap(g => g.filterSubjects.map(fs => (g.id, fs, g.eventType)))
           .toDF("id", "filterSubject", "subEventType")
-      subsSnapshot = (v, snapshot.size, anyMulti, df)
-      (snapshot.size, anyMulti, df)
+      val depths = snapshot.flatMap(_.filterSubjects)
+        .flatMap(Subjects.subtreeDepth).distinct.sorted
+      subsSnapshot = (v, snapshot.size, anyMulti, df, depths)
+      (snapshot.size, anyMulti, df, depths)
     }
   }
   /** Bounded metadata ledger — pending chunks indexed per group, acked
@@ -127,6 +132,9 @@ final class MultiplexedDelivery(val spark: SparkSession,
   private val batchNs = new java.util.concurrent.atomic.AtomicLong
   private val ledgerNs = new java.util.concurrent.atomic.AtomicLong
   private val batchCount = new java.util.concurrent.atomic.AtomicLong
+  /** Batch dirs reclaimed by the automated retention cadence —
+    * monitoring surface for the soak probe. */
+  val reapedBatchDirs = new java.util.concurrent.atomic.AtomicLong
 
   /** Per-phase cumulative seconds across all micro-batches so far:
     * batch total, payload write, count job, ledger record, plus the
@@ -156,14 +164,26 @@ final class MultiplexedDelivery(val spark: SparkSession,
     // Concurrent emitters (one thread per wire connection) must therefore
     // serialize the encode too, or rows arrive torn ("Invalid byte array
     // backed UnsafeRow" — found by the wire replay bench at 8 producers).
-    source.synchronized { source.addData(Event(resource, eventType, resourceId, relation, ts)) }
+    source.synchronized {
+      source.addData(Event(resource, eventType, resourceId, relation, ts)
+        .copy(eventId = eventSeq.incrementAndGet()))
+    }
   }
+
+  /** Per-engine emission sequence → [[graft.core.Event.eventId]]: the
+    * content-derived identity that delivery order (seq) and the
+    * multi-matcher dedup key hang off (VERDICT round-13 task 6). */
+  private val eventSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Bulk ingest — one offset per batch instead of per event (the
     * replay/backfill path; per-event addData serializes on the stream
-    * lock and caps throughput on the driver). */
+    * lock and caps throughput on the driver). Caller-supplied eventIds
+    * are overwritten: uniqueness within the engine is this method's
+    * contract, not the caller's. */
   def emitAll(events: Iterable[Event]): Unit =
-    source.synchronized { source.addData(events) }
+    source.synchronized {
+      source.addData(events.map(_.copy(eventId = eventSeq.incrementAndGet())))
+    }
 
   /** Register a group — no new streaming query is started; the shared
     * query picks the group up at its next micro-batch. `eventType`
@@ -216,11 +236,6 @@ final class MultiplexedDelivery(val spark: SparkSession,
     table.drop(groupId)
   }
 
-  /** The project token (#3) of a subject or filter-subject — both
-    * grammars place it identically (`UPDATES.STORAGE._.<project>...`). */
-  private def projectToken(c: org.apache.spark.sql.Column) =
-    split(c, "\\.").getItem(3)
-
   /** Start the ONE delivery query. */
   def start(): Unit = synchronized {
     require(query.isEmpty, "already started")
@@ -242,7 +257,7 @@ final class MultiplexedDelivery(val spark: SparkSession,
         // No batch.isEmpty pre-check: that is a full extra pass on the
         // common (non-empty) path; the per-group counts below cost the
         // same on an empty batch and gate the write anyway.
-        val (nGroups, anyMulti, subs) = currentSubs()
+        val (nGroups, anyMulti, subs, subtreeDepths) = currentSubs()
         if (nGroups > 0) {
           // Write-first: ONE distributed pass (join → partitioned payload
           // write) serves every group; per-group counts then come from
@@ -251,26 +266,36 @@ final class MultiplexedDelivery(val spark: SparkSession,
           // partitions (dynamic overwrite) — idempotent — and the ledger
           // guard below keeps an existing (possibly acked) meta intact.
           // With any multi-subject group registered, a message matching
-          // TWO of one group's matchers joins twice — the per-message id
-          // + dropDuplicates delivers it ONCE (the JetStream
-          // multi-filter-subject consumer rule). The dedup aggregation
-          // is skipped entirely in the common all-single case.
-          val keyed =
-            if (anyMulti) batch.withColumn("__msg", monotonically_increasing_id())
-            else batch
-          val joined = keyed
-            .join(broadcast(subs),
-              projectToken(col("subject")) === projectToken(col("filterSubject"))
-                && Subjects.matchesCol(col("subject"), col("filterSubject"))
-                && Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
+          // TWO of one group's matchers joins twice — dedup on the
+          // CONTENT-DERIVED message identity (eventId = driver-assigned
+          // emission sequence, spos = fan-out position) delivers it
+          // ONCE (the JetStream multi-filter-subject consumer rule).
+          // Never monotonically_increasing_id: a retried upstream task
+          // could renumber rows between join branches (SPARK-23207
+          // class; round-13 ADVICE). Two IDENTICAL emitted events keep
+          // distinct eventIds, so they still deliver twice — exactly
+          // the two-published-messages semantics. The dedup shuffle is
+          // skipped entirely in the common all-single case.
+          // PURE EQUI-JOIN on candidate match keys (Subjects.matchKeysCol
+          // scaladoc): the previous form — equi on the project token +
+          // matchesCol residual — left every same-project subscription a
+          // candidate per event row, an O(G/projects) per-row cost that
+          // dominated the G=10k write phase (BASELINE.md round-14). Here
+          // each event row explodes into |subtreeDepths|+1 keys (2–4)
+          // and the hash join output is exactly the true matches;
+          // per-row cost is independent of G.
+          val joined = batch
+            .select(col("subject"), col("resourceId"), col("eventType"),
+              col("eventId"), col("spos"))
+            .withColumn("joinKey",
+              explode(Subjects.matchKeysCol(col("subject"), subtreeDepths)))
+            .join(broadcast(subs.withColumnRenamed("filterSubject", "joinKey")),
+              "joinKey")
+            .filter(Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
           val matched =
-            (if (anyMulti)
-               joined.select(col("id").as("groupId"), col("subject"),
-                 col("resourceId"), col("__msg"))
-                 .dropDuplicates("groupId", "__msg")
-             else joined.select(col("id").as("groupId"), col("subject"),
-               col("resourceId")))
-              .select(col("groupId"), col("subject"), col("resourceId"))
+            (if (anyMulti) joined.dropDuplicates("id", "eventId", "spos") else joined)
+              .select(col("id").as("groupId"), col("subject"),
+                col("resourceId"), FanOut.seqCol.as("seq"))
           val seq = chunkSeqBase + batchId
           val withChunk = matched
             .withColumn("chunkId", concat(col("groupId"), lit(s"-$seq")))
@@ -316,6 +341,22 @@ final class MultiplexedDelivery(val spark: SparkSession,
             if (ledger.record(meta)) store.foreach(_.appendChunk(meta))
           }
           ledgerNs.addAndGet(System.nanoTime() - ledgerT0)
+          // Automated bucketed retention (round-13 verdict task 4): a
+          // long-running many-groups deployment otherwise accumulates
+          // batch dirs without bound, and listChunks scans every one.
+          // Runs INSIDE the batch body (after this batch's meta is
+          // recorded, so its own dir is never a candidate) on a batch
+          // cadence — steady-state cost is one listStatus of the
+          // retained dirs plus deletes of fully-acked ones, measured
+          // by tools.RetentionSoakProbe. WAL-restart safe: the floor
+          // is computed over the ledger, which holds restored pending
+          // metas before their groups re-register (compactPayloads
+          // scaladoc).
+          if (payloadRetentionEvery > 0 && nGroups >= bucketedMinGroups
+              && batchCount.get % payloadRetentionEvery == (payloadRetentionEvery - 1L)) {
+            reapedBatchDirs.addAndGet(compactPayloads().toLong)
+            ()
+          }
           ()
         }
         batchNs.addAndGet(System.nanoTime() - bodyT0)
@@ -343,9 +384,17 @@ final class MultiplexedDelivery(val spark: SparkSession,
   def compactPayloads(): Int = {
     // floor over the LEDGER, not the registration map: a WAL restart
     // restores pending metas before their groups are re-registered, and
-    // those chunks' batches must survive retention (ChunkLedger scaladoc)
-    val floor = ledger.minPendingBatchId
+    // those chunks' batches must survive retention (ChunkLedger scaladoc).
+    // ORDER MATTERS: maxBatchId is snapshotted BEFORE the (O(groups),
+    // hence slow) pending-floor scan. The other way round, a micro-batch
+    // that writes its payload and records its pending meta BETWEEN the
+    // two reads is invisible to an already-empty floor (Long.MaxValue)
+    // yet below the later max+1 bound — and gets reclaimed out from
+    // under its own meta (round-13 ADVICE TOCTOU). With max read first,
+    // the bound is <= any seq recorded afterwards, and any pending meta
+    // below it is visible to the later floor scan.
     val maxMinted = ledger.maxBatchId
+    val floor = ledger.minPendingBatchId
     val bound =
       if (maxMinted == Long.MinValue) Long.MinValue else maxMinted + 1
     table.dropBatchesBefore(math.min(floor, bound))
@@ -466,4 +515,13 @@ object MultiplexedDelivery {
     * nothing; above it the per-group commit floor starts growing with
     * matching groups. */
   val BucketedMinGroups: Int = 64
+
+  /** Automated bucketed-retention cadence: every this-many micro-batches
+    * the batch body runs [[MultiplexedDelivery.compactPayloads]]
+    * (0 disables — the pre-round-14 manual-only behavior). 64 batches =
+    * ~16 s at the 250 ms trigger: frequent enough that the batch-dir
+    * count stays within one retention window of the acked floor
+    * (soak-measured, BASELINE.md round-14), rare enough that its
+    * listStatus + floor scan is amortized noise. */
+  val PayloadRetentionEvery: Int = 64
 }

@@ -316,6 +316,41 @@ class MultiplexedDeliverySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally mux.stop()
   }
 
+  test("content-derived message identity: duplicate events deliver twice, chunk order is emission order") {
+    // Round-13 verdict task 6: `seq` and the multi-matcher dedup key
+    // derive from driver-assigned eventId + fan-out position, not
+    // monotonically_increasing_id. Pins the two observable contracts:
+    // (a) two IDENTICAL emitted events keep distinct identities — a
+    //     multi-hierarchy group receives BOTH (two published messages;
+    //     a content-hash key would collapse them);
+    // (b) within-chunk delivery order is emission order even though the
+    //     payload write shuffles (repartition) before writing.
+    val mux = new MultiplexedDelivery(spark)
+    try {
+      mux.addGroupMulti("union2", ResourceType.Collection, "c1",
+        Seq(Hierarchy(projectId = "p1", collectionId = "c1"),
+            Hierarchy(projectId = "p2", collectionId = "c1")),
+        includeSubresources = true)
+      mux.addGroup("ordered", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      mux.start()
+      // two byte-identical events (same resource, id, relation, default ts)
+      mux.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p1"))
+      mux.emit(ResourceType.Collection, EventType.All, "c1", RelationCtx(project = "p1"))
+      // an ordered tail for (b)
+      (0 until 20).foreach(i =>
+        mux.emit(ResourceType.Object, EventType.All, f"o$i%02d",
+          RelationCtx(project = "p1", collection = "c1", sharedObject = "so")))
+      mux.processAllAvailable()
+      val dup = mux.pendingChunks("union2").flatMap(_.resourceIds).filter(_ == "c1")
+      assert(dup.size == 2,
+        s"identical events are distinct published messages — expected 2 deliveries, got $dup")
+      val ordered = mux.pendingChunks("ordered").sortBy(_.batchId)
+        .flatMap(_.resourceIds).filter(_.startsWith("o"))
+      assert(ordered == ordered.sorted,
+        s"within-chunk order must be emission order: $ordered")
+    } finally mux.stop()
+  }
+
   test("bucketed layout end-to-end: delivery, acks, churn, and WAL restart (round-13 task 1)") {
     // Force the bucketed layout at ANY group count (bucketedMinGroups=1)
     // and run the full engine surface over it: filtered delivery, pull/
@@ -360,6 +395,50 @@ class MultiplexedDeliverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pending.size == 1 && pending.head.resourceIds == Seq("c1"),
       s"unacked bucketed chunk must survive restart: $pending")
     assert(mux2.pendingChunks("late").flatMap(_.resourceIds) == Seq("c1"))
+  }
+
+  test("automated retention: the batch body reaps acked batch dirs on its own cadence") {
+    // Round-13 verdict task 4: nothing used to INVOKE compactPayloads —
+    // a long-running many-groups deployment accumulated batch dirs
+    // without bound. Pins: (a) the cadence fires inside the batch body
+    // and reclaims fully-acked dirs; (b) a group's pending chunks and
+    // their payloads survive every firing.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mux-autoret").toString
+    val mux = new MultiplexedDelivery(spark, ledgerDir = Some(dir),
+      bucketedMinGroups = 1, payloadRetentionEvery = 2)
+    try {
+      mux.addGroup("acker", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      mux.addGroup("lagger", ResourceType.Project, "p1", Hierarchy(projectId = "p1"), true)
+      mux.start()
+      (0 until 6).foreach { i =>
+        mux.emit(ResourceType.Collection, EventType.All, s"c$i", RelationCtx(project = "p1"))
+        mux.processAllAvailable()
+        // acker keeps up; lagger acks nothing
+        mux.pendingChunks("acker").foreach(c => mux.ack(c.groupId, c.chunkId))
+      }
+      // with a non-acking group registered the floor is its oldest
+      // pending chunk: nothing may be reaped
+      assert(mux.reapedBatchDirs.get == 0L,
+        "pending chunks of the lagging group must pin every batch dir")
+      val laggerBefore = mux.pendingChunks("lagger")
+      assert(laggerBefore.nonEmpty && laggerBefore.forall(_.resourceIds.nonEmpty),
+        "lagging group's payloads must hydrate while retention is active")
+      // lagger catches up; subsequent cadence firings reclaim the tail
+      laggerBefore.foreach(c => mux.ack(c.groupId, c.chunkId))
+      (6 until 12).foreach { i =>
+        mux.emit(ResourceType.Collection, EventType.All, s"c$i", RelationCtx(project = "p1"))
+        mux.processAllAvailable()
+        mux.pendingChunks("acker").foreach(c => mux.ack(c.groupId, c.chunkId))
+        mux.pendingChunks("lagger").foreach(c => mux.ack(c.groupId, c.chunkId))
+      }
+      assert(mux.reapedBatchDirs.get > 0L,
+        "the cadence must have reclaimed fully-acked batch dirs")
+      val batchDirs = new java.io.File(s"$dir/deliveries/batches").listFiles()
+      val remaining = if (batchDirs == null) 0
+        else batchDirs.count(_.getName.startsWith("batch="))
+      assert(remaining <= 4,
+        s"steady-state batch-dir count must stay within one retention window, got $remaining")
+    } finally mux.stop()
   }
 
   test("compactPayloads reclaims only fully-acked batch dirs; pending chunks survive") {

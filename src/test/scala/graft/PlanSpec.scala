@@ -208,6 +208,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       avail))
   }
 
+  test("SA build prices one live doubling round and declines at the envelope (round-14)") {
+    // Calibration anchors (BASELINE.md round-12 measurements): the 100×
+    // build (~1.8e9 chars) RAN on this node's ~60 GB scratch; the 300×
+    // build (~5.4e9 chars) died of ENOSPC mid-round. The estimate must
+    // separate the two, and the decline rule must keep 20% headroom.
+    import graft.operators.SelectionOps
+    val est100x = SelectionOps.saBuildScratchBytes(1800000000L)
+    assert(est100x > (1L << 30) && est100x < 48L * (1L << 30),
+      s"100x estimate ($est100x B) must sit inside the measured-runnable band")
+    val est300x = SelectionOps.saBuildScratchBytes(5400000000L)
+    assert(est300x > 52L * (1L << 30),
+      s"300x estimate ($est300x B) must trip on this node — the measured ENOSPC")
+    assert(SelectionOps.saBuildDeclines(81L, 100L))
+    assert(!SelectionOps.saBuildDeclines(80L, 100L))
+    // the fixture's own build clears the gate end-to-end (q186/q194 ran
+    // under Verify), and a corpus past the scratch declines with the
+    // named estimate instead of an ENOSPC
+    val avail = VectorOps.scratchBytesAvailable(spark)
+    assert(!SelectionOps.saBuildDeclines(SelectionOps.saBuildScratchBytes(1000000L), avail))
+    // pure-rule check at the boundary, no 300x corpus needed locally
+    assert(SelectionOps.saBuildDeclines(
+      SelectionOps.saBuildScratchBytes(avail), avail))
+  }
+
   test("LSH ANN search joins on bucket equality, never all-pairs (q48)") {
     val p = plan(VectorOps.q48_vector_ann_lsh)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
