@@ -532,8 +532,13 @@ object StreamingBatch extends QueryModule {
     * public_event_server.rs:145-152) as an oracle-checked batch twin:
     * three subscriptions, each a UNION of filter subjects (one per
     * hierarchy), matched against the q36 fan-out messages with the
-    * ENGINE's exact join shape — project-token equi key + the subject
-    * algebra as residual on a broadcast subscription table. The
+    * ENGINE's exact join shape — since round 14 the pure candidate-key
+    * equi-join ([[Subjects.matchKeysCol]]: each subject explodes into
+    * one key per distinct subtree depth + its exact form; broadcast
+    * hash join on key equality, zero residual matching — the O(G)-free
+    * form both mux engines run). The oracle is unchanged: the equi-join
+    * is match-for-match the old residual form, so this query doubles as
+    * the fixture-scale pin of that equivalence. The
     * deliver-ONCE rule is stated as arithmetic the oracle re-derives:
     * `n_msgs` = distinct matched messages (what the engines deliver
     * after their per-message dedup), `n_dup_suppressed` = raw join
@@ -555,12 +560,12 @@ object StreamingBatch extends QueryModule {
         ("sub_three", "UPDATES.STORAGE._.p3._.c3._"),
         ("sub_three", "UPDATES.STORAGE._.p3._.c8._"),
         ("sub_three", "UPDATES.STORAGE._.p4.>"))
-      val subDf = s.createDataFrame(subs).toDF("sub_id", "fq")
-        .withColumn("fproj", split(col("fq"), "\\.").getItem(3))
+      val subDf = s.createDataFrame(subs).toDF("sub_id", "joinKey")
+      val depths = subs.map(_._2).flatMap(Subjects.subtreeDepth).distinct.sorted
       fanoutSubjects(s, dir)
-        .withColumn("mproj", split(col("subject"), "\\.").getItem(3))
-        .join(broadcast(subDf), col("mproj") === col("fproj")
-          && Subjects.matchesCol(col("subject"), col("fq")))
+        .withColumn("joinKey",
+          explode(Subjects.matchKeysCol(col("subject"), depths)))
+        .join(broadcast(subDf), "joinKey")
         .groupBy("sub_id")
         .agg(count(lit(1)).as("n_matches"),
           countDistinct(col("event_id"), col("subject")).as("n_msgs"),

@@ -81,7 +81,8 @@ object ExplainDump {
       ("q200_bloom_filter_eval — one map-side-combined bit_or pass to ≤ m/32 packed words; probes broadcast-join the filter", SketchOps.q200_bloom_filter_eval),
       ("q201_mg_heavy_hitters — WindowGroupLimit prunes each merge group to k+1 rows map-side; one lazy merge-tree plan, no corpus cache", SketchOps.q201_mg_heavy_hitters),
       ("q202_cc_components — star-contraction rounds: per-round grouped min + edge re-key, lineage truncated, no driver edge list", GraphOps.q202_cc_components),
-      ("q203_weighted_sample — map-only replicated-hash keys (no explode, no shuffle) into TakeOrderedAndProject bottom-k", SelectionOps.q203_weighted_sample))
+      ("q203_weighted_sample — map-only replicated-hash keys (no explode, no shuffle) into TakeOrderedAndProject bottom-k", SelectionOps.q203_weighted_sample),
+      ("q204_subject_union — multi-hierarchy union: matcher explode + once-per-message dedup before the per-group count", StreamingBatch.q204_subject_union))
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append(s"Input: `$dir`. These plans back the contracts asserted in " +
@@ -117,8 +118,86 @@ Candidates were every top-k-shaped query without the custom prune:
         .explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $title\n\n```\n$plan```\n")
     }
+    sb.append(deliveryAppendix(spark))
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()
+  }
+
+  /** The multiplexed delivery micro-batch plan (round-14 shape) — not a
+    * `queries()` entry, so dumped here from a representative in-memory
+    * batch: (1) the equi-join match (event subjects explode into
+    * candidate keys via Subjects.matchKeysCol; broadcast hash join on
+    * key equality, zero residual matching), and (2) the bucketed write
+    * input (repartition by bucket → CollectMetrics carrying the
+    * CountByKey per-group counts → sort leading with the partition
+    * column, so the file writer reuses it). */
+  private def deliveryAppendix(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import graft.core._
+    import graft.streaming.FanOut
+    implicit val enc: org.apache.spark.sql.Encoder[Event] =
+      org.apache.spark.sql.Encoders.product[Event]
+    val events = spark.createDataset(Seq(
+      Event("OBJECT", "ALL", "o1", "p1", "c1", "so1", Seq("g1"), new java.sql.Timestamp(0L), 1L),
+      Event("COLLECTION", "ALL", "c1", "p1", "", "", Seq.empty, new java.sql.Timestamp(0L), 2L)))
+    val batch = FanOut.explodeSubjects(events.toDF())
+    val groups = Seq(
+      StreamGroup("g-proj", "PROJECT", "p1", "ALL", true, "UPDATES.STORAGE._.p1.>"),
+      StreamGroup("g-col", "COLLECTION", "c1", "ALL", true,
+        "UPDATES.STORAGE._.p1._.c1.>", Seq("UPDATES.STORAGE._.p2._.c1.>")))
+    val subs = spark.createDataFrame(
+      groups.flatMap(g => g.filterSubjects.map(fs => (g.id, fs, g.eventType))))
+      .toDF("id", "joinKey", "subEventType")
+    val depths = groups.flatMap(_.filterSubjects)
+      .flatMap(Subjects.subtreeDepth).distinct.sorted
+    val joined = batch
+      .select(col("subject"), col("resourceId"), col("eventType"),
+        col("eventId"), col("spos"))
+      .withColumn("joinKey", explode(Subjects.matchKeysCol(col("subject"), depths)))
+      .join(broadcast(subs), "joinKey")
+      .filter(Subjects.eventTypeMatches(col("eventType"), col("subEventType")))
+      .dropDuplicates("id", "eventId", "spos")
+      .select(col("id").as("groupId"), col("subject"), col("resourceId"),
+        FanOut.seqCol.as("seq"))
+    val writeInput = joined
+      .withColumn("chunkId", concat(col("groupId"), lit("-0")))
+      .select(col("groupId"), col("chunkId"), col("subject"), col("resourceId"),
+        col("seq"), pmod(xxhash64(col("groupId")), lit(4L)).as("bucket"))
+      .repartition(4, col("bucket"))
+      .observe("grp_counts", graft.functions.CountByKey.countByKey(col("groupId")).as("grp"))
+      .sortWithinPartitions("bucket", "groupId", "seq")
+    val joinPlan = joined.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val writePlan = writeInput.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    s"""
+## APPENDIX — multiplexed delivery micro-batch plan (round-14)
+
+The delivery body is not a `queries()` entry; these plans are built
+from a representative in-memory batch with one multi-hierarchy group
+registered (the dedup arm active).
+
+### Subject match: candidate-key explode → broadcast hash EQUI-join
+
+Each event subject yields |distinct subtree depths|+1 candidate keys
+(here depths=${depths.mkString("[", ",", "]")}); the join is pure key
+equality — no matchesCol residual, so per-row cost is independent of
+the number of registered groups (BASELINE.md round-14).
+
+```
+$joinPlan```
+
+### Bucketed write input: repartition → CollectMetrics → sort
+
+Per-group counts ride the write job via `observe` + CountByKey; the
+CollectMetrics node sits POST-shuffle (exactly-once accumulator
+semantics in the result stage) and BELOW the sort, which stays the top
+node so the parquet writer reuses the (bucket-led) ordering instead of
+re-sorting.
+
+```
+$writePlan```
+"""
   }
 }
