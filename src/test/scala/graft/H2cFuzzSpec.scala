@@ -86,7 +86,7 @@ class H2cFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private final class FuzzConn(port: Int, rnd: scala.util.Random,
                                initialWindow: Option[Int] = None) {
     private val sock = new java.net.Socket("127.0.0.1", port)
-    sock.setTcpNoDelay(true); sock.setSoTimeout(30000)
+    sock.setTcpNoDelay(true); sock.setSoTimeout(120000) // liveness backstop, not a latency assertion (in-suite CPU steal)
     private val in = new DataInputStream(
       new java.io.BufferedInputStream(sock.getInputStream))
     private val raw = sock.getOutputStream

@@ -212,7 +212,7 @@ class H2cSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("HEADERS split across CONTINUATION frames reassemble server-side (RFC 7540 §6.10)") {
     withServer() { (_, server) =>
       val sock = new java.net.Socket("127.0.0.1", server.boundPort)
-      sock.setTcpNoDelay(true); sock.setSoTimeout(30000)
+      sock.setTcpNoDelay(true); sock.setSoTimeout(120000) // liveness backstop, not a latency assertion (in-suite CPU steal)
       val in = new java.io.DataInputStream(
         new java.io.BufferedInputStream(sock.getInputStream))
       val out = new java.io.DataOutputStream(

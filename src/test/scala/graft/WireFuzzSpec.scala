@@ -56,7 +56,12 @@ class WireFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private final class SplittingClient(port: Int, rnd: scala.util.Random) {
     private val sock = new java.net.Socket("127.0.0.1", port)
     sock.setTcpNoDelay(true)
-    sock.setSoTimeout(20000)
+    // Generous read timeout: this is a liveness backstop, not a latency
+    // assertion — in-suite runs share the host with 48 other Spark
+    // suites and the box shows 2–3.8× CPU-steal windows (BASELINE.md
+    // round-12 measurement notes); 20 s flaked once in-suite at
+    // round 14 while the same seed passed standalone.
+    sock.setSoTimeout(120000)
     private val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(sock.getInputStream))
     private val raw = sock.getOutputStream
