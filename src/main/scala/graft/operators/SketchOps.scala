@@ -84,6 +84,22 @@ object SketchOps extends QueryModule {
       .groupBy("row", "bucket")
       .agg(count(lit(1)).cast("long").as("cnt"))
 
+  /** [[cmsOf]] re-derived from an ALREADY-AGGREGATED (w, c) histogram:
+    * a bucket's occurrence count is Σ c over the distinct tokens
+    * hashing into it, so `cmsOfCounts(histogram(ws)) = cmsOf(ws)`
+    * bit-for-bit (BIGINT sums — SketchSpec pins the equality). Lets an
+    * eval that must aggregate exact counts anyway (q197) derive the
+    * sketch from the vocab-sized histogram instead of paying a second
+    * corpus-wide pass with 4 md5 reads per OCCURRENCE (guide §1.2:
+    * remove passes; §2.3: aggregate before you shuffle). [[cmsOf]]
+    * stays the production one-pass form the live fold maintains. */
+  private[graft] def cmsOfCounts(wc: DataFrame): DataFrame =
+    wc.select((col("c") +: cmsBuckets): _*)
+      .select(col("c"), posexplode(array((0 until CmsDepth).map(r => col(s"b$r")): _*)))
+      .toDF("c", "row", "bucket")
+      .groupBy("row", "bucket")
+      .agg(sum("c").cast("long").as("cnt"))
+
   /** CMS merge = bucket-wise addition (the mergeability that makes the
     * sketch a one-aggregation answer at 100 TB). */
   private[graft] def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
@@ -177,13 +193,21 @@ object SketchOps extends QueryModule {
     // |groups| (the sketch contract), run on the AGGREGATED frame.
     val gv = df.groupBy("g", "v").agg(count(lit(1)).cast("long").as("c"))
       .transform(Ckpt.ser(_)) // consumed by totals AND the running sum
-    val cnts = gv.groupBy("g").agg(sum("c").cast("long").as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // ONE collect feeds everything driver-side (round 14, guide §1.2):
+    // per-group row totals (n = Σc, the want-rank inputs) AND the
+    // distinct-value count (nv) whose sum is gv's cardinality — the
+    // runningSum partition derivation previously paid a separate
+    // gv.count() job per call (×2 calls per eval query).
+    val cnts0 = gv.groupBy("g")
+      .agg(sum("c").cast("long").as("n"), count(lit(1)).cast("long").as("nv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val cnts = cnts0.map(t => (t._1, t._2))
+    val gvRows = cnts0.map(_._3).sum
     val goffDf = broadcast(s.createDataFrame(
       cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toSeq)
       .toDF("g", "goff"))
     val cum = GlobalRank.runningSum(gv, Seq(col("g"), col("v")), col("c"),
-        "cumAll", rows = gv.count())
+        "cumAll", rows = gvRows)
       .join(goffDf, "g")
       .withColumn("cum", col("cumAll") - col("goff"))
     val want = broadcast(s.createDataFrame(
@@ -283,17 +307,23 @@ object SketchOps extends QueryModule {
     * shingle stream, with its error measured against exact counts for
     * the 200 most frequent shingles.
     *
-    * The sketch is ONE pass: each occurrence votes into 4 row-salted
-    * md5 buckets (posexplode → a 4096-key aggregation with map-side
-    * combine — partial sketches from every partition merge by addition,
-    * which is the whole point of CMS). The estimate for a token is the
-    * min over its 4 bucket counts; CMS guarantees est ≥ exact, and the
-    * `overcount` column is that bias, reported not hidden. The eval
-    * joins the 4096-row sketch BROADCAST against the top-200 tokens
-    * (TakeOrdered under a strict total order, not a global sort), so at
-    * 100 TB the only corpus-sized stages are the token scan and the
-    * exact-count aggregation the eval itself requires for ground truth —
-    * a production pipeline keeps just the sketch pass.
+    * The production sketch is ONE pass ([[cmsOf]], what the live fold
+    * maintains): each occurrence votes into 4 row-salted md5 buckets
+    * (posexplode → a 4096-key aggregation with map-side combine —
+    * partial sketches from every partition merge by addition, which is
+    * the whole point of CMS). The estimate for a token is the min over
+    * its 4 bucket counts; CMS guarantees est ≥ exact, and the
+    * `overcount` column is that bias, reported not hidden. The EVAL
+    * must also aggregate exact per-token counts for ground truth, and
+    * a bucket's count is a pure re-aggregation of that histogram — so
+    * since round 14 the eval derives the sketch from the checkpointed
+    * vocab-sized histogram ([[cmsOfCounts]], bit-identical, pinned by
+    * SketchSpec) instead of paying a second corpus-wide pass with 4
+    * md5 reads per occurrence (guide §1.2). The eval joins the
+    * 4096-row sketch BROADCAST against the top-200 tokens (TakeOrdered
+    * under a strict total order, not a global sort), so at 100 TB the
+    * only corpus-sized stage is the one token scan — a production
+    * pipeline keeps just the sketch pass.
     *
     * Reference scope: frequency gating over shingle streams is the
     * reference's event-statistics surface generalized (SURVEY §2.2
@@ -303,8 +333,14 @@ object SketchOps extends QueryModule {
     (s, dir) => {
       val d = CmsDepth
       val words = shingles(s, dir).select("w")
-      val sketch = cmsOf(words)
-      val exact = words.groupBy("w").agg(count(lit(1)).cast("long").as("c_exact"))
+      // ONE corpus pass (round-14, guide §1.2): the eval needs the exact
+      // per-token histogram anyway, and the sketch is a pure
+      // re-aggregation of it ([[cmsOfCounts]], bit-identical to the
+      // production cmsOf pass — SketchSpec). Checkpointed: the
+      // vocab-sized histogram feeds both the sketch and the top-200.
+      val exact = Ckpt.ser(
+        words.groupBy("w").agg(count(lit(1)).cast("long").as("c_exact")))
+      val sketch = cmsOfCounts(exact.select(col("w"), col("c_exact").as("c")))
       val top = exact.orderBy(col("c_exact").desc, col("w")).limit(200)
       val probes = top.select((col("w") +: col("c_exact") +: cmsBuckets): _*)
         .select(col("w"), col("c_exact"),
@@ -368,7 +404,13 @@ object SketchOps extends QueryModule {
     (s, dir) => {
       val k = KmvK
       val est = s"CAST(floor(255.0 * 1.152921504606846976e18 / CAST(theta AS DOUBLE) * 1.0e6) AS BIGINT)"
-      val tok = shingles(s, dir).distinct()
+      // Checkpointed (round 14, guide §1.2): the distinct (source, w)
+      // stream feeds the KMV hash pass AND both sides of the eval's
+      // exact-intersection self-join — un-pinned, the shingle explode +
+      // distinct ran 3× inside one query (join subtrees do not share
+      // common subexpressions). The materialized frame is vocab-sized
+      // (distinct shingles per source), not corpus-sized.
+      val tok = Ckpt.ser(shingles(s, dir).distinct())
       val kmv = kmvTopK(kmvHashes(tok)).cache()
       val per = kmv.groupBy("source")
         .agg(count(lit(1)).cast("long").as("cnt"), max("hv").as("theta"))
@@ -756,9 +798,11 @@ object SketchOps extends QueryModule {
     (s, dir) => {
       // occ is a def, not a cache: the mixed n-gram stream is the
       // repo's largest intermediate (O(corpus tokens)), and each of its
-      // three consumers only needs one cheap map-side re-explode —
-      // caching it serialized was measured 4.5× SLOWER warm at 10×
-      // (storage-memory pressure + 18 eager checkpoint jobs).
+      // consumers (level-0 histograms; the exact vocab histogram — two
+      // since round 14 folded `tot` into `exact`) only needs one cheap
+      // map-side re-explode — caching it serialized was measured 4.5×
+      // SLOWER warm at 10× (storage-memory pressure + 18 eager
+      // checkpoint jobs).
       // widen: the level-0 histogram sort and the exact-count explode
       // are ~all of q201's cost and both are map-side over the raw doc
       // scan — on single-file rehearsal fixtures that scan is 2-4 fat
@@ -803,9 +847,14 @@ object SketchOps extends QueryModule {
       var st = lvl0
       (1 to rounds).foreach { _ => st = mgMergeRound(st) }
       st = Ckpt.ser(st)
-      val exact = occ.groupBy("w").agg(count(lit(1)).cast("long").as("c_exact"))
+      // exact checkpointed (round 14, guide §1.2): the vocab-sized
+      // histogram feeds the top-20 AND the stream-length total
+      // (N = Σ c_exact ≡ count(occ)) — previously `tot` re-ran a THIRD
+      // full explode pass over the n-gram stream just to count it.
+      val exact = Ckpt.ser(
+        occ.groupBy("w").agg(count(lit(1)).cast("long").as("c_exact")))
       val top = exact.orderBy(col("c_exact").desc, col("w")).limit(20)
-      val tot = occ.agg(count(lit(1)).cast("long").as("n"))
+      val tot = exact.agg(sum("c_exact").cast("long").as("n"))
       val mass = st.agg(coalesce(sum("c"), lit(0L)).cast("long").as("m"))
       top.join(broadcast(st.select(col("w"), col("c").as("c_est"))), Seq("w"), "left")
         .crossJoin(tot).crossJoin(mass)

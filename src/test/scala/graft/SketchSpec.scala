@@ -58,6 +58,21 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == full, "summed half-corpus sketches != full-corpus sketch")
   }
 
+  test("q197: the histogram-derived sketch is bit-identical to the one-pass sketch") {
+    // round-14 optimization contract: q197's eval derives the sketch
+    // from the exact vocab histogram (cmsOfCounts) instead of a second
+    // occurrence pass (cmsOf) — the two must agree on every bucket.
+    import org.apache.spark.sql.functions._
+    val words = SketchOps.shingleStreamOf(
+      graft.sources.Tables.load(spark, sfDir, "documents")).select("w")
+    val onePass = SketchOps.cmsOf(words)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val hist = words.groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+    val derived = SketchOps.cmsOfCounts(hist)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(derived == onePass, "cmsOfCounts(histogram) != cmsOf(occurrences)")
+  }
+
   test("q198: unsaturated KMV sketches give the EXACT intersection") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
