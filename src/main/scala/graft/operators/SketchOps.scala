@@ -219,6 +219,32 @@ object SketchOps extends QueryModule {
       .select(cum("g"), want("p"), col("v").as(out))
   }
 
+  /** [[qsQuantiles]] for a BOUNDED input (the sketch read path): the
+    * quantile-sketch state is ≤ k rows per group BY CONTRACT, so the
+    * per-group cumulative can be one window partitioned by `g` — a
+    * bounded-key shuffle of ≤ k·|groups| rows — and the want-rank table
+    * can stay a lazy broadcast join instead of a driver collect. Same
+    * integer rank arithmetic as [[qsQuantiles]] (same minimal-v-
+    * covering-rank read), ZERO driver jobs — where the generic form
+    * pays 2 checkpoints + 2 collects of GlobalRank machinery built for
+    * corpus-sized groups (round 14, guide §1.2: the est side of q199
+    * spent more on fixed job scheduling than on its ≤1536 rows).
+    * SketchSpec's q199 band/exactness tests pin est values unchanged. */
+  private def qsQuantilesBounded(df: DataFrame, out: String): DataFrame = {
+    val gv = df.groupBy("g", "v").agg(count(lit(1)).cast("long").as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = gv.withColumn("cum", sum("c").over(w))
+    val want = gv.groupBy(col("g").as("wg"))
+      .agg(sum("c").cast("long").as("n"))
+      .select(col("wg"), col("n"),
+        explode(array(QsPs.map(p => lit(p)): _*)).as("p"))
+      .withColumn("want_r", expr("CAST((p * n + 99) DIV 100 AS BIGINT)"))
+    cum.join(broadcast(want), cum("g") === want("wg")
+        && want("want_r") > cum("cum") - cum("c") && want("want_r") <= cum("cum"))
+      .select(cum("g"), want("p"), col("v").as(out))
+  }
+
   /** q199's row stream: lineitem prices in fixed-point cents per
     * return flag, hashed/identified by the (orderkey, linenumber) PK. */
   private[graft] def qsPriceRows(lineitem: DataFrame): DataFrame =
@@ -254,7 +280,7 @@ object SketchOps extends QueryModule {
     "q199_quantile_sketch_eval",
     (s, dir) => {
       val li = qsPriceRows(t(s, dir, "lineitem"))
-      val est = qsQuantiles(qsTopK(li), "v_est")
+      val est = qsQuantilesBounded(qsTopK(li), "v_est")
       val exact = qsQuantiles(li, "v_exact")
       est.join(exact, Seq("g", "p"))
         .select(col("g").as("rf"), col("p"), col("v_est"), col("v_exact"),
