@@ -30,12 +30,15 @@ object CurationOps extends QueryModule {
   val q70_decontaminate = QueryDef(
     "q70_decontaminate",
     (s, dir) => {
+      // index-explode + scalar hash, not a transform(...) lambda — the
+      // SketchOps.shingleStreamOf codegen device (tools.MgProbe)
       val grams = t(s, dir, "documents")
         .withColumn("words", split(col("text"), " "))
         .filter(size(col("words")) >= 5)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(words) - 5), i -> " +
-            "xxhash64(concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4])))"))
+        .select(col("doc_id"), col("words"),
+          explode(sequence(lit(0), size(col("words")) - 5)).as("i"))
+        .select(col("doc_id"), expr(
+          "xxhash64(concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4]))")
           .as("g"))
         .distinct()
       val bench = grams.filter(col("doc_id") % 50 === 0)
@@ -109,12 +112,15 @@ object CurationOps extends QueryModule {
   val q72_quality_repetition = QueryDef(
     "q72_quality_repetition",
     (s, dir) => {
+      // index-explode + scalar concat_ws (the shingleStreamOf codegen
+      // device, tools.MgProbe)
       val grams = t(s, dir, "documents")
         .withColumn("words", split(col("text"), " "))
         .filter(size(col("words")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(words) - 2), i -> concat_ws(' ', words[i], words[i+1]))"))
-          .as("gram"))
+        .select(col("doc_id"), col("words"),
+          explode(sequence(lit(0), size(col("words")) - 2)).as("i"))
+        .select(col("doc_id"),
+          expr("concat_ws(' ', words[i], words[i+1])").as("gram"))
       grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id")
         .agg(sum("cnt").cast("long").as("n_2g"),
@@ -294,13 +300,15 @@ object CurationOps extends QueryModule {
   val q178_span_boilerplate = QueryDef(
     "q178_span_boilerplate",
     (s, dir) => {
+      // index-explode + scalar concat_ws (the shingleStreamOf codegen
+      // device, tools.MgProbe); the exploded index IS posexplode's pos
       val segs = t(s, dir, "documents")
         .withColumn("words", split(col("text"), " "))
         .filter(size(col("words")) >= 3)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(words) div 3 - 1), i -> " +
-            "concat_ws(' ', words[3*i], words[3*i+1], words[3*i+2]))"))
-          .as(Seq("pos", "seg")))
+        .select(col("doc_id"), col("words"),
+          explode(sequence(lit(0), expr("size(words) div 3 - 1"))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          expr("concat_ws(' ', words[3*pos], words[3*pos+1], words[3*pos+2])").as("seg"))
       val freq = segs.select("doc_id", "seg").distinct()
         .groupBy("seg").agg(count(lit(1)).cast("long").as("df"))
       segs.join(freq, "seg")

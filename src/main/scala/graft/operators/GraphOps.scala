@@ -118,16 +118,29 @@ object GraphOps extends QueryModule {
     // large-star: every neighbor ABOVE u re-attaches to the minimum of
     // u's closed neighborhood. Keeps high nodes hanging off ever-lower
     // parents without growing the edge count past 2m.
+    //
+    // DUPLICATE-TOLERANT (round 14, guide §2.4): no trailing distinct.
+    // min() is insensitive to repeated rows and the join only fans
+    // duplicates through, so duplicate edges in `sym` yield duplicate
+    // output rows — which [[smallStar]]'s one terminal distinct removes.
+    // The per-round EDGE SET sequence (and hence the fixpoint labels
+    // and round count) is bit-identical to the 3-distinct-per-round
+    // form; the physical plan drops two corpus-scale exchanges per
+    // contraction round (CcSpec pins label equality with union-find).
     def largeStar(sym: DataFrame): DataFrame = {
       val m = sym.groupBy("a").agg(min("b").as("mb"))
         .select(col("a"), least(col("mb"), col("a")).as("mn"))
       sym.join(m, "a").filter(col("b") > col("a"))
         .select(col("b").as("a"), col("mn").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
     }
 
     // small-star: u and every neighbor BELOW u collapse onto the
     // minimum of that set — the halving step that gives the log bound.
+    // Every row of [[largeStar]]'s output already has b < a (mn ≤ old a
+    // < old b), so the below-filter passes everything and the ONE
+    // distinct here is the round's only dedup — sufficient, because
+    // both aggregations above it are min()s.
     def smallStar(sym: DataFrame): DataFrame = {
       val below = sym.filter(col("b") < col("a"))
       val m = below.groupBy("a").agg(min("b").as("mn"))
@@ -148,9 +161,14 @@ object GraphOps extends QueryModule {
       // round is materialized — a contraction that leaves every round
       // persisted holds O(rounds × edges) storage (the SA-build leak the
       // 300× rehearsal found, same shape here).
+      // symmetrize WITHOUT a distinct (guide §2.4: a distinct on data
+      // that is already unique): smallStar emits only b < a rows, so
+      // cur ∪ swap(cur) is duplicate-free from round 2 on; round 1's
+      // already-symmetric sym0 doubles every row, which the duplicate-
+      // tolerant largeStar/smallStar pair absorbs (one terminal
+      // distinct per round instead of three).
       val (next, nextIds) = Ckpt.serRound(smallStar(largeStar(
-        cur.union(cur.select(col("b").as("a"), col("a").as("b")))
-          .distinct())), curIds)
+        cur.union(cur.select(col("b").as("a"), col("a").as("b"))))), curIds)
       curIds = nextIds
       // Convergence probe: compare successive small-star outputs by
       // (count, order-free hash) — two longs, one job, no driver-side
@@ -222,11 +240,19 @@ object GraphOps extends QueryModule {
     * bench row, which folds this edge set through
     * [[graft.streaming.CcStream]]. */
   private[graft] def rareShingleEdges(docs: DataFrame): DataFrame = {
+    // index-explode + scalar concat, not a transform(...) lambda — the
+    // SketchOps.shingleStreamOf codegen device (HOFs evaluate on the
+    // interpreted Expression path and decay 2.4× under megamorphic-JIT
+    // pollution, tools.MgProbe); content-identical shingle stream.
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 3)).as("i"))
+      .select(col("doc_id"), concat(
+        element_at(col("ws"), col("i") + 1), lit(" "),
+        element_at(col("ws"), col("i") + 2), lit(" "),
+        element_at(col("ws"), col("i") + 3)).as("w"))
       .filter(expr("(instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1) % 16") === 0)
       .distinct()
     sh.groupBy("w")

@@ -125,9 +125,14 @@ object LayoutOps extends QueryModule {
         sum(col("n_events")).cast("long").as("rows_total"))
       val matched = pts.filter(col("x").between(bx0, bx1) && col("y").between(by0, by1))
         .agg(count(lit(1)).cast("long").as("rows_match"))
+      // nullif-guarded divisor (round 14): a fixture whose box matches
+      // ZERO rows (sf0.001) made BOTH engines raise on the integer
+      // division — an untotal eval. NULL amplification for an empty
+      // match is the honest answer; at every scale with matches the
+      // values (and hashes) are unchanged.
       read.crossJoin(matched)
-        .withColumn("read_amp_fp", expr("rows_read * 1000000 div rows_match"))
-        .withColumn("scan_amp_fp", expr("rows_total * 1000000 div rows_match"))
+        .withColumn("read_amp_fp", expr("rows_read * 1000000 div nullif(rows_match, 0)"))
+        .withColumn("scan_amp_fp", expr("rows_total * 1000000 div nullif(rows_match, 0)"))
         .select("n_buckets_total", "n_buckets_read", "rows_total", "rows_read",
           "rows_match", "read_amp_fp", "scan_amp_fp")
     },
@@ -158,8 +163,8 @@ object LayoutOps extends QueryModule {
               WHERE x BETWEEN 40 AND 100 AND y BETWEEN 70 AND 150)
             SELECT n_buckets_total, n_buckets_read, rows_total, rows_read,
                    rows_match,
-                   rows_read * 1000000 // rows_match AS read_amp_fp,
-                   rows_total * 1000000 // rows_match AS scan_amp_fp
+                   rows_read * 1000000 // nullif(rows_match, 0) AS read_amp_fp,
+                   rows_total * 1000000 // nullif(rows_match, 0) AS scan_amp_fp
             FROM read, matched"""))
 
   /** SMALL-FILE COMPACTION PLAN — the OTHER half of lakehouse table

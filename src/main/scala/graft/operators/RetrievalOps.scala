@@ -109,8 +109,14 @@ object RetrievalOps extends QueryModule {
       val ws = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
-      val big = ws.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")).as("bg"))
+      // index-explode + scalar concat, not a transform(...) lambda —
+      // the SketchOps.shingleStreamOf codegen device (tools.MgProbe:
+      // HOFs evaluate interpreted, 2.4× decay under megamorphic JIT)
+      val big = ws.select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), size(col("ws")) - 2)).as("i"))
+        .select(col("doc_id"), concat(
+          element_at(col("ws"), col("i") + 1), lit(" "),
+          element_at(col("ws"), col("i") + 2)).as("bg"))
       val bgc = big.groupBy("bg").agg(count(lit(1)).as("cb"))
       val uc = bgc.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
         .agg(sum("cb").cast("long").as("cu"))
@@ -244,10 +250,19 @@ object RetrievalOps extends QueryModule {
       val docs = t(s, dir, "documents")
         .select(split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
-      val pairs = docs.select(explode(concat(
-        expr("transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"),
-        expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 2)))")))
-        .as("pair"))
+      // ONE index-explode over both skip distances, fully codegen'd
+      // (the shingleStreamOf device; the former form built two
+      // transform(...) lambda arrays per row on the interpreted path):
+      // k ∈ [1, 2n−3] encodes skip-1 pairs at k ≤ n−1 and skip-2 pairs
+      // at k > n−1 (j = k−n+1) — same multiset, n−1 + n−2 rows per doc.
+      val pairs = docs
+        .select(col("ws"), size(col("ws")).as("n"),
+          explode(sequence(lit(1), size(col("ws")) * 2 - 3)).as("k"))
+        .select(expr(
+          """concat_ws(' ',
+               element_at(ws, CASE WHEN k <= n - 1 THEN k ELSE k - n + 1 END),
+               element_at(ws, CASE WHEN k <= n - 1 THEN k + 1 ELSE k - n + 3 END))""")
+          .as("pair"))
         .groupBy("pair").agg(count(lit(1)).cast("long").as("c_ab"))
         .withColumn("w1", expr("split(pair, ' ')[0]"))
         .withColumn("w2", expr("split(pair, ' ')[1]"))

@@ -482,10 +482,14 @@ object SelectionOps extends QueryModule {
     val docs = docsWithText
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     val nt = docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"))
+    // index-explode + scalar slice/concat_ws, not a transform(...)
+    // lambda (the shingleStreamOf codegen device): the exploded index
+    // IS the window position, so posexplode's pos column is just `i`.
     val wins = docs.filter(size(col("ws")) >= 8)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(ws) - 8), i -> concat_ws(' ', slice(ws, i + 1, 8)))")))
-      .select(col("doc_id"), col("pos").as("p"), xxhash64(col("col")).as("gk"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 8)).as("p"))
+      .select(col("doc_id"), col("p"),
+        xxhash64(expr("concat_ws(' ', slice(ws, p + 1, 8))")).as("gk"))
     val dupKeys = wins.groupBy("gk").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
     val dups = wins.join(dupKeys.select("gk"), "gk", "left_semi")
     val wOrd = Window.partitionBy("doc_id").orderBy("p")
@@ -513,10 +517,12 @@ object SelectionOps extends QueryModule {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
       val stats = dupSpanStats(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      // same codegen index-explode device as [[dupSpanStats]]
       val wins = docs.filter(size(col("ws")) >= 8)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(ws) - 8), i -> concat_ws(' ', slice(ws, i + 1, 8)))")))
-        .select(col("doc_id"), col("pos").as("p"), xxhash64(col("col")).as("gk"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), size(col("ws")) - 8)).as("p"))
+        .select(col("doc_id"), col("p"),
+          xxhash64(expr("concat_ws(' ', slice(ws, p + 1, 8))")).as("gk"))
       val dupKeys = wins.groupBy("gk").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       val dups = wins.join(dupKeys.select("gk"), "gk", "left_semi")
       // per-token coverage: token t is inside a dup span iff a dup
@@ -629,10 +635,17 @@ object SelectionOps extends QueryModule {
     * sampling. */
   private def importanceWeights(s: SparkSession, dir: String): DataFrame = {
       val docs = t(s, dir, "documents")
+      // index-explode + scalar concat, not a transform(...) lambda —
+      // the SketchOps.shingleStreamOf codegen device (HOFs evaluate on
+      // the interpreted path, 2.4× decay under megamorphic-JIT
+      // pollution, tools.MgProbe); content-identical bigram stream.
       val big = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")).as("bg"))
+        .select(col("doc_id"), col("lang"), col("ws"),
+          explode(sequence(lit(0), size(col("ws")) - 2)).as("i"))
+        .select(col("doc_id"), col("lang"), concat(
+          element_at(col("ws"), col("i") + 1), lit(" "),
+          element_at(col("ws"), col("i") + 2)).as("bg"))
         // one md5 per occurrence (the q65 pattern) — computing it inside
         // each nibble extraction doubled the hash work (bench: 1.8 s)
         .withColumn("h", md5(col("bg")))

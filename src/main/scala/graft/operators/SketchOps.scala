@@ -430,14 +430,22 @@ object SketchOps extends QueryModule {
     (s, dir) => {
       val k = KmvK
       val est = s"CAST(floor(255.0 * 1.152921504606846976e18 / CAST(theta AS DOUBLE) * 1.0e6) AS BIGINT)"
-      // Checkpointed (round 14, guide §1.2): the distinct (source, w)
-      // stream feeds the KMV hash pass AND both sides of the eval's
-      // exact-intersection self-join — un-pinned, the shingle explode +
-      // distinct ran 3× inside one query (join subtrees do not share
-      // common subexpressions). The materialized frame is vocab-sized
-      // (distinct shingles per source), not corpus-sized.
-      val tok = Ckpt.ser(shingles(s, dir).distinct())
-      val kmv = kmvTopK(kmvHashes(tok)).cache()
+      // Checkpointed (round 14, guide §1.2/§2.3): the distinct
+      // (source, hv) HASH stream feeds the KMV top-k AND both sides of
+      // the eval's exact-intersection self-join — un-pinned, the
+      // shingle explode + distinct ran 3× inside one query (join
+      // subtrees do not share common subexpressions). Wave 3 moved the
+      // pin from the (source, w) string frame to the (source, hv)
+      // 60-bit-hash frame: the materialized blocks and the self-join
+      // shuffle carry 16-byte rows instead of ~30-char strings, and the
+      // join compares longs (the q43 hashed-join-key device — a
+      // spurious/lost intersection needs a 60-bit collision between two
+      // of a source's distinct shingles, ~1e-7 odds at full-vocab
+      // scale; the string-keyed DuckDB oracle hash-gates the counts at
+      // every fixture scale). md5 still runs per DISTINCT token, not
+      // per occurrence (the q197 ordering).
+      val hv = Ckpt.ser(kmvHashes(shingles(s, dir).distinct()))
+      val kmv = kmvTopK(hv).cache()
       val per = kmv.groupBy("source")
         .agg(count(lit(1)).cast("long").as("cnt"), max("hv").as("theta"))
         .withColumn("est_fp",
@@ -457,8 +465,8 @@ object SketchOps extends QueryModule {
         .withColumn("est_u",
           when(col("cnt") < k, col("cnt") * 1000000L).otherwise(expr(est)))
         .select("s1", "s2", "est_u")
-      val exact = tok.select(col("source").as("s1"), col("w"))
-        .join(tok.select(col("source").as("s2"), col("w")), Seq("w"))
+      val exact = hv.select(col("source").as("s1"), col("hv"))
+        .join(hv.select(col("source").as("s2"), col("hv")), Seq("hv"))
         .filter(col("s1") < col("s2"))
         .groupBy("s1", "s2")
         .agg(count(lit(1)).cast("long").as("n_exact"))
@@ -607,12 +615,20 @@ object SketchOps extends QueryModule {
   val q200_bloom_filter_eval = QueryDef(
     "q200_bloom_filter_eval",
     (s, dir) => {
+      // index-explode + scalar concat, not a transform(...) lambda —
+      // the [[shingleStreamOf]] codegen device (HOFs evaluate on the
+      // interpreted Expression path and decay 2.4× under the
+      // megamorphic-JIT pollution of a long bench session, tools.MgProbe)
       val sh = t(s, dir, "documents")
         .select(expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '8'").as("bs"),
           split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
-        .select(col("bs"), explode(expr(
-          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+        .select(col("bs"), col("ws"),
+          explode(sequence(lit(0), size(col("ws")) - 3)).as("i"))
+        .select(col("bs"), concat(
+          element_at(col("ws"), col("i") + 1), lit(" "),
+          element_at(col("ws"), col("i") + 2), lit(" "),
+          element_at(col("ws"), col("i") + 3)).as("w"))
       val build = Ckpt.ser(sh.filter(col("bs")).select("w").distinct())
       val neg = sh.filter(!col("bs")).select("w").distinct()
         .join(build, Seq("w"), "left_anti")
@@ -822,13 +838,12 @@ object SketchOps extends QueryModule {
   val q201_mg_heavy_hitters = QueryDef(
     "q201_mg_heavy_hitters",
     (s, dir) => {
-      // occ is a def, not a cache: the mixed n-gram stream is the
-      // repo's largest intermediate (O(corpus tokens)), and each of its
-      // consumers (level-0 histograms; the exact vocab histogram — two
-      // since round 14 folded `tot` into `exact`) only needs one cheap
-      // map-side re-explode — caching it serialized was measured 4.5×
-      // SLOWER warm at 10× (storage-memory pressure + 18 eager
-      // checkpoint jobs).
+      // occ (the mixed n-gram stream) is the repo's largest
+      // intermediate (O(corpus tokens)) and is NEVER materialized —
+      // caching it serialized was measured 4.5× SLOWER warm at 10×
+      // (storage-memory pressure + 18 eager checkpoint jobs). Since
+      // round-14 wave 3 it is also only EXPLODED once: its single
+      // consumer is the per-doc histogram aggregation s0 below.
       // widen: the level-0 histogram sort and the exact-count explode
       // are ~all of q201's cost and both are map-side over the raw doc
       // scan — on single-file rehearsal fixtures that scan is 2-4 fat
@@ -837,7 +852,7 @@ object SketchOps extends QueryModule {
       // interference-sensitive (in-suite 34.5 s vs 16.1 s isolated,
       // round-10 verdict task 3).
       val docs = graft.sources.Tables.widen(t(s, dir, "documents"))
-      def occ = mgStreamOf(docs)
+      val occ = mgStreamOf(docs)
       // Level 0 via the CODEGEN'D histogram reduction, not the map-only
       // array-expression form ([[mgLevel0Of]], bit-identical — SketchSpec
       // pins the equality). The HOF form evaluates on the interpreted
@@ -853,9 +868,19 @@ object SketchOps extends QueryModule {
       // per doc before the window shuffle — see [[mgReduce]]), which
       // scales linearly and horizontally at 100 TB, unlike interpreted
       // per-row CPU.
-      val lvl0 = mgReduce(occ
+      // s0 (per-doc histograms, ≤ ~150 rows/doc on the fixture — three
+      // orders below the occurrence stream) is the LAST corpus-shaped
+      // explode: checkpointed once, it feeds BOTH the MG tree (via
+      // mgReduce) and the exact vocab histogram, which is a pure
+      // re-aggregation of it (Σ_doc per-doc counts ≡ per-token counts,
+      // exact BIGINT — SketchSpec pins the equality). Round 14 wave 3:
+      // previously `exact` re-ran the full mixed-n-gram explode a
+      // second time (guide §1.2 remove passes / §2.3 aggregate before
+      // you shuffle).
+      val s0 = Ckpt.ser(occ
         .groupBy(col("doc_id").as("gid"), col("w"))
         .agg(count(lit(1)).cast("long").as("c")))
+      val lvl0 = mgReduce(s0)
       val maxGid = docs.agg(max("doc_id")).collect().head.getLong(0)
       // The oracle unrolls exactly 3 merge rounds (covers doc_id <
       // 256³); past that the engine would run a 4th round the oracle's
@@ -876,9 +901,11 @@ object SketchOps extends QueryModule {
       // exact checkpointed (round 14, guide §1.2): the vocab-sized
       // histogram feeds the top-20 AND the stream-length total
       // (N = Σ c_exact ≡ count(occ)) — previously `tot` re-ran a THIRD
-      // full explode pass over the n-gram stream just to count it.
+      // full explode pass over the n-gram stream just to count it, and
+      // since wave 3 `exact` itself re-aggregates the checkpointed
+      // per-doc histogram s0 instead of paying a SECOND explode.
       val exact = Ckpt.ser(
-        occ.groupBy("w").agg(count(lit(1)).cast("long").as("c_exact")))
+        s0.groupBy("w").agg(sum("c").cast("long").as("c_exact")))
       val top = exact.orderBy(col("c_exact").desc, col("w")).limit(20)
       val tot = exact.agg(sum("c_exact").cast("long").as("n"))
       val mass = st.agg(coalesce(sum("c"), lit(0L)).cast("long").as("m"))

@@ -314,6 +314,50 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"weight-8 docs drew $heavy of 100 (expected ≈89) — weights not honored")
   }
 
+  test("q201: the exact histogram re-aggregated from per-doc histograms is " +
+    "bit-identical to the direct occurrence count") {
+    // round-14 wave-3 optimization contract: q201 derives the exact
+    // vocab histogram from the checkpointed per-doc histogram s0
+    // (Σ_doc per-doc counts) instead of a second corpus explode — the
+    // two BIGINT aggregations must agree on every token.
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val occ = SketchOps.mgStreamOf(docs).cache()
+    val direct = occ.groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaS0 = occ.groupBy(col("doc_id").as("gid"), col("w"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy("w").agg(sum("c").cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    occ.unpersist()
+    assert(viaS0 == direct,
+      "per-doc-histogram re-aggregation diverged from the direct occurrence count")
+  }
+
+  test("q198: the 60-bit-hash-keyed exact intersection matches the " +
+    "string-keyed intersection on the fixture") {
+    // round-14 wave-3 optimization contract: the eval's exact
+    // intersection self-joins the (source, hv) hash frame instead of
+    // the (source, w) string frame — identical counts unless two of a
+    // source's distinct shingles collide in 60 bits, which this pin
+    // would catch on the fixture (the DuckDB oracle pins it at every
+    // verify scale with strings).
+    import org.apache.spark.sql.functions._
+    val tok = SketchOps.shingleStreamOf(
+      graft.sources.Tables.load(spark, sfDir, "documents")).distinct().cache()
+    def inter(keyed: org.apache.spark.sql.DataFrame, k: String) =
+      keyed.select(col("source").as("s1"), col(k))
+        .join(keyed.select(col("source").as("s2"), col(k)), Seq(k))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val byString = inter(tok, "w")
+    val byHash = inter(SketchOps.kmvHashes(tok), "hv")
+    tok.unpersist()
+    assert(byHash == byString,
+      "hv-keyed intersection diverged from string-keyed intersection")
+  }
+
   test("q198: fixture intersection error stays inside the measured band") {
     val rows = SketchOps.q198_kmv_theta_sketch.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
