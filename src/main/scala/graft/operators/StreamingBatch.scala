@@ -562,13 +562,23 @@ object StreamingBatch extends QueryModule {
         ("sub_three", "UPDATES.STORAGE._.p4.>"))
       val subDf = s.createDataFrame(subs).toDF("sub_id", "joinKey")
       val depths = subs.map(_._2).flatMap(Subjects.subtreeDepth).distinct.sorted
+      // TWO-LEVEL aggregation (round 14, guide §2.3): the previous
+      // two-distinct agg planned as an Expand that TRIPLED the
+      // candidate-key-exploded stream through the shuffle (the 100×
+      // bench's one regression row). Grouping to the per-message grain
+      // first is the engine's own dedup step stated as aggregation:
+      // n_msgs = the (sub, event, subject) group count, n_matches = Σ
+      // raw matches, and the one remaining distinct (subjects) runs
+      // over the deduped message set. Values bit-identical.
       fanoutSubjects(s, dir)
         .withColumn("joinKey",
           explode(Subjects.matchKeysCol(col("subject"), depths)))
         .join(broadcast(subDf), "joinKey")
+        .groupBy("sub_id", "event_id", "subject")
+        .agg(count(lit(1)).as("c"))
         .groupBy("sub_id")
-        .agg(count(lit(1)).as("n_matches"),
-          countDistinct(col("event_id"), col("subject")).as("n_msgs"),
+        .agg(sum("c").as("n_matches"),
+          count(lit(1)).as("n_msgs"),
           countDistinct(col("subject")).as("n_subjects"))
         .select(col("sub_id"), col("n_msgs"),
           (col("n_matches") - col("n_msgs")).as("n_dup_suppressed"),

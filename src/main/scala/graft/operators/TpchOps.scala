@@ -430,11 +430,20 @@ object TpchOps extends QueryModule {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
-      val perOrder = f.groupBy("ok")
+      // TWO-LEVEL aggregation instead of two distinct aggregates
+      // (round 14, guide §2.3/§2.5): multiple countDistincts in one agg
+      // plan as an Expand that triples the shuffled fact rows; grouping
+      // to (order, supplier) first makes every level-2 aggregate plain
+      // (n_supp = group count, n_late = count of any-late groups,
+      // lone_late = min over any-late groups — identical values, max()
+      // over booleans skips nulls exactly like the countDistinct(when)
+      // it replaces).
+      val perOS = f.groupBy("ok", "sk").agg(max(col("late")).as("any_late"))
+      val perOrder = perOS.groupBy("ok")
         .agg(
-          countDistinct(col("sk")).as("n_supp"),
-          countDistinct(when(col("late"), col("sk"))).as("n_late"),
-          min(when(col("late"), col("sk"))).as("lone_late"))
+          count(lit(1)).as("n_supp"),
+          sum(when(col("any_late"), 1L).otherwise(0L)).as("n_late"),
+          min(when(col("any_late"), col("sk"))).as("lone_late"))
       perOrder.filter(col("n_supp") > 1 && col("n_late") === 1)
         .groupBy("lone_late")
         .agg(count(lit(1)).cast("long").as("numwait"))
