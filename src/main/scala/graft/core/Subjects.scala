@@ -200,11 +200,20 @@ object Subjects {
     * hash equi-join whose per-row cost is O(depths), independent of G,
     * with output exactly the true matches. Subtree keys end in `.>`,
     * which no real subject can contain, so the two key families can
-    * never cross-match. */
+    * never cross-match.
+    *
+    * Each d-token prefix is carved with `substring_index` (one linear
+    * scan, no allocation) instead of the original regex
+    * `split`+`slice`+`array_join` (a per-row token-array build) — this
+    * expression runs per (event, subject) row in every mux micro-batch.
+    * Equivalence: "subject has > d tokens" ⟺ "the text before the d-th
+    * dot is strictly shorter than the subject", and `substring_index(s,
+    * ".", d)` IS the first d tokens re-joined by "." (also for empty
+    * tokens, where both forms keep the empty string between dots). */
   def matchKeysCol(subject: Column, subtreeDepths: Seq[Int]): Column = {
-    val toks = split(subject, "\\.")
     val cands: Seq[Column] = subject +: subtreeDepths.map { d =>
-      when(size(toks) > d, concat(array_join(slice(toks, 1, d), "."), lit(".>")))
+      val prefix = substring_index(subject, ".", d)
+      when(length(prefix) < length(subject), concat(prefix, lit(".>")))
     }
     array_compact(array(cands: _*))
   }

@@ -33,15 +33,36 @@ object AnalyticsOps extends QueryModule {
     "q88_entity_resolution",
     (s, dir) => {
       val p = t(s, dir, "part")
-      val a = p.select(col("p_partkey").as("a_key"), col("p_size"), col("p_name").as("a_name"))
+      // PassJoin pigeonhole prefilter (round-15, guide §3.2 "reduce the
+      // candidates before the expensive predicate"): split a_name into 3
+      // contiguous pieces — ≤2 edit operations can touch at most 2 of
+      // them, so any pair within edit distance 2 has ≥1 piece of a_name
+      // appearing VERBATIM (contiguously, position-shifted at most) in
+      // b_name. `contains` is a necessary condition ⇒ the survivor set
+      // of the levenshtein gate is unchanged; the banded DP just runs
+      // on the few pairs sharing a piece (A/B numbers in
+      // OPTIMIZATION_r15.md). Pieces are projected on the
+      // build side BEFORE the join so each candidate pair pays 3
+      // short `contains` probes (short-circuiting), not 3 substring
+      // builds. Empty pieces (len<3 names — none in TPC-H) trivially
+      // pass, keeping the filter total.
+      val aSide = p.select(col("p_partkey").as("a_key"), col("p_size"), col("p_name").as("a_name"))
+        .withColumn("a_p1", substring(col("a_name"), lit(1), (length(col("a_name")) / 3).cast("int")))
+        .withColumn("a_p2", expr("substring(a_name, CAST(length(a_name)/3 AS INT) + 1, " +
+          "CAST(length(a_name)/3 AS INT))"))
+        .withColumn("a_p3", expr("substring(a_name, 2 * CAST(length(a_name)/3 AS INT) + 1, " +
+          "length(a_name) - 2 * CAST(length(a_name)/3 AS INT))"))
       val b = p.select(col("p_partkey").as("b_key"), col("p_size"), col("p_name").as("b_name"))
       // levenshtein's 3-arg threshold form runs the banded DP — O(len·k)
       // per pair instead of O(len²), ~2x on this block join — and
       // returns -1 past the bound, so the predicate set is identical to
       // the oracle's unbounded `levenshtein() <= 2`.
-      a.join(b, "p_size")
+      aSide.join(b, "p_size")
         .filter(col("b_key") <= col("a_key")
           && abs(length(col("a_name")) - length(col("b_name"))) <= 2
+          && (col("b_name").contains(col("a_p1"))
+            || col("b_name").contains(col("a_p2"))
+            || col("b_name").contains(col("a_p3")))
           && levenshtein(col("a_name"), col("b_name"), 2) =!= -1)
         .groupBy(col("a_key").as("p_partkey"))
         .agg(min("b_key").cast("long").as("canon_id"),

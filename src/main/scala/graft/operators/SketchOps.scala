@@ -424,7 +424,21 @@ object SketchOps extends QueryModule {
     * this is TakeOrdered-per-key state of k rows/source), then ALL pair
     * work runs on ≤ k·|sources| broadcast rows — the corpus never joins
     * itself. The exact intersection join here is the eval's ground
-    * truth only. */
+    * truth only.
+    *
+    * DOCUMENTED DEVIATION BOUND (round-14 wave 3, accepted by the
+    * round-14 verdict): the "exact" intersection column is computed by
+    * self-joining on the 60-bit md5-prefix hash `hv`, not the shingle
+    * string — it is exact UNLESS two DISTINCT shingles of a source
+    * pair collide in 60 bits. Collision odds are birthday-bounded:
+    * ~n²/2⁶¹ per pair for n distinct shingles per source (~1e-7 at the
+    * ~50k-shingle fixture vocab; ~5e-3 at a 10⁸-shingle 100 TB vocab,
+    * i.e. an expected off-by-one in 1 of ~200 pairs there). The DuckDB
+    * oracle computes the same hv-keyed counts, so the gate holds
+    * bit-for-bit at every fixture scale, but the column must NOT be
+    * consumed as a true exact-set-intersection contract at warehouse
+    * scale — any future consumer needing true exactness must join on
+    * the string (the pre-round-14 shape, ~1.2× slower here). */
   val q198_kmv_theta_sketch = QueryDef(
     "q198_kmv_theta_sketch",
     (s, dir) => {
@@ -852,6 +866,11 @@ object SketchOps extends QueryModule {
       // interference-sensitive (in-suite 34.5 s vs 16.1 s isolated,
       // round-10 verdict task 3).
       val docs = graft.sources.Tables.widen(t(s, dir, "documents"))
+      // ONE bounded job feeds the oracle's merge-round guard AND the s0
+      // regime pick below (was max-only; the count rides along free).
+      val stats = docs.agg(max("doc_id"), count(lit(1))).collect().head
+      val maxGid = stats.getLong(0)
+      val nDocs = stats.getLong(1)
       val occ = mgStreamOf(docs)
       // Level 0 via the CODEGEN'D histogram reduction, not the map-only
       // array-expression form ([[mgLevel0Of]], bit-identical — SketchSpec
@@ -877,11 +896,25 @@ object SketchOps extends QueryModule {
       // previously `exact` re-ran the full mixed-n-gram explode a
       // second time (guide §1.2 remove passes / §2.3 aggregate before
       // you shuffle).
-      val s0 = Ckpt.ser(occ
+      // SCALE-AWARE (round 15, VERDICT item 3): the checkpoint trades
+      // ONE explode pass for materializing ~150·|docs| rows, and the
+      // round-14 100× bench measured that trade INVERTING with corpus
+      // size — 10× (50k docs, s0 ≈ 7.5M rows) won 21.7 → 19.3 s warm,
+      // 100× (500k docs, s0 ≈ 75M rows) lost the win entirely (13.6 →
+      // 21.9 raw on a 1.64×-slower host, ~1.0 normalized): past memory
+      // scale the serialized blocks evict to disk and the write+read
+      // of the histogram costs what the saved explode saved. Below 2¹⁷
+      // docs (s0 ≲ 20M rows — comfortably inside the measured-win
+      // band) s0 materializes once; above, the two consumers each run
+      // their own explode+aggregation — two corpus passes, zero
+      // materialized state, the r14-wave-1 shape that beat r13's three
+      // passes at every scale. Values are bit-identical either way
+      // (same plan semantics, checkpoint or not).
+      val s0Plan = occ
         .groupBy(col("doc_id").as("gid"), col("w"))
-        .agg(count(lit(1)).cast("long").as("c")))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val s0 = if (nDocs < 131072L) Ckpt.ser(s0Plan) else s0Plan
       val lvl0 = mgReduce(s0)
-      val maxGid = docs.agg(max("doc_id")).collect().head.getLong(0)
       // The oracle unrolls exactly 3 merge rounds (covers doc_id <
       // 256³); past that the engine would run a 4th round the oracle's
       // r3 does not, silently diverging. Fail loudly at the boundary.

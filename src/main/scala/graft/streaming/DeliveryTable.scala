@@ -128,8 +128,9 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     * delivery: one distributed write per micro-batch for ALL groups).
     * `rows` must carry groupId, chunkId, subject, resourceId.
     * `splitsPerChunk` — see [[prepare]]. */
-  def writeMulti(rows: DataFrame, splitsPerChunk: Int = 1): Unit = timed("write") {
-    prepare(rows, splitsPerChunk).write
+  def writeMulti(rows: DataFrame, splitsPerChunk: Int = 1,
+                 partitions: Int = 0): Unit = timed("write") {
+    prepare(rows, splitsPerChunk, partitions).write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("groupId", "chunkId")
@@ -161,13 +162,19 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     * can never lose or duplicate rows across a speculative re-run
     * (SPARK-23207 class; round-12 ADVICE). read() merges a chunk's
     * files by sorting on seq, so the split is invisible to consumers. */
-  private def prepare(rows: DataFrame, splitsPerChunk: Int): DataFrame = {
+  private def prepare(rows: DataFrame, splitsPerChunk: Int,
+                      partitions: Int = 0): DataFrame = {
     // EXPLICIT partition count: a column-only repartition leaves the
     // count to AQE, which coalesces a small micro-batch to ONE
     // partition — and one task then writes every group's file
     // sequentially (measured 5× on the write at G=1000,
-    // BASELINE.md round-12 crossover table).
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // BASELINE.md round-12 crossover table). Callers that know their
+    // distinct key count (groups × splits) may pass a smaller
+    // `partitions` so a small micro-batch does not schedule
+    // shuffle-partitions-many near-empty reduce tasks every trigger.
+    val parts =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val keyed = withSeq(rows).select(col("groupId"), col("chunkId"), col("subject"),
       col("resourceId"), col("seq"))
     if (splitsPerChunk <= 1) keyed.repartition(parts, col("groupId"), col("chunkId"))
@@ -196,9 +203,10 @@ final class DeliveryTable(spark: SparkSession, val dir: String) {
     * costs one filesystem existence probe PER REGISTERED GROUP per
     * micro-batch — O(G) stat calls whether or not a group matched —
     * and remains for the single-group engines' shape. */
-  def writeMultiWithCounts(rows: DataFrame, splitsPerChunk: Int = 1): Map[String, Long] = {
+  def writeMultiWithCounts(rows: DataFrame, splitsPerChunk: Int = 1,
+                           partitions: Int = 0): Map[String, Long] = {
     val obs = org.apache.spark.sql.Observation()
-    val observed = prepare(rows, splitsPerChunk)
+    val observed = prepare(rows, splitsPerChunk, partitions)
       .observe(obs, graft.functions.CountByKey.countByKey(col("groupId")).as("grp"))
     timed("write") {
       observed.write

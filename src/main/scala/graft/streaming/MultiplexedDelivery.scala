@@ -175,6 +175,13 @@ final class MultiplexedDelivery(val spark: SparkSession,
     * multi-matcher dedup key hang off (VERDICT round-13 task 6). */
   private val eventSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** eventSeq reading at the previous micro-batch body — the delta is a
+    * driver-side estimate of THIS batch's event count, used only to
+    * size the per-group layout's write parallelism (see start()). Emits
+    * racing past the batch cut inflate the estimate and land in the
+    * next batch — harmless for a file-count hint. */
+  private val lastBatchEventSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Bulk ingest — one offset per batch instead of per event (the
     * replay/backfill path; per-event addData serializes on the stream
     * lock and caps throughput on the driver). Caller-supplied eventIds
@@ -320,15 +327,42 @@ final class MultiplexedDelivery(val spark: SparkSession,
           // the bucket-count sweep behind the BucketedMinGroups choice.
           val buckets = sys.env.get("SPARK_GRAFT_DELIVERY_BUCKETS")
             .map(_.toInt).getOrElse(parts)
+          // Per-group write parallelism, SCALE-ADAPTIVE (round-15): the
+          // fixed parts/nGroups hint writes splits×groups files per
+          // batch no matter how small the batch — at the replay's 50k-
+          // event batches that is 30 near-empty files whose open+commit
+          // cost ~0.2 s/batch of the measured ~0.55 s body
+          // (tools.MuxWriteProbe decomposition). The emitted-event
+          // delta since the last batch bounds this batch's rows from
+          // the driver alone (no extra pass), so splits grow ∝ batch
+          // size up to the old cap: ~32k rows/file keeps the round-12
+          // big-replay parallelism win (1.25M-row batches still get
+          // splits≈cap) while steady small batches write one file per
+          // group. A foreachBatch REPLAY may re-run with a different
+          // estimate — only the file COUNT of the rewritten chunk
+          // changes, never its rows (dynamic overwrite replaces whole
+          // chunk dirs).
+          val seqNow = eventSeq.get
+          val estBatchEvents = seqNow - lastBatchEventSeq.getAndSet(seqNow)
+          val splitCap = math.max(1, parts / math.max(1, nGroups))
+          val splits =
+            if (estBatchEvents <= 0) splitCap
+            else math.min(splitCap.toLong,
+              1L + estBatchEvents / math.max(1, nGroups) / 32768L).toInt
+          // Exchange width follows the key space (2× for hash-collision
+          // slack, capped at the session parts): nGroups×splits distinct
+          // write keys cannot fill more partitions than that, and the
+          // surplus near-empty reduce tasks are pure per-trigger
+          // scheduling cost.
+          val exchangeParts = math.min(parts,
+            math.max(1, 2 * math.max(1, nGroups) * splits))
           val counts =
             if (nGroups >= bucketedMinGroups)
               table.writeBucketed(withChunk, seq, buckets)
             else if (nGroups > footerCountMaxGroups)
-              table.writeMultiWithCounts(withChunk,
-                math.max(1, parts / math.max(1, nGroups)))
+              table.writeMultiWithCounts(withChunk, splits, exchangeParts)
             else {
-              table.writeMulti(withChunk,
-                math.max(1, parts / math.max(1, nGroups)))
+              table.writeMulti(withChunk, splits, exchangeParts)
               table.chunkCounts(groups.keys.toSeq, g => s"$g-$seq")
             }
           val ledgerT0 = System.nanoTime()
