@@ -116,7 +116,12 @@ object StreamingBatch extends QueryModule {
     * to their publish-subject sets (natsio.rs:78-129) — shared by q36
     * (fan-out census) and q149 (wildcard filters). */
   private def fanoutSubjects(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
+    // widen (round 15): on single-file rehearsal fixtures the events
+    // scan is ⌈bytes/maxPartitionBytes⌉ = 1–2 splits, so the fan-out
+    // explode + candidate-key join (q204) serialized on 2 of 32 cores
+    // at 100×. Gated on measured split count — a literal no-op at
+    // multi-file scale (Tables.widen scaladoc, the q201 device).
+    val e = graft.sources.Tables.widen(t(s, dir, "events"))
       .withColumn("project", concat(lit("p"), (col("user_id") % 5).cast("string")))
       .withColumn("collection", concat(lit("c"), col("user_id").cast("string")))
     val objectSubj = Subjects.objectSubjectCol(col("project"), col("collection"),
