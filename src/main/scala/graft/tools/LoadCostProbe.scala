@@ -21,16 +21,26 @@ object LoadCostProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("nation", "lineitem", "events", "documents").foreach { t =>
+    def timeIt(label: String, t: String)(f: String => Any): Unit = {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        // analyzed forces the full load path (schema inference + the
-        // timestamp-normalization fold) without running a job
-        graft.sources.Tables.load(spark, sfDir, t).queryExecution.analyzed
+        f(t)
         (System.nanoTime() - t0) / 1e6
       }
       val med = ts.sorted.apply(ts.size / 2)
-      println(f"[loadcost] $t%-10s first=${ts.head}%7.1f ms  median=$med%6.1f ms  (n=$reps)")
+      println(f"[loadcost] $label%-22s $t%-10s first=${ts.head}%7.1f ms  median=$med%6.1f ms  (n=$reps)")
+    }
+    Seq("nation", "lineitem", "events", "documents").foreach { t =>
+      // analyzed forces the full load path (schema inference + the
+      // timestamp-normalization fold) without running a job
+      timeIt("load+analyzed", t)(n =>
+        graft.sources.Tables.load(spark, sfDir, n).queryExecution.analyzed)
+      timeIt("read.parquet only", t)(n =>
+        spark.read.parquet(graft.sources.Tables.path(sfDir, n)))
+      timeIt("load only (lazy)", t)(n => graft.sources.Tables.load(spark, sfDir, n))
+      val schema = spark.read.parquet(graft.sources.Tables.path(sfDir, t)).schema
+      timeIt("read with schema", t)(n =>
+        spark.read.schema(schema).parquet(graft.sources.Tables.path(sfDir, n)))
     }
     spark.stop()
   }
